@@ -1,0 +1,357 @@
+"""Shared JAX pipeline stages used by every backend.
+
+These are the TPU-native equivalents of the reference's WGSL device stages:
+
+- ``vertex_stage``       <- geometry_pipeline (binning.wgsl:163-189): one
+  batched transform over ALL vertices (the reference redundantly re-transforms
+  shared vertices per referencing triangle; we don't);
+- ``triangle_setup``     <- compute_triangle_meta (binning.wgsl:93-142);
+- ``pixel_grid``         <- raster sample positions incl. the mirage warp
+  (rasteriser.wgsl:110-118);
+- ``barycentric`` + ``coverage_mask`` <- rasteriser.wgsl:71-81, 120-145;
+- ``resolve_attributes`` <- the fragment_buffer writes (rasteriser.wgsl:173-179),
+  recomputed once per pixel for the depth winner instead of written per
+  candidate (deterministic; no atomics);
+- ``shade``              <- fragment_main (fragment.wgsl:50-93).
+
+Depth ordering uses the reference's *bitcast-u32 comparison* of f32 depths
+(rasteriser.wgsl:84-90,153), so negative-depth quirks match. The depth winner
+per pixel is (key, triangle_index)-lexicographic-min — deterministic, fixing
+the reference's CAS/fragment-write race (rasteriser.wgsl:166-185).
+
+All arithmetic keeps explicit f32 operation order so backends agree bitwise
+per platform (XLA does not reassociate floats).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from compute_renderer_tpu.core.effects import (
+    EFFECT_EDGE_MELT,
+    EFFECT_MIRAGE,
+    EFFECT_VOXELIZE,
+    EFFECT_WAVE,
+)
+
+F32 = jnp.float32
+DEPTH_CLEAR_BITS = jnp.uint32(0xFFFFFFFF)
+# Sentinel triangle id for "no fragment" (flag == 0 in the reference).
+NO_TRI = jnp.int32(-1)
+
+
+def empty_frame(width: int, height: int):
+    """Background-only frame for zero-triangle scenes: blue clear color +
+    cleared depth (fragment.wgsl:58-62)."""
+    rgba = jnp.tile(
+        jnp.array([0, 0, 255, 255], dtype=jnp.uint8), (height, width, 1)
+    )
+    depth = jnp.full((height, width), DEPTH_CLEAR_BITS, jnp.uint32)
+    return rgba, depth
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: vertex processing
+# ---------------------------------------------------------------------------
+
+def apply_wave_effect(pos, effect):
+    """Wave vertex displacement (binning.wgsl:144-161), branchless.
+
+    effect: (6,) f32 [type, p1..p4, time]. Applied only when type == 1."""
+    amplitude, frequency, phase, direction = (
+        effect[1], effect[2], effect[3], effect[4],
+    )
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    dy = amplitude * jnp.sin(frequency * x + phase)
+    dx = amplitude * jnp.sin(frequency * y + phase)
+    dist = jnp.sqrt(x * x + y * y)
+    dz = amplitude * jnp.sin(frequency * dist + phase)
+
+    vertical = direction < 0.5
+    horizontal = (direction >= 0.5) & (direction < 1.5)
+    out = jnp.stack(
+        [
+            jnp.where(horizontal, x + dx, x),
+            jnp.where(vertical, y + dy, y),
+            jnp.where(vertical | horizontal, z, z + dz),
+        ],
+        axis=1,
+    )
+    is_wave = effect[0] == EFFECT_WAVE
+    return jnp.where(is_wave, out, pos)
+
+
+def vertex_stage(positions, view_proj, effect, width: int, height: int):
+    """Transform all vertices to screen space (binning.wgsl:163-189).
+
+    Returns (world_pos (N,3), screen (N,4)) with screen =
+    (x_px, y_px_flipped, ndc_z, clip_w)."""
+    positions = positions.astype(F32)
+    world = apply_wave_effect(positions, effect)
+
+    m = view_proj.astype(F32)
+    x, y, z = world[:, 0], world[:, 1], world[:, 2]
+    # Explicit mul/add chain (same order as the golden oracle) — a tiny
+    # (N,4)x(4,4) matmul would hit the MXU with unspecified accumulation
+    # order; the VPU chain is both faster at this size and bit-stable.
+    clip = [
+        ((m[r, 0] * x + m[r, 1] * y) + (m[r, 2] * z + m[r, 3]))
+        for r in range(4)
+    ]
+    cx, cy, cz, cw = clip
+    ndc_x = cx / cw
+    ndc_y = cy / cw
+    screen = jnp.stack(
+        [
+            (ndc_x + F32(1.0)) * F32(0.5) * F32(width),
+            (F32(1.0) - ndc_y) * F32(0.5) * F32(height),
+            cz / cw,
+            cw,
+        ],
+        axis=1,
+    )
+    return world, screen
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: triangle setup / culling / tile ranges
+# ---------------------------------------------------------------------------
+
+def triangle_setup(screen, tri, effect, width: int, height: int,
+                   tile_h: int, tile_w: int):
+    """Per-triangle cull + clipped bbox + covered-tile rectangle
+    (binning.wgsl:93-142). ``tri`` is (T,3) int32 vertex indices.
+
+    Returns a dict of (T,)-shaped arrays:
+      alive          bool
+      tile_x0/y0     int32  first covered tile (inclusive)
+      tile_x1/y1     int32  last covered tile (exclusive)
+      px_x0/y0/x1/y1 int32  covered pixel rectangle (union of covered tiles,
+                            clipped to screen) — the raster region
+    """
+    v = screen[tri]  # (T, 3, 4)
+    vx, vy, vw = v[:, :, 0], v[:, :, 1], v[:, :, 3]
+
+    w_ok = ~jnp.any(vw < F32(0.0), axis=1)
+
+    min_x = vx.min(axis=1)
+    max_x = vx.max(axis=1)
+    min_y = vy.min(axis=1)
+    max_y = vy.max(axis=1)
+
+    on_screen = ~(
+        (max_x < F32(0.0)) | (min_x >= F32(width))
+        | (max_y < F32(0.0)) | (min_y >= F32(height))
+    )
+
+    ax = vx[:, 1] - vx[:, 0]
+    ay = vy[:, 1] - vy[:, 0]
+    bx = vx[:, 2] - vx[:, 0]
+    by = vy[:, 2] - vy[:, 0]
+    cross_z = ax * by - ay * bx
+    is_voxelize = effect[0] == EFFECT_VOXELIZE
+    facing = jnp.where(is_voxelize, jnp.ones_like(cross_z, bool), cross_z < F32(0.0))
+
+    finite = jnp.isfinite(vx).all(axis=1) & jnp.isfinite(vy).all(axis=1)
+
+    alive = w_ok & on_screen & facing & finite
+
+    cb_min_x = jnp.maximum(min_x, F32(0.0))
+    cb_min_y = jnp.maximum(min_y, F32(0.0))
+    cb_max_x = jnp.minimum(max_x, F32(width) - F32(1.0))
+    cb_max_y = jnp.minimum(max_y, F32(height) - F32(1.0))
+
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+
+    safe = lambda a: jnp.where(alive, a, F32(0.0))
+    tile_x0 = jnp.maximum(jnp.floor(safe(cb_min_x) / F32(tile_w)), F32(0.0)).astype(jnp.int32)
+    tile_y0 = jnp.maximum(jnp.floor(safe(cb_min_y) / F32(tile_h)), F32(0.0)).astype(jnp.int32)
+    tile_x1 = jnp.minimum(jnp.ceil(safe(cb_max_x) / F32(tile_w)), ntx).astype(jnp.int32)
+    tile_y1 = jnp.minimum(jnp.ceil(safe(cb_max_y) / F32(tile_h)), nty).astype(jnp.int32)
+
+    alive = alive & (tile_x1 > tile_x0) & (tile_y1 > tile_y0)
+    tile_x1 = jnp.where(alive, tile_x1, tile_x0)
+    tile_y1 = jnp.where(alive, tile_y1, tile_y0)
+
+    return {
+        "alive": alive,
+        "tile_x0": tile_x0,
+        "tile_y0": tile_y0,
+        "tile_x1": tile_x1,
+        "tile_y1": tile_y1,
+        "px_x0": tile_x0 * tile_w,
+        "px_y0": tile_y0 * tile_h,
+        "px_x1": jnp.minimum(tile_x1 * tile_w, width),
+        "px_y1": jnp.minimum(tile_y1 * tile_h, height),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 support: sample positions, barycentrics, coverage
+# ---------------------------------------------------------------------------
+
+def pixel_grid(effect, width: int, height: int):
+    """(H,W) sample positions with the mirage warp applied when effect==4
+    (rasteriser.wgsl:110-118)."""
+    xs = jax.lax.broadcasted_iota(F32, (height, width), 1)
+    ys = jax.lax.broadcasted_iota(F32, (height, width), 0)
+    return warp_positions(xs, ys, effect)
+
+
+def warp_positions(xs, ys, effect):
+    """Mirage sample warp on given (…)-shaped f32 pixel coordinates."""
+    amplitude, frequency, phase, time = effect[1], effect[2], effect[3], effect[5]
+    off_x = amplitude * jnp.sin(frequency * xs + time + phase)
+    off_y = amplitude * jnp.cos(frequency * ys + time + phase)
+    is_mirage = effect[0] == EFFECT_MIRAGE
+    px = jnp.where(is_mirage, xs + off_x, xs)
+    py = jnp.where(is_mirage, ys + off_y, ys)
+    return px, py
+
+
+def barycentric(v1, v2, v3, px, py):
+    """Cross-product barycentric formulation (rasteriser.wgsl:71-81).
+
+    v1..v3: (..., 4) screen vertices broadcastable against px/py."""
+    v1x, v1y = v1[..., 0], v1[..., 1]
+    v2x, v2y = v2[..., 0], v2[..., 1]
+    v3x, v3y = v3[..., 0], v3[..., 1]
+    ux = (v2x - v1x) * (v1y - py) - (v1x - px) * (v2y - v1y)
+    uy = (v1x - px) * (v3y - v1y) - (v3x - v1x) * (v1y - py)
+    uz = (v3x - v1x) * (v2y - v1y) - (v2x - v1x) * (v3y - v1y)
+    bc2 = uy / uz
+    bc3 = ux / uz
+    bc1 = F32(1.0) - (ux + uy) / uz
+    return bc1, bc2, bc3
+
+
+def coverage_thresholds(effect):
+    """Per-frame scalar thresholds for the inside test.
+
+    Returns (threshold, melt_threshold):
+    - threshold: barycentric inside threshold; -param1 under voxelize
+      ("inflation", rasteriser.wgsl:127-131), else 0;
+    - melt_threshold: edge-melt min-barycentric cutoff
+      (rasteriser.wgsl:136-141); -inf when inactive so the test passes."""
+    etype = effect[0]
+    threshold = jnp.where(etype == EFFECT_VOXELIZE, -effect[1], F32(0.0))
+    melt = effect[1] * (F32(0.5) + F32(0.5) * jnp.sin(effect[5] + effect[2]))
+    melt_threshold = jnp.where(etype == EFFECT_EDGE_MELT, melt, F32(-jnp.inf))
+    return threshold, melt_threshold
+
+
+def coverage_and_depth(v1, v2, v3, px, py, threshold, melt_threshold):
+    """Inside test + interpolated depth for one triangle against samples.
+
+    Returns (mask bool, z f32). NaN barycentrics (degenerate triangles) fail
+    the mask; non-finite z is rejected (documented divergence: the reference
+    lets NaN depth keys win, rasteriser.wgsl:147-170)."""
+    bc1, bc2, bc3 = barycentric(v1, v2, v3, px, py)
+    mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
+    min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
+    mask &= min_bc >= melt_threshold
+    z = bc1 * v1[..., 2] + bc2 * v2[..., 2] + bc3 * v3[..., 2]
+    mask &= jnp.isfinite(z)
+    return mask, z
+
+
+def depth_key(z):
+    """f32 depth -> u32 ordering key (bitcast), matching the reference's
+    atomic comparison on raw float bits (rasteriser.wgsl:84-90)."""
+    return jax.lax.bitcast_convert_type(z.astype(F32), jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Attribute resolve: one pass over the winner per pixel
+# ---------------------------------------------------------------------------
+
+def resolve_attributes(best_tri, tri, screen, world, normals, uvs, effect,
+                       width: int, height: int):
+    """Recompute barycentrics for each pixel's winning triangle and
+    interpolate {uv, normal, world_pos} (the reference writes these per
+    depth-CAS winner, rasteriser.wgsl:173-179; we resolve once at the end).
+
+    best_tri: (H,W) int32 winning triangle index or NO_TRI.
+    Returns gbuffer dict of (H,W,…) arrays + 'flag' (H,W) bool."""
+    flag = best_tri != NO_TRI
+    t = jnp.where(flag, best_tri, 0)
+    idx = tri[t]  # (H, W, 3)
+    v1 = screen[idx[..., 0]]
+    v2 = screen[idx[..., 1]]
+    v3 = screen[idx[..., 2]]
+
+    px, py = pixel_grid(effect, width, height)
+    bc1, bc2, bc3 = barycentric(v1, v2, v3, px, py)
+    b1, b2, b3 = bc1[..., None], bc2[..., None], bc3[..., None]
+
+    uv = b1 * uvs[idx[..., 0]] + b2 * uvs[idx[..., 1]] + b3 * uvs[idx[..., 2]]
+    nrm = (
+        b1 * normals[idx[..., 0]]
+        + b2 * normals[idx[..., 1]]
+        + b3 * normals[idx[..., 2]]
+    )
+    pos = (
+        b1 * world[idx[..., 0]] + b2 * world[idx[..., 1]] + b3 * world[idx[..., 2]]
+    )
+    zero = F32(0.0)
+    return {
+        "flag": flag,
+        "uv": jnp.where(flag[..., None], uv, zero),
+        "normal": jnp.where(flag[..., None], nrm, zero),
+        "world_pos": jnp.where(flag[..., None], pos, zero),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: deferred Phong shading
+# ---------------------------------------------------------------------------
+
+def shade(gbuffer, view_position, light_world_pos, light_color,
+          light_intensity):
+    """fragment_main (fragment.wgsl:50-93): ambient 0.1 + per-light diffuse +
+    Phong specular; world-space light dir; unnormalized interpolated normal;
+    clamp; gamma 1/2.2; blue background. Returns (H,W,4) uint8 RGBA."""
+    flag = gbuffer["flag"]
+    normal = gbuffer["normal"]
+    pos = gbuffer["world_pos"]
+
+    final = jnp.full(pos.shape[:2] + (3,), F32(0.1))
+    eye = view_position.astype(F32)[:3]
+
+    num_lights = light_world_pos.shape[0]
+    for li in range(num_lights):
+        lp = light_world_pos[li]
+        lc = light_color[li]
+        inten = light_intensity[li]
+
+        ldir = lp[None, None, :] - pos
+        lnorm = jnp.sqrt(jnp.sum(ldir * ldir, axis=-1, keepdims=True))
+        ldir = ldir / lnorm
+
+        d = jnp.sum(normal * ldir, axis=-1)
+        # fmax semantics: NaN (zero-length light vector) -> 0, like GPU max.
+        diff = jnp.where(d > F32(0.0), d, F32(0.0))
+
+        vdir = eye[None, None, :] - pos
+        vnorm = jnp.sqrt(jnp.sum(vdir * vdir, axis=-1, keepdims=True))
+        vdir = vdir / vnorm
+
+        # reflect(-l, n) = -l - 2*dot(-l, n)*n (WGSL reflect, fragment.wgsl:79)
+        e = -ldir
+        rdir = e - F32(2.0) * jnp.sum(e * normal, axis=-1, keepdims=True) * normal
+        s = jnp.sum(vdir * rdir, axis=-1)
+        s = jnp.where(s > F32(0.0), s, F32(0.0))
+        spec = jnp.power(s, F32(32.0))
+
+        final = final + (diff + spec * F32(0.5))[..., None] * lc[None, None, :] * inten
+
+    final = jnp.clip(final, F32(0.0), F32(1.0))
+    srgb = jnp.power(final, F32(1.0 / 2.2))
+
+    shaded = jnp.round(srgb * F32(255.0)).astype(jnp.uint8)
+    background = jnp.array([0, 0, 255], dtype=jnp.uint8)
+    rgb = jnp.where(flag[..., None], shaded, background[None, None, :])
+    alpha = jnp.full(flag.shape + (1,), 255, dtype=jnp.uint8)
+    return jnp.concatenate([rgb, alpha], axis=-1)

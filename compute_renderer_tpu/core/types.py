@@ -1,0 +1,99 @@
+"""Geometry and screen types.
+
+The reference stores vertices as AoS structs padded for GPU storage buffers
+(src/vertex.rs:41-65: 48-byte CustomVertex). On TPU the idiomatic layout is
+SoA jnp arrays — positions (N,3) f32, normals (N,3), uvs (N,2) — which map
+directly onto (sublane, lane) tiles with no padding.
+
+ScreenConfig mirrors the reference's screen uniform {width, height,
+num_tiles_x, num_tiles_y} (src/custom_pipeline/util.rs:13-29) but the tile
+shape is a backend choice: the reference uses 8x8 GPU workgroup tiles; the
+TPU backend defaults to 8x128 (sublane x lane) framebuffer tiles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from compute_renderer_tpu.core.maths import F32
+
+# The reference's binning tile size (raster_pass.rs:3). Used by the golden
+# oracle for exact emulation; the TPU backend picks hardware-shaped tiles.
+REF_TILE_SIZE = 8
+
+
+@dataclass
+class Mesh:
+    """SoA triangle mesh. ``indices`` is flat (3*T,) uint32, CCW winding as
+    loaded (the reference culls cross_z >= 0 in screen space)."""
+
+    positions: np.ndarray  # (N, 3) f32
+    normals: np.ndarray  # (N, 3) f32 (zero-filled if absent in source)
+    uvs: np.ndarray  # (N, 2) f32 (zero-filled if absent in source)
+    indices: np.ndarray  # (3*T,) u32
+
+    def __post_init__(self):
+        self.positions = np.ascontiguousarray(self.positions, dtype=F32)
+        self.normals = np.ascontiguousarray(self.normals, dtype=F32)
+        self.uvs = np.ascontiguousarray(self.uvs, dtype=F32)
+        self.indices = np.ascontiguousarray(self.indices, dtype=np.uint32)
+
+    @property
+    def num_vertices(self) -> int:
+        return int(self.positions.shape[0])
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.indices.shape[0] // 3)
+
+    @staticmethod
+    def concatenate(meshes: list) -> "Mesh":
+        """Multi-mesh concat with index offsetting (reference
+        src/model.rs:109-121)."""
+        if not meshes:
+            return Mesh(
+                positions=np.zeros((0, 3), dtype=F32),
+                normals=np.zeros((0, 3), dtype=F32),
+                uvs=np.zeros((0, 2), dtype=F32),
+                indices=np.zeros((0,), dtype=np.uint32),
+            )
+        positions, normals, uvs, indices = [], [], [], []
+        offset = 0
+        for m in meshes:
+            positions.append(m.positions)
+            normals.append(m.normals)
+            uvs.append(m.uvs)
+            indices.append(m.indices.astype(np.uint32) + np.uint32(offset))
+            offset += m.num_vertices
+        return Mesh(
+            positions=np.concatenate(positions, axis=0),
+            normals=np.concatenate(normals, axis=0),
+            uvs=np.concatenate(uvs, axis=0),
+            indices=np.concatenate(indices, axis=0),
+        )
+
+
+@dataclass
+class ScreenConfig:
+    width: int
+    height: int
+    tile_h: int = REF_TILE_SIZE
+    tile_w: int = REF_TILE_SIZE
+
+    @property
+    def num_tiles_x(self) -> int:
+        return (self.width + self.tile_w - 1) // self.tile_w
+
+    @property
+    def num_tiles_y(self) -> int:
+        return (self.height + self.tile_h - 1) // self.tile_h
+
+    @property
+    def num_tiles(self) -> int:
+        return self.num_tiles_x * self.num_tiles_y
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height

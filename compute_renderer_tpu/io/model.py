@@ -1,0 +1,47 @@
+"""Model: the loaded-geometry wrapper (reference src/model.rs:10-14).
+
+Resolution order for a model path:
+
+1. a real file on disk (via asset search paths) -> OBJ loader (native C++
+   parser when available, pure-Python fallback);
+2. a registered procedural stand-in (the reference's LFS benchmark assets are
+   not shipped; see io/procedural.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from compute_renderer_tpu.core.types import Mesh
+from compute_renderer_tpu.io import procedural
+from compute_renderer_tpu.io.assets import get_asset_path
+
+
+@dataclass
+class Model:
+    mesh: Mesh
+    source: str
+
+    @staticmethod
+    def load(path: str) -> "Model":
+        try:
+            resolved = get_asset_path(path)
+        except FileNotFoundError:
+            if path in procedural.PROCEDURAL_MODELS:
+                return Model(mesh=procedural.make_model(path), source=f"procedural:{path}")
+            raise
+        # Prefer the native parser; fall back to pure Python.
+        try:
+            from compute_renderer_tpu.io import native
+
+            if native.available():
+                return Model(mesh=native.load_obj(resolved), source=str(resolved))
+        except ImportError:
+            pass
+        from compute_renderer_tpu.io.obj import load_obj
+
+        return Model(mesh=load_obj(resolved), source=str(resolved))
+
+    @property
+    def num_triangles(self) -> int:
+        return self.mesh.num_triangles

@@ -1,0 +1,149 @@
+"""Pure-Python OBJ loader with the reference's tobj load semantics.
+
+The reference loads OBJ files via tobj with ``triangulate: true,
+single_index: true`` (src/model.rs:24-30):
+
+- **triangulate**: polygon faces fan-triangulated as (v0, v_i, v_i+1);
+- **single_index**: each distinct (position, texcoord, normal) index triple
+  becomes one output vertex, deduplicated *per sub-mesh*;
+- sub-meshes split on ``o``/``g`` statements; the reference then concatenates
+  them with index offsetting (src/model.rs:109-121);
+- MTL materials are loaded but **discarded** (src/model.rs:24 binds them to
+  ``_m_materials``) — we skip ``mtllib``/``usemtl`` entirely;
+- the V texture coordinate is flipped: ``v -> 1 - v`` (src/model.rs:64);
+- missing normals/texcoords are zero-filled (src/model.rs:61-75).
+
+Negative (relative) OBJ indices are supported per the OBJ spec.
+
+For large models, ``compute_renderer_tpu.io.native`` provides a C++
+implementation of the same contract; this module is the portable fallback
+and the correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from compute_renderer_tpu.core.maths import F32
+from compute_renderer_tpu.core.types import Mesh
+
+
+def _parse_face_vertex(token: str, nv: int, nvt: int, nvn: int):
+    """Parse 'v', 'v/vt', 'v//vn', 'v/vt/vn' into 0-based (vi, ti, ni) with
+    -1 for absent. Negative indices are relative to the current array end."""
+    parts = token.split("/")
+    vi = int(parts[0])
+    vi = vi - 1 if vi > 0 else nv + vi
+    ti = -1
+    ni = -1
+    if len(parts) > 1 and parts[1] != "":
+        ti = int(parts[1])
+        ti = ti - 1 if ti > 0 else nvt + ti
+    if len(parts) > 2 and parts[2] != "":
+        ni = int(parts[2])
+        ni = ni - 1 if ni > 0 else nvn + ni
+    return (vi, ti, ni)
+
+
+class _SubMesh:
+    """Accumulates one sub-mesh's faces with per-sub-mesh triple dedup."""
+
+    def __init__(self):
+        self.triple_to_idx = {}
+        self.triples = []  # list of (vi, ti, ni)
+        self.indices = []
+
+    def add_corner(self, triple):
+        idx = self.triple_to_idx.get(triple)
+        if idx is None:
+            idx = len(self.triples)
+            self.triple_to_idx[triple] = idx
+            self.triples.append(triple)
+        self.indices.append(idx)
+        return idx
+
+    def empty(self) -> bool:
+        return not self.indices
+
+
+def load_obj(path) -> Mesh:
+    """Load an OBJ file into a single concatenated SoA Mesh."""
+    path = Path(path)
+    positions = []  # raw v records
+    texcoords = []  # raw vt records
+    normals = []  # raw vn records
+
+    submeshes = []
+    current = _SubMesh()
+
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            tag = parts[0]
+            if tag == "v":
+                positions.append((float(parts[1]), float(parts[2]), float(parts[3])))
+            elif tag == "vt":
+                u = float(parts[1])
+                v = float(parts[2]) if len(parts) > 2 else 0.0
+                texcoords.append((u, v))
+            elif tag == "vn":
+                normals.append((float(parts[1]), float(parts[2]), float(parts[3])))
+            elif tag in ("o", "g"):
+                # New sub-mesh boundary (tobj splits models per object/group).
+                if not current.empty():
+                    submeshes.append(current)
+                    current = _SubMesh()
+            elif tag == "f":
+                nv, nvt, nvn = len(positions), len(texcoords), len(normals)
+                corners = [
+                    _parse_face_vertex(tok, nv, nvt, nvn) for tok in parts[1:]
+                ]
+                # Fan triangulation (tobj `triangulate: true`).
+                for i in range(1, len(corners) - 1):
+                    for triple in (corners[0], corners[i], corners[i + 1]):
+                        current.add_corner(triple)
+            # mtllib / usemtl / s / l / p: ignored (materials discarded,
+            # reference src/model.rs:24).
+    if not current.empty():
+        submeshes.append(current)
+
+    pos_arr = np.asarray(positions, dtype=F32).reshape(-1, 3)
+    tex_arr = np.asarray(texcoords, dtype=F32).reshape(-1, 2)
+    nrm_arr = np.asarray(normals, dtype=F32).reshape(-1, 3)
+
+    meshes = []
+    for sm in submeshes:
+        n = len(sm.triples)
+        p = np.zeros((n, 3), dtype=F32)
+        t = np.zeros((n, 2), dtype=F32)
+        nr = np.zeros((n, 3), dtype=F32)
+        # Per-sub-mesh "has texcoords at all" flag: the reference checks
+        # mesh.texcoords.is_empty() (src/model.rs:61-65) and applies the V
+        # flip to the (possibly zero-filled) value, so a corner missing its
+        # vt in a sub-mesh that has some vt records flips 0 -> 1.
+        has_tex = any(ti >= 0 for (_, ti, _) in sm.triples)
+        for out_i, (vi, ti, ni) in enumerate(sm.triples):
+            p[out_i] = pos_arr[vi]
+            if has_tex:
+                if ti >= 0 and tex_arr.size:
+                    t[out_i, 0] = tex_arr[ti, 0]
+                    t[out_i, 1] = F32(1.0) - tex_arr[ti, 1]  # V flip (model.rs:64)
+                else:
+                    t[out_i] = (0.0, 1.0)
+            if ni >= 0 and nrm_arr.size:
+                nr[out_i] = nrm_arr[ni]
+        meshes.append(
+            Mesh(
+                positions=p,
+                normals=nr,
+                uvs=t,
+                indices=np.asarray(sm.indices, dtype=np.uint32),
+            )
+        )
+
+    return Mesh.concatenate(meshes)
