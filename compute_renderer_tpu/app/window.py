@@ -1,0 +1,136 @@
+"""Interactive viewer (reference src/window.rs) on top of tkinter.
+
+Feature map from the reference's winit ApplicationHandler:
+- per-frame update loop: dt -> camera -> scene update -> render -> blit
+  (window.rs:194-221, 345-410)
+- first-person WASD/Space/C + Shift sprint + [ ] speed trim ('P' prints the
+  pose) (camera.rs:97-150) and mouse-drag look (camera.rs:152-173)
+- Escape cycles to the next scene config (window.rs:274-342)
+- window resize rebuilds the render step (window.rs:137-169)
+
+tkinter is used because it ships with CPython — no extra GUI dependency.
+Requires a display; the CLI falls back to headless rendering otherwise.
+"""
+
+from __future__ import annotations
+
+import time
+
+from compute_renderer_tpu.engine.renderer import Renderer
+from compute_renderer_tpu.engine.scene import Scene, SceneConfig
+
+_KEYMAP = {
+    "w": "w", "a": "a", "s": "s", "d": "d",
+    "space": "space", "c": "c",
+    "shift_l": "shift", "shift_r": "shift",
+    "bracketleft": "[", "bracketright": "]",
+    "p": "p",
+}
+
+
+class InteractiveApp:
+    def __init__(self, scene_configs: list, width: int, height: int):
+        import tkinter as tk
+
+        self.tk = tk
+        self.scene_configs = scene_configs
+        self.scene_index = 0
+        self.width = width
+        self.height = height
+        self.keys_down: set = set()
+        self.mouse_down = False
+        self.last_mouse = (0, 0)
+
+        self.root = tk.Tk()
+        self.root.title("compute-renderer-tpu")
+        self.canvas = tk.Canvas(self.root, width=width, height=height,
+                                highlightthickness=0)
+        self.canvas.pack()
+        self.photo = None
+
+        self.root.bind("<KeyPress>", self._on_key_press)
+        self.root.bind("<KeyRelease>", self._on_key_release)
+        self.canvas.bind("<ButtonPress-1>", self._on_mouse_down)
+        self.canvas.bind("<ButtonRelease-1>", self._on_mouse_up)
+        self.canvas.bind("<Motion>", self._on_mouse_move)
+
+        self._load_scene(0)
+        self.last_frame = time.perf_counter()
+
+    # -- scene management (window.rs:274-342) --------------------------------
+
+    def _load_scene(self, index: int) -> None:
+        self.scene_index = index % len(self.scene_configs)
+        config = self.scene_configs[self.scene_index]
+        self.scene = Scene.from_config(config, self.width, self.height)
+        self.renderer = Renderer(self.scene.mesh, self.width, self.height,
+                                 backend=config.normalized_backend())
+
+    # -- input ----------------------------------------------------------------
+
+    def _on_key_press(self, event) -> None:
+        name = event.keysym.lower()
+        if name == "escape":
+            self._load_scene(self.scene_index + 1)
+            return
+        if name in _KEYMAP:
+            self.keys_down.add(_KEYMAP[name])
+
+    def _on_key_release(self, event) -> None:
+        name = event.keysym.lower()
+        if name in _KEYMAP:
+            self.keys_down.discard(_KEYMAP[name])
+
+    def _on_mouse_down(self, event) -> None:
+        self.mouse_down = True
+        self.last_mouse = (event.x, event.y)
+
+    def _on_mouse_up(self, _event) -> None:
+        self.mouse_down = False
+
+    def _on_mouse_move(self, event) -> None:
+        if not self.mouse_down:
+            return
+        dx = event.x - self.last_mouse[0]
+        dy = self.last_mouse[1] - event.y  # y inverted like mouse-look
+        self.last_mouse = (event.x, event.y)
+        camera = self.scene.get_active_camera()
+        if camera is not None:
+            camera.process_mouse(float(dx), float(dy))
+
+    # -- frame loop (window.rs:194-221) ---------------------------------------
+
+    def _tick(self) -> None:
+        now = time.perf_counter()
+        dt = now - self.last_frame
+        self.last_frame = now
+
+        camera = self.scene.get_active_camera()
+        if camera is not None:
+            camera.update_over_time(dt)
+            camera.process_keyboard(self.keys_down, dt)
+        uniforms = self.scene.update(dt)
+        rgba = self.renderer.render(uniforms)
+
+        # Blit: RGBA array -> PPM bytes -> Tk PhotoImage (no deps).
+        header = f"P6 {self.width} {self.height} 255 ".encode()
+        self.photo = self.tk.PhotoImage(
+            data=header + rgba[:, :, :3].tobytes(), format="PPM"
+        )
+        self.canvas.create_image(0, 0, image=self.photo, anchor="nw")
+        self.root.after(1, self._tick)
+
+    def run(self) -> None:
+        self.root.after(1, self._tick)
+        self.root.mainloop()
+
+
+def run_interactive(config: SceneConfig, width: int, height: int) -> None:
+    try:
+        app = InteractiveApp([config], width, height)
+    except Exception as e:  # no display / no tkinter
+        raise RuntimeError(
+            "Interactive viewer unavailable (no display?). "
+            "Use headless mode instead."
+        ) from e
+    app.run()

@@ -1,0 +1,141 @@
+"""Triangle-to-tile binning as one sort/segment pass.
+
+TPU-native replacement for the reference's four binning kernels
+(binning.wgsl): ``count_triangles`` (atomicAdd per covered tile, :195-247),
+the two-pass Blelloch scan (:252-341), and ``store_triangles`` (atomic slot
+claim, :346-388). On TPU there are no usable scatter atomics, and we don't
+want them: a stable sort by tile id gives the same triangle lists
+*deterministically* (intra-tile order = triangle index order, where the
+reference's atomic claim order is nondeterministic) and with *detected*
+overflow (the reference silently writes out of bounds when a tile exceeds
+its heuristic capacity, gpu_buffers.rs:53-63).
+
+Pipeline (all static shapes, one XLA program), tuned for the TPU's
+vector-friendly / gather-hostile cost model:
+
+1. per-triangle covered-tile counts c_t = range_x * range_y  (setup output)
+2. exclusive cumsum -> pair start offsets; total pairs (dynamic value)
+3. pair expansion: locate each pair slot's triangle with an O(P*T)
+   ``compare_all`` searchsorted (a dense VPU compare matrix beats per-element
+   binary search by ~10x here), then one row-gather of packed per-triangle
+   metadata
+4. stable multi-operand ``lax.sort`` on (tile, tri) — sorts the payload in
+   the network, avoiding post-sort gathers
+5. per-tile segment (start, count) via two more compare_all reductions
+
+The output is the *sorted pair list itself* plus per-tile (start, count):
+the raster kernel DMAs its segment window directly from HBM, so no dense
+(num_tiles x C) matrix is built (the scatter that built it was ~0.4 ms of
+frame time at Suzanne scale).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bin_triangles(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
+    """Build the sorted (tile, triangle) pair list + per-tile segments.
+
+    Args:
+      setup: dict from common.triangle_setup (tile_x0/y0/x1/y1, alive), (T,).
+      ntx, nty: tile grid dims.
+      pair_cap: static capacity for (triangle, tile) cover pairs.
+      tile_cap: static per-tile window C the raster kernel reads.
+
+    Returns dict:
+      pair_tri:   (pair_cap + tile_cap,) int32 triangle ids sorted by tile
+                  (padded so any seg_start + tile_cap window is in bounds)
+      seg_start:  (num_tiles,) int32 segment offset per tile
+      seg_count:  (num_tiles,) int32 triangles per tile (clamped to tile_cap)
+      total_pairs:() int32 true number of cover pairs
+      overflow:   () bool — pair_cap exceeded or any tile exceeded tile_cap
+    """
+    num_tiles = ntx * nty
+    i32 = jnp.int32
+    rx = (setup["tile_x1"] - setup["tile_x0"]).astype(i32)
+    ry = (setup["tile_y1"] - setup["tile_y0"]).astype(i32)
+    c = jnp.where(setup["alive"], rx * ry, 0)
+
+    starts = jnp.cumsum(c) - c  # exclusive prefix (replaces the 2-pass scan)
+    total = starts[-1] + c[-1]
+
+    p = jnp.arange(pair_cap, dtype=i32)
+    # Rightmost triangle with start <= p owns pair p (empty ranges skipped).
+    tri_of_pair = (
+        jnp.searchsorted(starts, p, side="right", method="compare_all").astype(i32)
+        - 1
+    )
+    tri_of_pair = jnp.clip(tri_of_pair, 0, starts.shape[0] - 1)
+    valid = p < total
+
+    # One packed row-gather instead of four element gathers.
+    meta = jnp.stack(
+        [starts.astype(i32), rx, setup["tile_x0"].astype(i32),
+         setup["tile_y0"].astype(i32)],
+        axis=1,
+    )  # (T, 4)
+    m = meta[tri_of_pair]  # (P, 4)
+    local = p - m[:, 0]
+    trx = jnp.maximum(m[:, 1], 1)
+    tile_of_pair = (m[:, 3] + local // trx) * ntx + (m[:, 2] + local % trx)
+    tile_of_pair = jnp.where(valid, tile_of_pair, num_tiles)
+
+    # Stable sort by tile id carrying the triangle payload through the
+    # sorting network (no post-sort gathers). Pairs are generated in
+    # triangle-index order, so stability keeps that order per tile.
+    sorted_tile, sorted_tri = jax.lax.sort(
+        (tile_of_pair, tri_of_pair), num_keys=1, is_stable=True
+    )
+
+    tile_ids = jnp.arange(num_tiles, dtype=i32)
+    seg_start = jnp.searchsorted(
+        sorted_tile, tile_ids, side="left", method="compare_all"
+    ).astype(i32)
+    seg_end = jnp.searchsorted(
+        sorted_tile, tile_ids, side="right", method="compare_all"
+    ).astype(i32)
+    count = seg_end - seg_start
+
+    # Pad so any 1024-aligned DMA superwindow the raster kernel reads
+    # (see pallas_raster.window_elems) stays in bounds. 1024 = the TPU's
+    # 1-D int32 HBM tile (8 sublanes x 128 lanes).
+    pad = pair_list_padding(pair_cap, tile_cap)
+    pair_tri = jnp.concatenate([sorted_tri, jnp.zeros((pad,), i32)])
+
+    overflow = (total > pair_cap) | jnp.any(count > tile_cap)
+    return {
+        "pair_tri": pair_tri,
+        "seg_start": seg_start,
+        "seg_count": jnp.minimum(count, tile_cap),
+        "total_pairs": total,
+        "overflow": overflow,
+    }
+
+
+def pair_list_padding(pair_cap: int, tile_cap: int) -> int:
+    """Tail padding for the sorted pair list: the raster kernel DMAs a
+    1024-aligned superwindow of ``window_elems(tile_cap)`` ints starting at
+    or before any seg_start <= pair_cap."""
+    up = lambda x: (x + 1023) // 1024 * 1024
+    return up(pair_cap) - pair_cap + up(tile_cap) + 1024
+
+
+def default_pair_cap(num_triangles: int, num_tiles: int) -> int:
+    """Static pair capacity heuristic. Unlike the reference's unchecked
+    per-tile cap (gpu_buffers.rs:53-63) this bounds *total* pairs; overflow
+    is detected and the renderer retries with a doubled cap. Kept tight —
+    expansion and sort cost scale with the cap."""
+    return max(2 * num_triangles, num_tiles, 2048)
+
+
+def default_tile_cap(num_triangles: int, width: int, height: int,
+                     tile_h: int, tile_w: int) -> int:
+    """Per-tile capacity C — the reference's heuristic
+    max(2 * tile_area / avg_tri_area, 128) (gpu_buffers.rs:53-63), rounded
+    to a multiple of 8."""
+    avg_tri_area = (width * height) / max(num_triangles, 1)
+    base = int(2.0 * (tile_h * tile_w) / max(avg_tri_area, 1e-6))
+    cap = max(base, 128)
+    return (cap + 7) // 8 * 8

@@ -192,11 +192,12 @@ def triangle_setup(screen, tri, effect, width: int, height: int,
 # Stage 3 support: sample positions, barycentrics, coverage
 # ---------------------------------------------------------------------------
 
-def pixel_grid(effect, width: int, height: int):
+def pixel_grid(effect, width: int, height: int, x_offset=0, y_offset=0):
     """(H,W) sample positions with the mirage warp applied when effect==4
-    (rasteriser.wgsl:110-118)."""
-    xs = jax.lax.broadcasted_iota(F32, (height, width), 1)
-    ys = jax.lax.broadcasted_iota(F32, (height, width), 0)
+    (rasteriser.wgsl:110-118). Offsets give the window's global pixel
+    coordinates when rendering a sharded stripe of the framebuffer."""
+    xs = jax.lax.broadcasted_iota(F32, (height, width), 1) + x_offset
+    ys = jax.lax.broadcasted_iota(F32, (height, width), 0) + y_offset
     return warp_positions(xs, ys, effect)
 
 
@@ -268,7 +269,7 @@ def depth_key(z):
 # ---------------------------------------------------------------------------
 
 def resolve_attributes(best_tri, tri, screen, world, normals, uvs, effect,
-                       width: int, height: int):
+                       width: int, height: int, x_offset=0, y_offset=0):
     """Recompute barycentrics for each pixel's winning triangle and
     interpolate {uv, normal, world_pos} (the reference writes these per
     depth-CAS winner, rasteriser.wgsl:173-179; we resolve once at the end).
@@ -282,7 +283,7 @@ def resolve_attributes(best_tri, tri, screen, world, normals, uvs, effect,
     v2 = screen[idx[..., 1]]
     v3 = screen[idx[..., 2]]
 
-    px, py = pixel_grid(effect, width, height)
+    px, py = pixel_grid(effect, width, height, x_offset, y_offset)
     bc1, bc2, bc3 = barycentric(v1, v2, v3, px, py)
     b1, b2, b3 = bc1[..., None], bc2[..., None], bc3[..., None]
 
@@ -343,7 +344,13 @@ def shade(gbuffer, view_position, light_world_pos, light_color,
         rdir = e - F32(2.0) * jnp.sum(e * normal, axis=-1, keepdims=True) * normal
         s = jnp.sum(vdir * rdir, axis=-1)
         s = jnp.where(s > F32(0.0), s, F32(0.0))
-        spec = jnp.power(s, F32(32.0))
+        # s**32 via 5 squarings: transcendental-free and bit-identical to
+        # the Pallas kernel's _pow32.
+        s2 = s * s
+        s4 = s2 * s2
+        s8 = s4 * s4
+        s16 = s8 * s8
+        spec = s16 * s16
 
         final = final + (diff + spec * F32(0.5))[..., None] * lc[None, None, :] * inten
 

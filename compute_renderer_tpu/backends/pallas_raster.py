@@ -1,0 +1,409 @@
+"""Fused Pallas TPU raster + shade kernel: per-framebuffer-tile depth
+resolve, attribute interpolation, and deferred Phong lighting in one pass.
+
+TPU-native replacement for ``raster_main`` + ``fragment_main``
+(rasteriser.wgsl:192-243, fragment.wgsl:50-93). The reference runs one
+64-thread workgroup per 8x8 tile with a workgroup-atomic CAS depth loop it
+itself documents as racy (rasteriser.wgsl:166-185), then a separate
+pixel-parallel lighting pass over a fragment G-buffer. Here:
+
+- the grid is the framebuffer tile grid (default tile = 8 x 128 — one VPU
+  sublane x lane register shape, 16x the reference's tile area);
+- each grid step DMAs its tile's binned triangle list HBM -> SMEM (SMEM
+  supports the dynamic scalar indexing the bin walk needs), then loops the
+  list with a dynamic trip count, evaluating all tile pixels per triangle as
+  (8,128) vector ops: barycentric coverage, effect thresholds, interpolated
+  depth, and masked selects of the interpolated {uv, normal, world_pos};
+- the depth resolve is a running (key, triangle) min carried in registers —
+  deterministic (first triangle in bin order wins ties), no atomics;
+- the epilogue shades the tile in place (ambient + per-light diffuse +
+  Phong specular, gamma, blue background) and writes byte-packed RGBA.
+
+Fusing shading here removes the XLA per-pixel gather pass that dominated
+frame time (~21 ms of a 22 ms frame at 1024x768 on v5e).
+
+The triangle table lives whole in VMEM ((T, 48) f32 = 192 B/tri; ~80k
+triangles in a 16 MB VMEM); the bin matrix stays in HBM and streams per-tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from compute_renderer_tpu.core.effects import (
+    EFFECT_EDGE_MELT,
+    EFFECT_MIRAGE,
+    EFFECT_VOXELIZE,
+)
+
+F32 = jnp.float32
+# numpy scalar (not a jnp array): jnp constants would be captured as consts
+# by the pallas kernel closure, which pallas_call rejects.
+DEPTH_CLEAR_BITS = np.uint32(0xFFFFFFFF)
+
+# tri_table row layout (48 lanes):
+#   0:9    v1.xyz v2.xyz v3.xyz  (screen space: x_px, y_px, ndc_z)
+#   9:33   8 attribute channels [u, v, nx, ny, nz, wx, wy, wz], each stored
+#          channel-major as (a_v1, a_v2, a_v3) — the kernel interpolates
+#          channel c from lanes 9+3c .. 11+3c
+#   33:48  pad
+TRI_TABLE_WIDTH = 48
+
+
+def build_tri_table(screen, tri, uvs, normals, world):
+    """(T, 48) f32 per-triangle table: screen verts + attributes."""
+    v = screen[tri]  # (T, 3, 4)
+    xyz = v[:, :, :3].reshape(-1, 9)
+    # Channel-major packing: (T, 3 verts, C channels) -> (T, C, 3) -> flat.
+    uv = uvs[tri].transpose(0, 2, 1).reshape(-1, 6)
+    nrm = normals[tri].transpose(0, 2, 1).reshape(-1, 9)
+    wld = world[tri].transpose(0, 2, 1).reshape(-1, 9)
+    out = jnp.concatenate([xyz, uv, nrm, wld], axis=1)
+    pad = jnp.zeros((out.shape[0], TRI_TABLE_WIDTH - out.shape[1]), F32)
+    return jnp.concatenate([out, pad], axis=1)
+
+
+def window_elems(tile_cap: int) -> int:
+    """SMEM superwindow size for a tile's pair-list segment: tile_cap
+    rounded up to the 1024-element HBM tile, plus one tile of slack for the
+    unaligned start."""
+    return (tile_cap + 1023) // 1024 * 1024 + 1024
+
+
+def _pow32(s):
+    """s**32 via 5 squarings — deterministic and transcendental-free,
+    matching backends/common.py shade()."""
+    s2 = s * s
+    s4 = s2 * s2
+    s8 = s4 * s4
+    s16 = s8 * s8
+    return s16 * s16
+
+
+def _raster_kernel(
+    # SMEM inputs (full, unblocked)
+    params_ref,  # (2, 8) f32: row0 = [threshold, melt_threshold, mirage,
+    #              amplitude, frequency, phase, time, y_offset]
+    #              row1 = [eye.x, eye.y, eye.z, num_lights, pad...]
+    lights_ref,  # (L, 8) f32: [px, py, pz, cr, cg, cb, intensity, pad]
+    start_ref,  # (num_tiles,) i32 per-tile segment offsets into pair list
+    count_ref,  # (num_tiles,) i32 per-tile triangle counts
+    # VMEM / HBM inputs (full, unblocked)
+    tri_table_ref,  # (T, 48) f32 triangle table (VMEM)
+    pair_tri_ref,  # (pair_cap + C,) i32 tile-sorted triangle ids (HBM)
+    # outputs (blocked per tile)
+    rgba_ref,  # (TH, TW) u32 byte-packed RGBA
+    key_ref,  # (TH, TW) u32 depth keys
+    tri_ref,  # (TH, TW) i32 winning triangle ids
+    # scratch
+    idx_smem,  # (C,) i32 — this tile's triangle list window
+    dma_sem,
+    *,
+    tile_h: int,
+    tile_w: int,
+    num_lights: int,
+):
+    ti = pl.program_id(0)  # tile row
+    tj = pl.program_id(1)  # tile col
+    tile_id = ti * pl.num_programs(1) + tj
+
+    count = count_ref[tile_id]
+
+    # Empty tiles (most of the screen for typical scenes) take the constant
+    # fast path: background color, cleared depth. No DMA, no shading.
+    @pl.when(count == 0)
+    def _():
+        rgba_ref[:, :] = jnp.full(
+            (tile_h, tile_w), 0xFFFF0000, jnp.uint32  # blue, alpha 1
+        )
+        key_ref[:, :] = jnp.full((tile_h, tile_w), DEPTH_CLEAR_BITS, jnp.uint32)
+        tri_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+
+    @pl.when(count > 0)
+    def _():
+        _raster_tile(
+            params_ref, lights_ref, start_ref, tri_table_ref, pair_tri_ref,
+            rgba_ref, key_ref, tri_ref, idx_smem, dma_sem,
+            ti, tj, tile_id, count,
+            tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
+        )
+
+
+def _raster_tile(
+    params_ref, lights_ref, start_ref, tri_table_ref, pair_tri_ref,
+    rgba_ref, key_ref, tri_ref, idx_smem, dma_sem,
+    ti, tj, tile_id, count,
+    *, tile_h: int, tile_w: int, num_lights: int,
+):
+    W = idx_smem.shape[0]  # 1024-aligned superwindow (window_elems)
+    # Stream this tile's window of the sorted pair list HBM -> SMEM early;
+    # overlaps with the sample-position setup below. (SMEM because the bin
+    # walk needs dynamic scalar indexing, which VMEM lanes don't support.)
+    # 1-D int32 HBM memrefs tile in 1024-element chunks, so both the DMA
+    # offset and size must be 1024-aligned: fetch the aligned superwindow
+    # containing [seg_start, seg_start + tile_cap) and index with the
+    # residual offset.
+    seg_start = start_ref[tile_id]
+    start_aligned = pl.multiple_of((seg_start // 1024) * 1024, 1024)
+    seg_offset = seg_start - start_aligned
+    list_copy = pltpu.make_async_copy(
+        pair_tri_ref.at[pl.ds(start_aligned, W)], idx_smem, dma_sem
+    )
+    list_copy.start()
+
+    threshold = params_ref[0, 0]
+    melt_threshold = params_ref[0, 1]
+    mirage = params_ref[0, 2]
+    amplitude = params_ref[0, 3]
+    frequency = params_ref[0, 4]
+    phase = params_ref[0, 5]
+    time = params_ref[0, 6]
+
+    y0 = (ti * tile_h).astype(F32) + params_ref[0, 7]
+    x0 = (tj * tile_w).astype(F32)
+    # iota must be integer-typed on TPU; cast to f32 after.
+    ys = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(F32) + y0
+    xs = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(F32) + x0
+
+    # Mirage sample warp (rasteriser.wgsl:112-118), branchless.
+    off_x = amplitude * jnp.sin(frequency * xs + time + phase)
+    off_y = amplitude * jnp.cos(frequency * ys + time + phase)
+    px = jnp.where(mirage > 0.5, xs + off_x, xs)
+    py = jnp.where(mirage > 0.5, ys + off_y, ys)
+
+    list_copy.wait()
+
+    zero = jnp.zeros((tile_h, tile_w), F32)
+
+    def body(k, carry):
+        best_key, best_tri, attrs = carry
+        t = idx_smem[seg_offset + k]
+        row = tri_table_ref[t, :]  # (48,) f32
+        v1x, v1y, v1z = row[0], row[1], row[2]
+        v2x, v2y, v2z = row[3], row[4], row[5]
+        v3x, v3y, v3z = row[6], row[7], row[8]
+
+        # Barycentric cross-product form (rasteriser.wgsl:71-81). Plain
+        # division — bit-identical to the XLA backend's math.
+        ux = (v2x - v1x) * (v1y - py) - (v1x - px) * (v2y - v1y)
+        uy = (v1x - px) * (v3y - v1y) - (v3x - v1x) * (v1y - py)
+        uz = (v3x - v1x) * (v2y - v1y) - (v2x - v1x) * (v3y - v1y)
+        bc2 = uy / uz
+        bc3 = ux / uz
+        bc1 = F32(1.0) - (ux + uy) / uz
+
+        mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
+        min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
+        mask &= min_bc >= melt_threshold
+
+        z = bc1 * v1z + bc2 * v2z + bc3 * v3z
+        mask &= jnp.isfinite(z)
+
+        key = jnp.where(mask, pltpu.bitcast(z, jnp.uint32), DEPTH_CLEAR_BITS)
+        # Strict <: earlier bin entries (lower triangle ids) win ties.
+        win = key < best_key
+        best_key = jnp.where(win, key, best_key)
+        best_tri = jnp.where(win, t, best_tri)
+
+        # Interpolate and select the winner's attributes in-register
+        # (replaces the reference's fragment_buffer writes,
+        # rasteriser.wgsl:173-179).
+        new_attrs = []
+        for c in range(8):
+            a1, a2, a3 = row[9 + c * 3], row[10 + c * 3], row[11 + c * 3]
+            interp = bc1 * a1 + bc2 * a2 + bc3 * a3
+            new_attrs.append(jnp.where(win, interp, attrs[c]))
+        return best_key, best_tri, tuple(new_attrs)
+
+    init = (
+        jnp.full((tile_h, tile_w), DEPTH_CLEAR_BITS, jnp.uint32),
+        jnp.full((tile_h, tile_w), -1, jnp.int32),
+        tuple(zero for _ in range(8)),
+    )
+    best_key, best_tri, attrs = jax.lax.fori_loop(0, count, body, init)
+
+    # -- shading epilogue (fragment.wgsl:50-93) ------------------------------
+    # attrs: [u, v, nx, ny, nz, wx, wy, wz]; uv computed for API parity.
+    nx, ny, nz = attrs[2], attrs[3], attrs[4]
+    wx, wy, wz = attrs[5], attrs[6], attrs[7]
+
+    eye_x = params_ref[1, 0]
+    eye_y = params_ref[1, 1]
+    eye_z = params_ref[1, 2]
+
+    r = jnp.full((tile_h, tile_w), F32(0.1))
+    g = jnp.full((tile_h, tile_w), F32(0.1))
+    b = jnp.full((tile_h, tile_w), F32(0.1))
+
+    vdx = eye_x - wx
+    vdy = eye_y - wy
+    vdz = eye_z - wz
+    vnorm = jnp.sqrt(vdx * vdx + vdy * vdy + vdz * vdz)
+    vdx = vdx / vnorm
+    vdy = vdy / vnorm
+    vdz = vdz / vnorm
+
+    for li in range(num_lights):
+        lpx = lights_ref[li, 0]
+        lpy = lights_ref[li, 1]
+        lpz = lights_ref[li, 2]
+        lcr = lights_ref[li, 3]
+        lcg = lights_ref[li, 4]
+        lcb = lights_ref[li, 5]
+        inten = lights_ref[li, 6]
+
+        ldx = lpx - wx
+        ldy = lpy - wy
+        ldz = lpz - wz
+        lnorm = jnp.sqrt(ldx * ldx + ldy * ldy + ldz * ldz)
+        ldx = ldx / lnorm
+        ldy = ldy / lnorm
+        ldz = ldz / lnorm
+
+        d = nx * ldx + ny * ldy + nz * ldz
+        diff = jnp.where(d > F32(0.0), d, F32(0.0))
+
+        # reflect(-l, n) = -l - 2*dot(-l, n)*n (WGSL reflect)
+        edotn = -(ldx * nx + ldy * ny + ldz * nz)
+        rdx = -ldx - F32(2.0) * edotn * nx
+        rdy = -ldy - F32(2.0) * edotn * ny
+        rdz = -ldz - F32(2.0) * edotn * nz
+        s = vdx * rdx + vdy * rdy + vdz * rdz
+        s = jnp.where(s > F32(0.0), s, F32(0.0))
+        spec = _pow32(s)
+
+        contrib = diff + spec * F32(0.5)
+        r = r + contrib * lcr * inten
+        g = g + contrib * lcg * inten
+        b = b + contrib * lcb * inten
+
+    flag = best_key != DEPTH_CLEAR_BITS
+    gamma = F32(1.0 / 2.2)
+    r = jnp.power(jnp.clip(r, F32(0.0), F32(1.0)), gamma)
+    g = jnp.power(jnp.clip(g, F32(0.0), F32(1.0)), gamma)
+    b = jnp.power(jnp.clip(b, F32(0.0), F32(1.0)), gamma)
+
+    # f32 -> i32 -> u32: Mosaic has no direct f32->u32 cast; values are 0..255.
+    ri = jnp.round(r * F32(255.0)).astype(jnp.int32).astype(jnp.uint32)
+    gi = jnp.round(g * F32(255.0)).astype(jnp.int32).astype(jnp.uint32)
+    bi = jnp.round(b * F32(255.0)).astype(jnp.int32).astype(jnp.uint32)
+    shaded = ri | (gi << 8) | (bi << 16) | jnp.uint32(0xFF000000)
+    background = jnp.uint32(0xFFFF0000)  # blue, alpha 1 (fragment.wgsl:58-62)
+
+    rgba_ref[:, :] = jnp.where(flag, shaded, background)
+    key_ref[:, :] = best_key
+    tri_ref[:, :] = best_tri
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height_padded", "width_padded", "tile_h", "tile_w",
+                     "tile_cap", "interpret"),
+)
+def raster_shade_tiles(
+    tri_table,  # (T, 48) f32
+    pair_tri,  # (pair_cap + C,) i32 tile-sorted triangle ids
+    seg_start,  # (num_tiles,) i32
+    seg_count,  # (num_tiles,) i32
+    effect,  # (6,) f32
+    view_position,  # (4,) f32
+    light_world_pos,  # (L, 3) f32
+    light_color,  # (L, 3) f32
+    light_intensity,  # (L,) f32
+    *,
+    height_padded: int,
+    width_padded: int,
+    tile_h: int,
+    tile_w: int,
+    tile_cap: int,
+    interpret: bool = False,
+    y_offset=0,
+):
+    """Run the fused raster+shade kernel over the padded framebuffer.
+
+    ``y_offset`` (traced scalar ok) is the global pixel row of this window —
+    nonzero when rendering one stripe of a sharded framebuffer.
+
+    Returns (rgba_packed (Hp,Wp) u32, best_key (Hp,Wp) u32,
+    best_tri (Hp,Wp) i32)."""
+    nty = height_padded // tile_h
+    ntx = width_padded // tile_w
+
+    threshold = jnp.where(effect[0] == EFFECT_VOXELIZE, -effect[1], F32(0.0))
+    melt = effect[1] * (F32(0.5) + F32(0.5) * jnp.sin(effect[5] + effect[2]))
+    melt_threshold = jnp.where(effect[0] == EFFECT_EDGE_MELT, melt, F32(-jnp.inf))
+    mirage_flag = jnp.where(effect[0] == EFFECT_MIRAGE, F32(1.0), F32(0.0))
+
+    num_lights = int(light_world_pos.shape[0])
+    params = jnp.stack(
+        [
+            threshold, melt_threshold, mirage_flag, effect[1], effect[2],
+            effect[3], effect[5], jnp.asarray(y_offset, F32),
+            view_position[0], view_position[1], view_position[2],
+            F32(num_lights), F32(0.0), F32(0.0), F32(0.0), F32(0.0),
+        ]
+    ).reshape(2, 8)
+    lights = jnp.concatenate(
+        [
+            light_world_pos.astype(F32),
+            light_color.astype(F32),
+            light_intensity.astype(F32)[:, None],
+            jnp.zeros((num_lights, 1), F32),
+        ],
+        axis=1,
+    )  # (L, 8)
+
+    grid = (nty, ntx)
+    kernel = functools.partial(
+        _raster_kernel, tile_h=tile_h, tile_w=tile_w, num_lights=num_lights
+    )
+
+    rgba, best_key, best_tri = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params, full
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights, full
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile starts, full
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile counts, full
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full tri table
+            # Explicit HBM (not ANY): a small pair list would otherwise be
+            # promoted to VMEM, where the dynamic-offset DMA slice violates
+            # the (8, 128) tiling.
+            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
+            jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
+            jax.ShapeDtypeStruct((height_padded, width_padded), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((window_elems(tile_cap),), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(params, lights, seg_start.astype(jnp.int32),
+      seg_count.astype(jnp.int32), tri_table, pair_tri)
+    return rgba, best_key, best_tri
+
+
+def unpack_rgba(packed):
+    """(H,W) u32 byte-packed -> (H,W,4) u8 RGBA (little-endian lanes)."""
+    return jax.lax.bitcast_convert_type(packed, jnp.uint8)

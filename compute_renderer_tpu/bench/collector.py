@@ -1,0 +1,174 @@
+"""Performance collector with the reference's exact metric definitions
+(src/performance.rs):
+
+- 2 s warm-up excluded (performance.rs:47, 61-63)
+- avg FPS  = 1 / mean(frame time)            (performance.rs:116-117)
+- max FPS  = 1 / mean(fastest 5%)            (performance.rs:124-128)
+- min FPS  = 1 / mean(slowest 5%)            (performance.rs:130-138)
+- 5%/1% lows = 1 / mean(slowest 5%/1% tail)  (performance.rs:144-160)
+- avg CPU %, avg process RSS                 (performance.rs:70-81, 140-142)
+
+Additions required by BASELINE.json: ms/frame, Mtri/s, Mpix/s, and a
+machine-readable JSON dict next to the stdout report. Unlike the reference's
+custom backend (which submits asynchronously and never fences,
+custom_pipeline/renderer.rs:152-156), the caller is expected to fence
+(block_until_ready) before stamping each frame so latency is honest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+from typing import Optional
+
+
+def _read_cpu_percent_and_rss():
+    """Global CPU% is not cheaply available without sysinfo; report process
+    CPU time ratio and RSS from /proc (Linux)."""
+    try:
+        with open("/proc/self/statm") as f:
+            rss_pages = int(f.read().split()[1])
+        rss = rss_pages * os.sysconf("SC_PAGE_SIZE")
+    except (OSError, ValueError, IndexError):
+        rss = 0
+    cpu = os.times()
+    return (cpu.user + cpu.system), rss
+
+
+@dataclass
+class PerformanceData:
+    avg_fps: float = 0.0
+    min_fps: float = 0.0
+    max_fps: float = 0.0
+    fps_5_percent_low: float = 0.0
+    fps_1_percent_low: float = 0.0
+    cpu_usage: float = 0.0  # avg process CPU %, reference-analogous
+    memory_usage: int = 0  # avg RSS bytes
+    # Extensions (BASELINE.json metric names):
+    ms_per_frame: float = 0.0
+    mtri_per_s: float = 0.0
+    mpix_per_s: float = 0.0
+    frames: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self))
+
+
+class PerformanceCollector:
+    WARMUP_SECS = 2.0  # reference set_in_period (performance.rs:47)
+
+    def __init__(self, scene_name: str, scene_index: int,
+                 benchmark_duration_secs: Optional[float],
+                 num_triangles: int = 0, num_pixels: int = 0,
+                 warmup_secs: Optional[float] = None):
+        self.scene_name = scene_name
+        self.scene_index = scene_index
+        self.benchmark_duration = benchmark_duration_secs
+        self.num_triangles = num_triangles
+        self.num_pixels = num_pixels
+        self.warmup = self.WARMUP_SECS if warmup_secs is None else warmup_secs
+
+        self.frame_times: list = []
+        self.cpu_samples: list = []
+        self.rss_samples: list = []
+        self.has_started = False
+        self.has_printed = False
+        self.start_time = time.perf_counter()
+        self.last_frame_time = time.perf_counter()
+        self._last_cpu = None
+
+    # -- per-frame ------------------------------------------------------------
+
+    def update(self) -> bool:
+        """Stamp one frame. Returns True when the benchmark duration (plus
+        warm-up) has elapsed (reference performance.rs:51-88)."""
+        now = time.perf_counter()
+        if not self.has_started:
+            self.start_time = now
+            self.last_frame_time = now
+            self.has_started = True
+            self._last_cpu = _read_cpu_percent_and_rss()
+            return False
+
+        elapsed = now - self.start_time
+        frame_time = now - self.last_frame_time
+        self.last_frame_time = now
+
+        if elapsed < self.warmup:
+            return False
+
+        self.frame_times.append(frame_time)
+        cpu_now, rss = _read_cpu_percent_and_rss()
+        if self._last_cpu is not None and frame_time > 0:
+            dcpu = cpu_now - self._last_cpu[0]
+            self.cpu_samples.append(100.0 * dcpu / frame_time)
+        self._last_cpu = (cpu_now, rss)
+        self.rss_samples.append(rss)
+
+        if self.benchmark_duration is None:
+            return False
+        return elapsed >= self.benchmark_duration + self.warmup
+
+    # -- finalisation ---------------------------------------------------------
+
+    def calculate_metrics(self) -> PerformanceData:
+        if not self.frame_times:
+            return PerformanceData()
+
+        ft = sorted(self.frame_times)
+        n = len(ft)
+        avg_ft = sum(self.frame_times) / n
+        avg_fps = 1.0 / avg_ft
+
+        import math
+
+        fastest_count = max(math.ceil(n * 0.05), 1)
+        max_fps = 1.0 / (sum(ft[:fastest_count]) / fastest_count)
+
+        slowest_count = max(math.ceil(n * 0.05), 1)
+        min_fps = 1.0 / (sum(ft[-slowest_count:]) / slowest_count)
+
+        p5 = max(math.ceil(n * 0.05), 1)
+        p1 = max(math.ceil(n * 0.01), 1)
+        fps_5_low = 1.0 / (sum(ft[n - p5:]) / p5)
+        fps_1_low = 1.0 / (sum(ft[n - p1:]) / p1)
+
+        cpu = sum(self.cpu_samples) / len(self.cpu_samples) if self.cpu_samples else 0.0
+        rss = int(sum(self.rss_samples) / len(self.rss_samples)) if self.rss_samples else 0
+
+        return PerformanceData(
+            avg_fps=avg_fps,
+            min_fps=min_fps,
+            max_fps=max_fps,
+            fps_5_percent_low=fps_5_low,
+            fps_1_percent_low=fps_1_low,
+            cpu_usage=cpu,
+            memory_usage=rss,
+            ms_per_frame=avg_ft * 1e3,
+            mtri_per_s=self.num_triangles / avg_ft / 1e6,
+            mpix_per_s=self.num_pixels / avg_ft / 1e6,
+            frames=n,
+        )
+
+    def finalise(self, print_results: bool = True) -> PerformanceData:
+        data = self.calculate_metrics()
+        if print_results and not self.has_printed:
+            self.print_results(data)
+            self.has_printed = True
+        return data
+
+    def print_results(self, data: PerformanceData) -> None:
+        print(f"Performance Data for Scene {self.scene_index + 1}: {self.scene_name}")
+        print(f"Average FPS: {data.avg_fps:.2f}")
+        print(f"Min FPS: {data.min_fps:.2f}")
+        print(f"Max FPS: {data.max_fps:.2f}")
+        print(f"5% Low FPS: {data.fps_5_percent_low:.2f}")
+        print(f"1% Low FPS: {data.fps_1_percent_low:.2f}")
+        print(f"Average CPU Usage: {data.cpu_usage:.2f}%")
+        print(f"Average Memory Usage: {data.memory_usage / (1024.0 * 1024.0):.2f} MB")
+        print(f"ms/frame: {data.ms_per_frame:.4f}")
+        print(f"Mtri/s: {data.mtri_per_s:.2f}")
+        print(f"Mpix/s: {data.mpix_per_s:.2f}")
+        print("----------------------------------------")

@@ -1,0 +1,116 @@
+"""Tracing / profiling subsystem.
+
+The reference has only wall-clock frame timing via sysinfo — every GPU pass
+sets ``timestamp_writes: None`` (SURVEY.md §5). Here we do better, using
+JAX's native tooling:
+
+- ``trace(path)``: context manager around ``jax.profiler`` producing an
+  xprof/TensorBoard-compatible device trace of the jitted frame;
+- ``stage_timings(...)``: explicit per-stage wall times with
+  ``block_until_ready`` fences between stages (the profiling mode SURVEY.md
+  §5 prescribes), for quick textual breakdowns without a trace viewer.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax.profiler device trace into ``log_dir`` (view with
+    xprof / TensorBoard)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def _timeit(fn, *args, iters: int = 20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3, out
+
+
+def stage_timings(mesh, uniforms, width: int, height: int,
+                  tile_h: int = 8, tile_w: int = 128, iters: int = 20) -> dict:
+    """Fenced per-stage timings (ms) of the TPU pipeline on the current
+    backend. Returns {stage: ms} plus 'total_fused' for the whole jitted
+    frame (which is normally faster than the sum — stages fuse)."""
+    from compute_renderer_tpu.backends import binning, common, pallas_raster, tpu
+
+    pos = jnp.asarray(mesh.positions)
+    nrm = jnp.asarray(mesh.normals)
+    uvs = jnp.asarray(mesh.uvs)
+    tri = jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3)
+    vp = jnp.asarray(uniforms.view_proj)
+    vpos = jnp.asarray(uniforms.view_position)
+    lwp = jnp.asarray(uniforms.light_world_pos)
+    lc = jnp.asarray(uniforms.light_color)
+    li = jnp.asarray(uniforms.light_intensity)
+    eff = jnp.asarray(uniforms.effect)
+
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    T = int(tri.shape[0])
+    pc = binning.default_pair_cap(T, ntx * nty)
+    tc = binning.default_tile_cap(T, width, height, tile_h, tile_w)
+    interpret = jax.default_backend() != "tpu"
+
+    @jax.jit
+    def f_vertex(pos, vp, eff, tri):
+        world, screen = common.vertex_stage(pos, vp, eff, width, height)
+        setup = common.triangle_setup(screen, tri, eff, width, height,
+                                      tile_h, tile_w)
+        return world, screen, setup
+
+    t_vertex, (world, screen, setup) = _timeit(f_vertex, pos, vp, eff, tri,
+                                               iters=iters)
+
+    @jax.jit
+    def f_bin(setup):
+        return binning.bin_triangles(setup, ntx, nty, pc, tc)
+
+    t_bin, bins = _timeit(f_bin, setup, iters=iters)
+
+    @jax.jit
+    def f_table(screen, tri, uvs, nrm, world):
+        return pallas_raster.build_tri_table(screen, tri, uvs, nrm, world)
+
+    t_table, table = _timeit(f_table, screen, tri, uvs, nrm, world, iters=iters)
+
+    def f_raster(table, bidx, bcnt, eff):
+        return pallas_raster.raster_shade_tiles(
+            table, bidx, bcnt, eff, vpos, lwp, lc, li,
+            height_padded=nty * tile_h, width_padded=ntx * tile_w,
+            tile_h=tile_h, tile_w=tile_w, interpret=interpret,
+        )
+
+    t_raster, _ = _timeit(f_raster, table, bins["bin_idx"], bins["bin_count"],
+                          eff, iters=iters)
+
+    def f_full():
+        return tpu.render_frame(
+            pos, nrm, uvs, tri, vp, vpos, lwp, lc, li, eff,
+            width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+        )
+
+    t_full, _ = _timeit(f_full, iters=iters)
+
+    return {
+        "vertex_setup_ms": t_vertex,
+        "binning_ms": t_bin,
+        "tri_table_ms": t_table,
+        "raster_shade_ms": t_raster,
+        "total_fused_ms": t_full,
+    }

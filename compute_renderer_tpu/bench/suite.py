@@ -1,0 +1,126 @@
+"""The 8-scene benchmark suite (reference src/main.rs:150-232):
+
+4 models x {custom(tpu), baseline(xla)} backends, 30 s each, fixed
+first-person camera spawns. Camera spawn positions match the reference
+exactly; the models resolve to procedural stand-ins unless the real OBJ
+assets are present (they are Git-LFS files not shipped with the source).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+from compute_renderer_tpu.core.camera import CameraMode
+from compute_renderer_tpu.engine.renderer import Renderer
+from compute_renderer_tpu.engine.scene import CameraConfig, Scene, SceneConfig
+from compute_renderer_tpu.bench.collector import PerformanceCollector
+
+
+def benchmark_scene_configs(duration_secs: float = 30.0) -> list:
+    """Reference main.rs:150-232: San Miguel, Exterior, Suzanne, Vokselia,
+    each as custom(tpu) then baseline(xla)."""
+
+    def fp(position):
+        return CameraConfig(mode=CameraMode.FIRST_PERSON, position=tuple(position))
+
+    san_miguel = SceneConfig(
+        model_path="San_Miguel/san-miguel-low-poly.obj",
+        camera_config=fp([13.566635, 2.6288567, 10.243919]),
+        benchmark_duration_secs=duration_secs,
+    )
+    exterior = SceneConfig(
+        model_path="exterior/Exterior.obj",
+        camera_config=fp([-525.80194, 168.52838, 260.81876]),
+        benchmark_duration_secs=duration_secs,
+    )
+    suzanne = SceneConfig(
+        model_path="suzanne.obj",
+        camera_config=CameraConfig(
+            distance=2.0, mode=CameraMode.FIRST_PERSON, position=(0.0, 0.0, 3.0)
+        ),
+        benchmark_duration_secs=duration_secs,
+    )
+    vokselia = SceneConfig(
+        model_path="vokselia_spawn/vokselia_spawn.obj",
+        camera_config=fp([0.0, 0.86896104, 1.4793645]),
+        benchmark_duration_secs=duration_secs,
+    )
+
+    scenes = []
+    for base in (san_miguel, exterior, suzanne, vokselia):
+        scenes.append(base)
+        import dataclasses
+
+        scenes.append(dataclasses.replace(base, backend_type="xla"))
+    return scenes
+
+
+def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0,
+              warmup_secs: Optional[float] = None,
+              max_frames: Optional[int] = None) -> dict:
+    """Run one benchmark scene to completion; returns the metrics dict.
+
+    The frame loop mirrors the reference's (window.rs:345-410): camera
+    update -> scene update -> render -> collector, but fenced
+    (block_until_ready) so frame times are true device latency."""
+    scene = Scene.from_config(config, width, height)
+    renderer = Renderer(scene.mesh, width, height,
+                        backend=config.normalized_backend())
+    if max_frames is not None and warmup_secs is None:
+        # Smoke mode: a frame cap shorter than the 2 s warm-up would record
+        # nothing; skip the warm-up so capped runs still produce metrics.
+        warmup_secs = 0.0
+    collector = PerformanceCollector(
+        config.scene_name(), scene_index, config.benchmark_duration_secs,
+        num_triangles=scene.total_tris, num_pixels=width * height,
+        warmup_secs=warmup_secs,
+    )
+
+    frames = 0
+    last = time.perf_counter()
+    while True:
+        now = time.perf_counter()
+        dt = now - last
+        last = now
+
+        camera = scene.get_active_camera()
+        if camera is not None:
+            camera.update_over_time(dt)
+        uniforms = scene.update(dt)
+        renderer.render_blocked(uniforms)
+        frames += 1
+
+        done = collector.update()
+        if done or (max_frames is not None and frames >= max_frames):
+            break
+
+    data = collector.finalise()
+    result = json.loads(data.to_json())
+    result["scene"] = config.scene_name()
+    result["backend"] = config.normalized_backend()
+    result["num_triangles"] = scene.total_tris
+    result["width"] = width
+    result["height"] = height
+    return result
+
+
+def run_suite(width: int = 1024, height: int = 768, offset: int = 0,
+              duration_secs: float = 30.0, json_path: Optional[str] = None,
+              max_frames: Optional[int] = None) -> list:
+    """Run the full suite starting at scene ``offset`` (reference
+    `benchmarks --offset N`)."""
+    scenes = benchmark_scene_configs(duration_secs)
+    if not 0 <= offset < len(scenes):
+        raise ValueError(
+            f"Invalid offset: {offset}. There are only {len(scenes)} scenes."
+        )
+    results = []
+    for i in range(offset, len(scenes)):
+        results.append(run_scene(scenes[i], width, height, scene_index=i,
+                                 max_frames=max_frames))
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=2)
+    return results

@@ -1,0 +1,171 @@
+"""CLI mirroring the reference's flag/subcommand contract (src/main.rs:17-100,
+README.md:74-131):
+
+  --width --height --model-path --camera-mode {first-person,orbit}
+  --backend-type {custom,wgpu,tpu,xla}
+  benchmarks --offset N
+  effect --effect {voxelize,edge_melt,mirage,wave,none} --param1..4
+
+Additions for the TPU build: headless frame-loop options (--frames,
+--output, --duration) since the renderer is normally driven without a
+window; `--interactive` opens the viewer when a display is available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from compute_renderer_tpu.core.camera import CameraMode
+from compute_renderer_tpu.core.effects import Effect, WaveDirection
+from compute_renderer_tpu.engine.scene import CameraConfig, SceneConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="compute-renderer-tpu",
+        description="Runs a 3D scene with configurable parameters "
+        "(TPU-native rebuild of compute-renderer).",
+    )
+    p.add_argument("--width", type=int, default=1024,
+                   help="Set the width of the framebuffer (in pixels)")
+    p.add_argument("--height", type=int, default=768,
+                   help="Set the height of the framebuffer (in pixels)")
+    p.add_argument("--model-path", type=str, default="suzanne.obj",
+                   help="Specify the path to a 3D model file in .obj format")
+    p.add_argument("--camera-mode", type=str, default="first-person",
+                   choices=["first-person", "orbit"],
+                   help="Choose camera mode: 'first-person' or 'orbit'")
+    p.add_argument("--backend-type", type=str, default="custom",
+                   help="Select rendering backend: 'custom'/'tpu' (the "
+                   "Pallas engine) or 'wgpu'/'xla' (the brute-force baseline)")
+    p.add_argument("--frames", type=int, default=1,
+                   help="Number of frames to render headlessly")
+    p.add_argument("--output", type=str, default="frame.png",
+                   help="Output PNG path (frame index appended for --frames>1)")
+    p.add_argument("--interactive", action="store_true",
+                   help="Open an interactive viewer window (requires display)")
+
+    sub = p.add_subparsers(dest="command")
+
+    b = sub.add_parser("benchmarks",
+                       help="Run performance benchmarks across different scenes")
+    b.add_argument("--offset", type=int, default=0,
+                   help="Scene index to start benchmarks from (0-7)")
+    b.add_argument("--duration", type=float, default=30.0,
+                   help="Seconds per benchmark scene")
+    b.add_argument("--json", type=str, default=None,
+                   help="Write results to this JSON file")
+    b.add_argument("--max-frames", type=int, default=None,
+                   help="Cap frames per scene (smoke-test mode)")
+
+    e = sub.add_parser("effect", help="Apply a visual effect to the scene")
+    e.add_argument("--effect", type=str, default="voxelize",
+                   help="Choose effect: 'voxelize', 'edge_melt', 'mirage', "
+                   "'wave', or 'none'")
+    e.add_argument("--param1", type=float, default=3.0,
+                   help="Primary effect parameter (varies by effect type)")
+    e.add_argument("--param2", type=float, default=0.2,
+                   help="Secondary effect parameter (varies by effect type)")
+    e.add_argument("--param3", type=float, default=1.0,
+                   help="Third effect parameter (for wave & mirage effects)")
+    e.add_argument("--param4", type=int, default=0,
+                   help="Wave direction (0=Vertical, 1=Horizontal, 2=Radial)")
+    return p
+
+
+def effect_from_args(args) -> Effect | None:
+    """Effect construction (reference main.rs:110-147)."""
+    if getattr(args, "command", None) != "effect":
+        return None
+    name = args.effect
+    if name == "voxelize":
+        return Effect.voxelize(args.param1, args.param2)
+    if name == "edge_melt":
+        return Effect.edge_melt(args.param1, args.param2)
+    if name == "mirage":
+        return Effect.mirage(args.param1, args.param2, args.param3)
+    if name == "wave":
+        directions = {
+            0: WaveDirection.VERTICAL,
+            1: WaveDirection.HORIZONTAL,
+            2: WaveDirection.RADIAL,
+        }
+        if args.param4 not in directions:
+            print(
+                f"Invalid wave direction {args.param4}. Use 0 for Vertical, "
+                "1 for Horizontal, or 2 for Radial.",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+        return Effect.wave(args.param1, args.param2, args.param3,
+                           directions[args.param4])
+    if name == "none":
+        return None
+    print(
+        f"Invalid effect '{name}'. Use 'voxelize', 'edge_melt', 'mirage', "
+        "'wave', or 'none'.",
+        file=sys.stderr,
+    )
+    raise SystemExit(1)
+
+
+def scene_config_from_args(args) -> SceneConfig:
+    """Regular-mode scene construction (reference main.rs:233-268)."""
+    if args.camera_mode == "first-person":
+        camera_config = CameraConfig.first_person(
+            # Reference spawns the free camera at the San Miguel pose.
+            position=(13.566635, 2.6288567, 10.243919)
+        )
+    else:
+        camera_config = CameraConfig(
+            position=(13.566635, 2.6288567, 10.243919)
+        )
+
+    backend = args.backend_type
+    if backend not in ("custom", "wgpu", "tpu", "xla"):
+        print(f"Invalid backend type '{backend}'. Use 'wgpu' or 'custom'.",
+              file=sys.stderr)
+        raise SystemExit(1)
+
+    return SceneConfig(
+        model_path=args.model_path,
+        camera_config=camera_config,
+        backend_type=backend,
+        effect=effect_from_args(args),
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "benchmarks":
+        from compute_renderer_tpu.bench.suite import run_suite
+
+        try:
+            run_suite(
+                width=args.width, height=args.height, offset=args.offset,
+                duration_secs=args.duration, json_path=args.json,
+                max_frames=args.max_frames,
+            )
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        return 0
+
+    config = scene_config_from_args(args)
+    if args.interactive:
+        from compute_renderer_tpu.app.window import run_interactive
+
+        run_interactive(config, args.width, args.height)
+        return 0
+
+    from compute_renderer_tpu.app.headless import run_headless
+
+    run_headless(config, args.width, args.height, frames=args.frames,
+                 output=args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

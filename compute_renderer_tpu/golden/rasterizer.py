@@ -321,7 +321,13 @@ def shade_fragments(flag, normal, pos, view_position, light_world_pos,
             # reflect(-l, n) = -l - 2*dot(-l, n)*n  (WGSL reflect)
             e = -ldir
             rdir = e - 2.0 * (e * normal).sum(-1, keepdims=True) * normal
-            spec = np.fmax((vdir * rdir).sum(-1), 0.0) ** F32(32.0)
+            s = np.fmax((vdir * rdir).sum(-1), 0.0).astype(F32)
+            # s**32 via 5 squarings (same op order as the JAX backends).
+            s2 = s * s
+            s4 = s2 * s2
+            s8 = s4 * s4
+            s16 = s8 * s8
+            spec = s16 * s16
 
             final += ((diff + spec * F32(0.5))[..., None] * lc[None, None, :] * inten)
 

@@ -1,0 +1,148 @@
+"""Framebuffer-stripe sharding of the render pipeline over a device mesh.
+
+Decomposition (see package docstring): a 1-D mesh axis ``tiles`` shards the
+framebuffer's tile *rows*. Per device, inside ``shard_map``:
+
+1. vertex stage — replicated (N x 4 transform is negligible vs raster);
+2. triangle setup against the full screen, then the covered-tile ranges are
+   clipped to the device's stripe (tiles outside contribute no pairs), so
+   each device bins exactly its own triangles — no communication;
+3. Pallas raster over the local stripe grid;
+4. attribute resolve + shading with global pixel offsets (mirage warp and
+   screen coords stay correct across the stripe seam).
+
+The output framebuffer is sharded over H; XLA inserts the (single) ICI
+all-gather only if the caller asks for the full image on one device. There
+are no other collectives — raster needs no halos (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from compute_renderer_tpu.backends import binning, common, pallas_raster
+from compute_renderer_tpu.backends.common import F32
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "tiles") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def _stripe_render(
+    positions, normals, uvs, tri,
+    view_proj, view_position,
+    light_world_pos, light_color, light_intensity,
+    effect,
+    *,
+    width: int, height: int, tile_h: int, tile_w: int, nty_total: int,
+    pair_cap: int, tile_cap: int, n_shards: int,
+    axis_name: str, interpret: bool,
+):
+    """Per-device body run under shard_map. All inputs replicated; outputs
+    are this device's horizontal stripe."""
+    shard = jax.lax.axis_index(axis_name)
+
+    ntx = (width + tile_w - 1) // tile_w
+    # Stripe = contiguous tile rows; nty_total comes pre-padded to a
+    # multiple of n_shards so every stripe has equal static height.
+    nty_local = nty_total // n_shards
+    stripe_ty0 = shard * nty_local
+    y_offset = stripe_ty0 * tile_h
+
+    world, screen = common.vertex_stage(positions, view_proj, effect, width, height)
+    setup = common.triangle_setup(screen, tri, effect, width, height, tile_h, tile_w)
+
+    # Clip covered tile rows to this stripe, shift to stripe-local coords.
+    ly0 = jnp.clip(setup["tile_y0"] - stripe_ty0, 0, nty_local)
+    ly1 = jnp.clip(setup["tile_y1"] - stripe_ty0, 0, nty_local)
+    local_setup = dict(setup)
+    local_setup["tile_y0"] = ly0
+    local_setup["tile_y1"] = ly1
+    local_setup["alive"] = setup["alive"] & (ly1 > ly0)
+
+    bins = binning.bin_triangles(local_setup, ntx, nty_local, pair_cap, tile_cap)
+
+    tri_table = pallas_raster.build_tri_table(
+        screen, tri, uvs.astype(F32), normals.astype(F32), world
+    )
+    rgba_packed, best_key, _ = pallas_raster.raster_shade_tiles(
+        tri_table, bins["pair_tri"], bins["seg_start"], bins["seg_count"],
+        effect,
+        view_position.astype(F32), light_world_pos.astype(F32),
+        light_color.astype(F32), light_intensity.astype(F32),
+        height_padded=nty_local * tile_h, width_padded=ntx * tile_w,
+        tile_h=tile_h, tile_w=tile_w, tile_cap=tile_cap,
+        interpret=interpret, y_offset=y_offset,
+    )
+    rgba = pallas_raster.unpack_rgba(rgba_packed)
+    return rgba, best_key, bins["overflow"][None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "tile_h", "tile_w",
+                     "pair_cap", "tile_cap", "interpret"),
+)
+def render_frame_sharded(
+    positions, normals, uvs, tri,
+    view_proj, view_position,
+    light_world_pos, light_color, light_intensity,
+    effect,
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    tile_h: int = 16,
+    tile_w: int = 256,
+    pair_cap: int = 0,
+    tile_cap: int = 0,
+    interpret: bool | None = None,
+):
+    """Sharded render step. Returns ((H,W,4) u8 sharded over H, depth keys,
+    overflow flags (one per shard)). H/W are padded internally to the tile
+    and shard grid and cropped on return."""
+    axis_name = mesh.axis_names[0]
+    n_shards = mesh.devices.size
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    T = int(tri.shape[0])
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    nty = (nty + n_shards - 1) // n_shards * n_shards  # equal stripes
+    padded_h = nty * tile_h
+    padded_w = ntx * tile_w
+    if pair_cap == 0:
+        pair_cap = binning.default_pair_cap(T, ntx * nty)
+    if tile_cap == 0:
+        tile_cap = binning.default_tile_cap(T, width, height, tile_h, tile_w)
+
+    body = partial(
+        _stripe_render,
+        width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+        nty_total=nty, pair_cap=pair_cap, tile_cap=tile_cap,
+        n_shards=n_shards, axis_name=axis_name, interpret=interpret,
+    )
+
+    rgba, keys, overflow = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(),) * 10,  # geometry + uniforms replicated
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )(
+        positions, normals, uvs, tri, view_proj, view_position,
+        light_world_pos, light_color, light_intensity, effect,
+    )
+    # rgba: (padded_h, padded_w, 4) sharded over dim 0.
+    del padded_h, padded_w
+    return rgba[:height, :width], keys[:height, :width], overflow

@@ -1,0 +1,97 @@
+"""Benchmark collector metric formulas (reference performance.rs) + suite."""
+
+import json
+
+from compute_renderer_tpu.bench.collector import PerformanceCollector
+
+
+def collector_with_times(times, n_tris=1000, n_pix=10000):
+    c = PerformanceCollector("test", 0, benchmark_duration_secs=None,
+                            num_triangles=n_tris, num_pixels=n_pix)
+    c.frame_times = list(times)
+    return c
+
+
+def test_avg_fps_is_reciprocal_mean():
+    c = collector_with_times([0.01, 0.02, 0.03])
+    d = c.calculate_metrics()
+    assert abs(d.avg_fps - 1.0 / 0.02) < 1e-9
+    assert abs(d.ms_per_frame - 20.0) < 1e-9
+
+
+def test_percentile_tails():
+    # 100 frames: 99 at 10ms, 1 at 100ms.
+    times = [0.01] * 99 + [0.1]
+    c = collector_with_times(times)
+    d = c.calculate_metrics()
+    # slowest 5% = ceil(5) = 5 frames: 4x10ms + 1x100ms -> mean 28ms
+    assert abs(d.min_fps - 1.0 / 0.028) < 1e-6
+    assert abs(d.fps_5_percent_low - 1.0 / 0.028) < 1e-6
+    # slowest 1% = 1 frame = 100ms
+    assert abs(d.fps_1_percent_low - 10.0) < 1e-9
+    # fastest 5% = five 10ms frames
+    assert abs(d.max_fps - 100.0) < 1e-9
+
+
+def test_throughput_metrics():
+    c = collector_with_times([0.001], n_tris=1_000_000, n_pix=786_432)
+    d = c.calculate_metrics()
+    assert abs(d.mtri_per_s - 1000.0) < 1e-6
+    assert abs(d.mpix_per_s - 786.432) < 1e-6
+
+
+def test_empty_metrics_zero():
+    c = collector_with_times([])
+    d = c.calculate_metrics()
+    assert d.avg_fps == 0.0
+
+
+def test_warmup_excluded():
+    c = PerformanceCollector("w", 0, benchmark_duration_secs=0.05,
+                            warmup_secs=10.0)
+    c.update()  # start
+    done = c.update()
+    assert not done
+    assert c.frame_times == []  # inside warm-up window
+
+
+def test_duration_termination():
+    c = PerformanceCollector("d", 0, benchmark_duration_secs=0.0,
+                            warmup_secs=0.0)
+    c.update()
+    import time
+
+    time.sleep(0.01)
+    assert c.update() is True
+
+
+def test_json_output():
+    c = collector_with_times([0.01])
+    data = json.loads(c.calculate_metrics().to_json())
+    assert data["frames"] == 1
+    assert "ms_per_frame" in data
+
+
+def test_suite_configs_match_reference():
+    from compute_renderer_tpu.bench.suite import benchmark_scene_configs
+
+    scenes = benchmark_scene_configs(30.0)
+    assert len(scenes) == 8
+    # Order: San Miguel, Exterior, Suzanne, Vokselia x (tpu, xla)
+    assert "San_Miguel" in scenes[0].model_path
+    assert scenes[0].normalized_backend() == "tpu"
+    assert scenes[1].normalized_backend() == "xla"
+    assert scenes[4].model_path == "suzanne.obj"
+    assert scenes[4].camera_config.position == (0.0, 0.0, 3.0)
+    assert scenes[6].camera_config.position[1] == 0.86896104
+
+
+def test_run_scene_smoke():
+    from compute_renderer_tpu.bench.suite import benchmark_scene_configs, run_scene
+
+    cfg = benchmark_scene_configs(0.0)[5]  # Suzanne on the xla baseline
+    result = run_scene(cfg, 64, 48, scene_index=5, warmup_secs=0.0,
+                       max_frames=3)
+    assert result["frames"] >= 1
+    assert result["ms_per_frame"] > 0
+    assert result["backend"] == "xla"

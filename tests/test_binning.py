@@ -1,0 +1,108 @@
+"""Unit tests for sort/segment binning (the reference's D1-D4 replacement)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from compute_renderer_tpu.backends import binning
+
+
+def make_setup(tile_x0, tile_y0, tile_x1, tile_y1, alive=None):
+    n = len(tile_x0)
+    return {
+        "alive": jnp.asarray(alive if alive is not None else [True] * n),
+        "tile_x0": jnp.asarray(tile_x0, jnp.int32),
+        "tile_y0": jnp.asarray(tile_y0, jnp.int32),
+        "tile_x1": jnp.asarray(tile_x1, jnp.int32),
+        "tile_y1": jnp.asarray(tile_y1, jnp.int32),
+    }
+
+
+def tile_list(out, tile):
+    s = int(np.asarray(out["seg_start"])[tile])
+    c = int(np.asarray(out["seg_count"])[tile])
+    return np.asarray(out["pair_tri"])[s:s + c]
+
+
+def test_single_triangle_single_tile():
+    setup = make_setup([1], [2], [2], [3])
+    out = binning.bin_triangles(setup, ntx=4, nty=4, pair_cap=16, tile_cap=8)
+    counts = np.asarray(out["seg_count"]).reshape(4, 4)
+    assert counts[2, 1] == 1
+    assert counts.sum() == 1
+    assert int(out["total_pairs"]) == 1
+    assert not bool(out["overflow"])
+    np.testing.assert_array_equal(tile_list(out, 2 * 4 + 1), [0])
+
+
+def test_triangle_spanning_multiple_tiles():
+    setup = make_setup([0], [0], [3], [2])  # 3x2 = 6 tiles
+    out = binning.bin_triangles(setup, ntx=4, nty=4, pair_cap=16, tile_cap=8)
+    counts = np.asarray(out["seg_count"]).reshape(4, 4)
+    assert counts[:2, :3].sum() == 6
+    assert counts.sum() == 6
+    assert int(out["total_pairs"]) == 6
+
+
+def test_two_triangles_same_tile_ordered():
+    setup = make_setup([1, 1], [1, 1], [2, 2], [2, 2])
+    out = binning.bin_triangles(setup, ntx=4, nty=4, pair_cap=16, tile_cap=8)
+    tile = 1 * 4 + 1
+    # Deterministic: triangle-index order within the tile.
+    np.testing.assert_array_equal(tile_list(out, tile), [0, 1])
+
+
+def test_dead_triangle_not_binned():
+    setup = make_setup([0, 0], [0, 0], [2, 2], [2, 2], alive=[False, True])
+    out = binning.bin_triangles(setup, ntx=4, nty=4, pair_cap=32, tile_cap=8)
+    assert int(out["total_pairs"]) == 4
+    for t in range(16):
+        lst = tile_list(out, t)
+        if lst.size:
+            np.testing.assert_array_equal(lst, [1] * lst.size)
+
+
+def test_pair_cap_overflow_detected():
+    setup = make_setup([0], [0], [4], [4])  # 16 tiles
+    out = binning.bin_triangles(setup, ntx=4, nty=4, pair_cap=8, tile_cap=8)
+    assert bool(out["overflow"])
+
+
+def test_tile_cap_overflow_detected():
+    n = 5
+    setup = make_setup([0] * n, [0] * n, [1] * n, [1] * n)
+    out = binning.bin_triangles(setup, ntx=2, nty=2, pair_cap=32, tile_cap=4)
+    assert bool(out["overflow"])
+    assert np.asarray(out["seg_count"])[0] == 4  # clamped
+
+
+def test_interleaved_tiles():
+    # tri 0 covers tiles (0,0)-(1,1); tri 1 covers (1,1)-(2,2); overlap at (1,1)
+    setup = make_setup([0, 1], [0, 1], [2, 3], [2, 3])
+    out = binning.bin_triangles(setup, ntx=4, nty=4, pair_cap=32, tile_cap=8)
+    counts = np.asarray(out["seg_count"]).reshape(4, 4)
+    assert counts[1, 1] == 2
+    np.testing.assert_array_equal(tile_list(out, 1 * 4 + 1), [0, 1])
+    assert int(out["total_pairs"]) == 8
+
+
+def test_window_never_out_of_bounds():
+    # Any 1024-aligned superwindow starting at or before any seg_start must
+    # stay inside pair_tri (the raster kernel's DMA contract).
+    from compute_renderer_tpu.backends.pallas_raster import window_elems
+
+    setup = make_setup([0, 3], [0, 3], [1, 4], [1, 4])
+    pair_cap, tile_cap = 8, 8
+    out = binning.bin_triangles(setup, ntx=4, nty=4, pair_cap=pair_cap,
+                                tile_cap=tile_cap)
+    max_start = int(np.asarray(out["seg_start"]).max())
+    aligned = (max_start // 1024) * 1024
+    assert aligned + window_elems(tile_cap) <= out["pair_tri"].shape[0]
+
+
+def test_heuristics():
+    assert binning.default_pair_cap(2000, 768) == 4000
+    assert binning.default_pair_cap(100, 768) == 2048  # floor
+    cap = binning.default_tile_cap(1280, 1024, 768, 8, 128)
+    assert cap == 128  # Suzanne-class: base < 128 floor
+    cap_dense = binning.default_tile_cap(1_000_000, 1024, 768, 8, 128)
+    assert cap_dense > 128 and cap_dense % 8 == 0

@@ -1,0 +1,129 @@
+"""Native C++ OBJ parser vs the pure-Python loader (its oracle)."""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from compute_renderer_tpu.io import native
+from compute_renderer_tpu.io.obj import load_obj
+
+NATIVE_DIR = Path(__file__).resolve().parent.parent / "compute_renderer_tpu" / "native"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    if not (NATIVE_DIR / "libobjparse.so").exists():
+        subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True)
+    # Reset the module's cached load state in case the lib was just built.
+    native._TRIED = False
+    native._LIB = None
+    if not native.available():
+        pytest.skip("native objparse not available")
+
+
+CASES = {
+    "basic": """
+v 0 0 0
+v 1 0 0
+v 0 1 0
+vn 0 0 1
+vt 0 0
+vt 1 0
+vt 0 1
+f 1/1/1 2/2/1 3/3/1
+""",
+    "quad_fan": """
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+f 1 2 3 4
+""",
+    "dedup": """
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vn 0 0 1
+f 1//1 2//1 3//1
+f 1//1 3//1 4//1
+""",
+    "negative_indices": """
+v 0 0 0
+v 1 0 0
+v 0 1 0
+f -3 -2 -1
+""",
+    "multi_object": """
+o first
+v 0 0 0
+v 1 0 0
+v 0 1 0
+f 1 2 3
+g second
+v 0 0 1
+v 1 0 1
+v 0 1 1
+f 4 5 6
+""",
+    "mixed_vt": """
+v 0 0 0
+v 1 0 0
+v 0 1 0
+vt 0.5 0.25
+f 1/1 2 3
+""",
+    "comments_and_mtl": """
+# a comment
+mtllib foo.mtl
+usemtl bar
+v 0 0 0
+v 1 0 0
+v 0 1 0
+s off
+f 1 2 3
+""",
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_native_matches_python(tmp_path, name):
+    p = tmp_path / f"{name}.obj"
+    p.write_text(CASES[name])
+    py = load_obj(p)
+    nat = native.load_obj(p)
+    np.testing.assert_array_equal(py.indices, nat.indices)
+    np.testing.assert_array_equal(py.positions, nat.positions)
+    np.testing.assert_array_equal(py.normals, nat.normals)
+    np.testing.assert_array_equal(py.uvs, nat.uvs)
+
+
+def test_native_matches_python_large(tmp_path):
+    # Round-trip a procedurally generated mesh through OBJ text.
+    from compute_renderer_tpu.io import procedural
+
+    m = procedural.icosphere(3)
+    lines = []
+    for pos in m.positions:
+        lines.append(f"v {pos[0]:.9g} {pos[1]:.9g} {pos[2]:.9g}")
+    for n in m.normals:
+        lines.append(f"vn {n[0]:.9g} {n[1]:.9g} {n[2]:.9g}")
+    for uv in m.uvs:
+        lines.append(f"vt {uv[0]:.9g} {uv[1]:.9g}")
+    tri = m.indices.reshape(-1, 3)
+    for (a, b, c) in tri:
+        lines.append(
+            f"f {a+1}/{a+1}/{a+1} {b+1}/{b+1}/{b+1} {c+1}/{c+1}/{c+1}"
+        )
+    p = tmp_path / "sphere.obj"
+    p.write_text("\n".join(lines) + "\n")
+
+    py = load_obj(p)
+    nat = native.load_obj(p)
+    assert nat.num_triangles == m.num_triangles
+    np.testing.assert_array_equal(py.indices, nat.indices)
+    np.testing.assert_allclose(py.positions, nat.positions)
+    np.testing.assert_allclose(py.normals, nat.normals)
+    np.testing.assert_allclose(py.uvs, nat.uvs)
