@@ -18,23 +18,11 @@ custom_pipeline/renderer.rs:152-156), the caller is expected to fence
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import asdict, dataclass
 from typing import Optional
 
-
-def _read_cpu_percent_and_rss():
-    """Global CPU% is not cheaply available without sysinfo; report process
-    CPU time ratio and RSS from /proc (Linux)."""
-    try:
-        with open("/proc/self/statm") as f:
-            rss_pages = int(f.read().split()[1])
-        rss = rss_pages * os.sysconf("SC_PAGE_SIZE")
-    except (OSError, ValueError, IndexError):
-        rss = 0
-    cpu = os.times()
-    return (cpu.user + cpu.system), rss
+from compute_renderer_tpu.bench import sysmon
 
 
 @dataclass
@@ -77,7 +65,6 @@ class PerformanceCollector:
         self.has_printed = False
         self.start_time = time.perf_counter()
         self.last_frame_time = time.perf_counter()
-        self._last_cpu = None
 
     # -- per-frame ------------------------------------------------------------
 
@@ -89,7 +76,7 @@ class PerformanceCollector:
             self.start_time = now
             self.last_frame_time = now
             self.has_started = True
-            self._last_cpu = _read_cpu_percent_and_rss()
+            sysmon.global_cpu_percent()  # prime the delta baseline
             return False
 
         elapsed = now - self.start_time
@@ -100,16 +87,39 @@ class PerformanceCollector:
             return False
 
         self.frame_times.append(frame_time)
-        cpu_now, rss = _read_cpu_percent_and_rss()
-        if self._last_cpu is not None and frame_time > 0:
-            dcpu = cpu_now - self._last_cpu[0]
-            self.cpu_samples.append(100.0 * dcpu / frame_time)
-        self._last_cpu = (cpu_now, rss)
-        self.rss_samples.append(rss)
+        # Global CPU% + process RSS per frame, like the reference's sysinfo
+        # sampling (performance.rs:70-81) — native /proc reader when built.
+        self.cpu_samples.append(sysmon.global_cpu_percent())
+        self.rss_samples.append(sysmon.process_rss_bytes())
 
         if self.benchmark_duration is None:
             return False
         return elapsed >= self.benchmark_duration + self.warmup
+
+    def update_batch(self, n: int, elapsed_seconds: float) -> bool:
+        """Stamp ``n`` frames rendered in one batched dispatch (frame time =
+        elapsed / n each). The batched analog of ``update`` for the
+        throughput path (the reference's custom backend likewise submits
+        without per-frame fences, custom_pipeline/renderer.rs:152-156)."""
+        now = time.perf_counter()
+        if not self.has_started:
+            self.start_time = now
+            self.last_frame_time = now
+            self.has_started = True
+            sysmon.global_cpu_percent()
+            return False
+        self.last_frame_time = now
+
+        total_elapsed = now - self.start_time
+        if total_elapsed >= self.warmup:
+            per_frame = elapsed_seconds / max(n, 1)
+            self.frame_times.extend([per_frame] * n)
+            self.cpu_samples.append(sysmon.global_cpu_percent())
+            self.rss_samples.append(sysmon.process_rss_bytes())
+
+        if self.benchmark_duration is None:
+            return False
+        return total_elapsed >= self.benchmark_duration + self.warmup
 
     # -- finalisation ---------------------------------------------------------
 

@@ -59,12 +59,15 @@ def benchmark_scene_configs(duration_secs: float = 30.0) -> list:
 
 def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0,
               warmup_secs: Optional[float] = None,
-              max_frames: Optional[int] = None) -> dict:
+              max_frames: Optional[int] = None, batch: int = 1) -> dict:
     """Run one benchmark scene to completion; returns the metrics dict.
 
     The frame loop mirrors the reference's (window.rs:345-410): camera
-    update -> scene update -> render -> collector, but fenced
-    (block_until_ready) so frame times are true device latency."""
+    update -> scene update -> render -> collector. ``batch=1`` fences every
+    frame (true per-frame latency, including any host<->device link
+    latency); ``batch>1`` renders that many frames per dispatch and fences
+    per batch — the throughput measurement matching the reference custom
+    backend's async submits (custom_pipeline/renderer.rs:152-156)."""
     scene = Scene.from_config(config, width, height)
     renderer = Renderer(scene.mesh, width, height,
                         backend=config.normalized_backend())
@@ -78,6 +81,8 @@ def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0
         warmup_secs=warmup_secs,
     )
 
+    import jax
+
     frames = 0
     last = time.perf_counter()
     while True:
@@ -87,12 +92,22 @@ def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0
 
         camera = scene.get_active_camera()
         if camera is not None:
-            camera.update_over_time(dt)
-        uniforms = scene.update(dt)
-        renderer.render_blocked(uniforms)
-        frames += 1
+            camera.update_over_time(dt * batch)
 
-        done = collector.update()
+        if batch <= 1:
+            uniforms = scene.update(dt)
+            renderer.render_blocked(uniforms)
+            frames += 1
+            done = collector.update()
+        else:
+            uniforms_seq = [scene.update(dt) for _ in range(batch)]
+            t0 = time.perf_counter()
+            out = renderer.render_batch_device(uniforms_seq)
+            jax.block_until_ready(out)
+            elapsed = time.perf_counter() - t0
+            frames += batch
+            done = collector.update_batch(batch, elapsed)
+
         if done or (max_frames is not None and frames >= max_frames):
             break
 
@@ -108,7 +123,7 @@ def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0
 
 def run_suite(width: int = 1024, height: int = 768, offset: int = 0,
               duration_secs: float = 30.0, json_path: Optional[str] = None,
-              max_frames: Optional[int] = None) -> list:
+              max_frames: Optional[int] = None, batch: int = 1) -> list:
     """Run the full suite starting at scene ``offset`` (reference
     `benchmarks --offset N`)."""
     scenes = benchmark_scene_configs(duration_secs)
@@ -119,7 +134,7 @@ def run_suite(width: int = 1024, height: int = 768, offset: int = 0,
     results = []
     for i in range(offset, len(scenes)):
         results.append(run_scene(scenes[i], width, height, scene_index=i,
-                                 max_frames=max_frames))
+                                 max_frames=max_frames, batch=batch))
     if json_path:
         with open(json_path, "w") as f:
             json.dump(results, f, indent=2)

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write results to this JSON file")
     b.add_argument("--max-frames", type=int, default=None,
                    help="Cap frames per scene (smoke-test mode)")
+    b.add_argument("--batch", type=int, default=1,
+                   help="Frames per dispatch: 1 = fence every frame (true "
+                   "latency), >1 = batched throughput mode (matches the "
+                   "reference custom backend's async submits)")
 
     e = sub.add_parser("effect", help="Apply a visual effect to the scene")
     e.add_argument("--effect", type=str, default="voxelize",
@@ -146,7 +150,7 @@ def main(argv=None) -> int:
             run_suite(
                 width=args.width, height=args.height, offset=args.offset,
                 duration_secs=args.duration, json_path=args.json,
-                max_frames=args.max_frames,
+                max_frames=args.max_frames, batch=args.batch,
             )
         except ValueError as e:
             print(str(e), file=sys.stderr)

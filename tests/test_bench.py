@@ -95,3 +95,39 @@ def test_run_scene_smoke():
     assert result["frames"] >= 1
     assert result["ms_per_frame"] > 0
     assert result["backend"] == "xla"
+
+
+def test_update_batch_records_frames():
+    c = PerformanceCollector("b", 0, benchmark_duration_secs=None,
+                            warmup_secs=0.0)
+    c.update_batch(4, 0.2)  # first call primes start
+    import time
+
+    time.sleep(0.01)
+    c.update_batch(4, 0.2)
+    assert len(c.frame_times) == 4
+    assert abs(c.frame_times[0] - 0.05) < 1e-9
+    d = c.calculate_metrics()
+    assert abs(d.avg_fps - 20.0) < 1e-6
+
+
+def test_sysmon_fallback_and_native():
+    from compute_renderer_tpu.bench import sysmon
+
+    rss = sysmon.process_rss_bytes()
+    assert rss > 10 * 2**20  # a live Python+JAX process
+    sysmon.global_cpu_percent()
+    pct = sysmon.global_cpu_percent()
+    assert 0.0 <= pct <= 100.0
+    # Pure-Python path agrees in shape.
+    assert 0.0 <= sysmon._py_cpu_percent() <= 100.0
+
+
+def test_run_scene_batched_smoke():
+    from compute_renderer_tpu.bench.suite import benchmark_scene_configs, run_scene
+
+    cfg = benchmark_scene_configs(0.0)[4]  # Suzanne on the tpu backend
+    result = run_scene(cfg, 64, 48, scene_index=4, warmup_secs=0.0,
+                       max_frames=4, batch=2)
+    assert result["frames"] >= 2
+    assert result["ms_per_frame"] > 0
