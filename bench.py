@@ -37,7 +37,7 @@ def main() -> int:
     # Warm-up: compile + first frames (reference excludes 2 s of warm-up;
     # here compile dominates, so warm by iteration count).
     dt = 1.0 / 60.0
-    batch = 64
+    batch = 128
 
     def make_batch():
         return [scene.update(dt) for _ in range(batch)]
@@ -50,7 +50,7 @@ def main() -> int:
     # inside one XLA dispatch — matching the reference custom backend's
     # async-submit measurement semantics (it never fences per frame,
     # custom_pipeline/renderer.rs:152-156); we fence per batch.
-    rounds = 4
+    rounds = 3
     t0 = time.perf_counter()
     for _ in range(rounds):
         out = renderer.render_batch_device(make_batch())

@@ -96,18 +96,19 @@ def _raster_kernel(
     count_ref,  # (num_tiles,) i32 per-tile triangle counts
     # VMEM / HBM inputs (full, unblocked)
     tri_table_ref,  # (T, 48) f32 triangle table (VMEM)
-    pair_tri_ref,  # (pair_cap + C,) i32 tile-sorted triangle ids (HBM)
+    pair_tri_ref,  # flat: (padded pairs,) i32 | dense: (rows8, C) i32 (HBM)
     # outputs (blocked per tile)
     rgba_ref,  # (TH, TW) u32 byte-packed RGBA
     key_ref,  # (TH, TW) u32 depth keys
     tri_ref,  # (TH, TW) i32 winning triangle ids
     # scratch
-    idx_smem,  # (C,) i32 — this tile's triangle list window
+    idx_smem,  # flat: (W,) i32 window | dense: (8, C) i32 row block
     dma_sem,
     *,
     tile_h: int,
     tile_w: int,
     num_lights: int,
+    dense_rows: bool,
 ):
     ti = pl.program_id(0)  # tile row
     tj = pl.program_id(1)  # tile col
@@ -132,6 +133,7 @@ def _raster_kernel(
             rgba_ref, key_ref, tri_ref, idx_smem, dma_sem,
             ti, tj, tile_id, count,
             tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
+            dense_rows=dense_rows,
         )
 
 
@@ -139,22 +141,33 @@ def _raster_tile(
     params_ref, lights_ref, start_ref, tri_table_ref, pair_tri_ref,
     rgba_ref, key_ref, tri_ref, idx_smem, dma_sem,
     ti, tj, tile_id, count,
-    *, tile_h: int, tile_w: int, num_lights: int,
+    *, tile_h: int, tile_w: int, num_lights: int, dense_rows: bool,
 ):
-    W = idx_smem.shape[0]  # 1024-aligned superwindow (window_elems)
-    # Stream this tile's window of the sorted pair list HBM -> SMEM early;
-    # overlaps with the sample-position setup below. (SMEM because the bin
-    # walk needs dynamic scalar indexing, which VMEM lanes don't support.)
-    # 1-D int32 HBM memrefs tile in 1024-element chunks, so both the DMA
-    # offset and size must be 1024-aligned: fetch the aligned superwindow
-    # containing [seg_start, seg_start + tile_cap) and index with the
-    # residual offset.
-    seg_start = start_ref[tile_id]
-    start_aligned = pl.multiple_of((seg_start // 1024) * 1024, 1024)
-    seg_offset = seg_start - start_aligned
-    list_copy = pltpu.make_async_copy(
-        pair_tri_ref.at[pl.ds(start_aligned, W)], idx_smem, dma_sem
-    )
+    # Stream this tile's triangle list HBM -> SMEM early; overlaps with the
+    # sample-position setup below. (SMEM because the bin walk needs dynamic
+    # scalar indexing, which VMEM lanes don't support.)
+    if dense_rows:
+        # Dense (rows, C) bin matrix: i32 HBM memrefs tile as (8, 128), so
+        # fetch the aligned 8-row block containing this tile's row.
+        j0 = pl.multiple_of((tile_id // 8) * 8, 8)
+        row_in_block = tile_id - j0
+        list_copy = pltpu.make_async_copy(
+            pair_tri_ref.at[pl.ds(j0, 8), :], idx_smem, dma_sem
+        )
+        read_slot = lambda k: idx_smem[row_in_block, k]
+    else:
+        # Flat sorted pair list: 1-D int32 HBM memrefs tile in 1024-element
+        # chunks, so both the DMA offset and size must be 1024-aligned:
+        # fetch the aligned superwindow containing
+        # [seg_start, seg_start + tile_cap) and index with the residual.
+        W = idx_smem.shape[0]
+        seg_start = start_ref[tile_id]
+        start_aligned = pl.multiple_of((seg_start // 1024) * 1024, 1024)
+        seg_offset = seg_start - start_aligned
+        list_copy = pltpu.make_async_copy(
+            pair_tri_ref.at[pl.ds(start_aligned, W)], idx_smem, dma_sem
+        )
+        read_slot = lambda k: idx_smem[seg_offset + k]
     list_copy.start()
 
     threshold = params_ref[0, 0]
@@ -183,7 +196,7 @@ def _raster_tile(
 
     def body(k, carry):
         best_key, best_tri, attrs = carry
-        t = idx_smem[seg_offset + k]
+        t = read_slot(k)
         row = tri_table_ref[t, :]  # (48,) f32
         v1x, v1y, v1z = row[0], row[1], row[2]
         v2x, v2y, v2z = row[3], row[4], row[5]
@@ -304,7 +317,7 @@ def _raster_tile(
 @functools.partial(
     jax.jit,
     static_argnames=("height_padded", "width_padded", "tile_h", "tile_w",
-                     "tile_cap", "interpret"),
+                     "tile_cap", "layout", "interpret"),
 )
 def raster_shade_tiles(
     tri_table,  # (T, 48) f32
@@ -322,6 +335,7 @@ def raster_shade_tiles(
     tile_h: int,
     tile_w: int,
     tile_cap: int,
+    layout: str = "flat",
     interpret: bool = False,
     y_offset=0,
 ):
@@ -360,9 +374,15 @@ def raster_shade_tiles(
     )  # (L, 8)
 
     grid = (nty, ntx)
+    dense_rows = layout == "dense"
     kernel = functools.partial(
-        _raster_kernel, tile_h=tile_h, tile_w=tile_w, num_lights=num_lights
+        _raster_kernel, tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
+        dense_rows=dense_rows,
     )
+    if dense_rows:
+        scratch_list = pltpu.SMEM((8, pair_tri.shape[1]), jnp.int32)
+    else:
+        scratch_list = pltpu.SMEM((window_elems(tile_cap),), jnp.int32)
 
     rgba, best_key, best_tri = pl.pallas_call(
         kernel,
@@ -392,7 +412,7 @@ def raster_shade_tiles(
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((window_elems(tile_cap),), jnp.int32),
+            scratch_list,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

@@ -88,9 +88,10 @@ def render_frame(
     tri_table = pallas_raster.build_tri_table(
         screen, tri, uvs.astype(F32), normals.astype(F32), world
     )
+    pair_data = bins["bin_rows"] if bins["layout"] == "dense" else bins["pair_tri"]
     rgba_packed, best_key_p, _ = pallas_raster.raster_shade_tiles(
         tri_table,
-        bins["pair_tri"],
+        pair_data,
         bins["seg_start"],
         bins["seg_count"],
         effect,
@@ -103,6 +104,7 @@ def render_frame(
         tile_h=tile_h,
         tile_w=tile_w,
         tile_cap=tile_cap,
+        layout=bins["layout"],
         interpret=interpret,
     )
     rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]

@@ -73,14 +73,15 @@ def _stripe_render(
     tri_table = pallas_raster.build_tri_table(
         screen, tri, uvs.astype(F32), normals.astype(F32), world
     )
+    pair_data = bins["bin_rows"] if bins["layout"] == "dense" else bins["pair_tri"]
     rgba_packed, best_key, _ = pallas_raster.raster_shade_tiles(
-        tri_table, bins["pair_tri"], bins["seg_start"], bins["seg_count"],
+        tri_table, pair_data, bins["seg_start"], bins["seg_count"],
         effect,
         view_position.astype(F32), light_world_pos.astype(F32),
         light_color.astype(F32), light_intensity.astype(F32),
         height_padded=nty_local * tile_h, width_padded=ntx * tile_w,
         tile_h=tile_h, tile_w=tile_w, tile_cap=tile_cap,
-        interpret=interpret, y_offset=y_offset,
+        layout=bins["layout"], interpret=interpret, y_offset=y_offset,
     )
     rgba = pallas_raster.unpack_rgba(rgba_packed)
     return rgba, best_key, bins["overflow"][None]

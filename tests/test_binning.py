@@ -18,8 +18,10 @@ def make_setup(tile_x0, tile_y0, tile_x1, tile_y1, alive=None):
 
 
 def tile_list(out, tile):
-    s = int(np.asarray(out["seg_start"])[tile])
     c = int(np.asarray(out["seg_count"])[tile])
+    if out["layout"] == "dense":
+        return np.asarray(out["bin_rows"])[tile, :c]
+    s = int(np.asarray(out["seg_start"])[tile])
     return np.asarray(out["pair_tri"])[s:s + c]
 
 
@@ -61,18 +63,29 @@ def test_dead_triangle_not_binned():
             np.testing.assert_array_equal(lst, [1] * lst.size)
 
 
-def test_pair_cap_overflow_detected():
+def test_pair_cap_overflow_detected_sort_path():
     setup = make_setup([0], [0], [4], [4])  # 16 tiles
-    out = binning.bin_triangles(setup, ntx=4, nty=4, pair_cap=8, tile_cap=8)
+    out = binning.bin_triangles_sort(setup, ntx=4, nty=4, pair_cap=8, tile_cap=8)
     assert bool(out["overflow"])
 
 
-def test_tile_cap_overflow_detected():
+def test_tile_cap_overflow_detected_sort_path():
     n = 5
     setup = make_setup([0] * n, [0] * n, [1] * n, [1] * n)
-    out = binning.bin_triangles(setup, ntx=2, nty=2, pair_cap=32, tile_cap=4)
+    out = binning.bin_triangles_sort(setup, ntx=2, nty=2, pair_cap=32, tile_cap=4)
     assert bool(out["overflow"])
     assert np.asarray(out["seg_count"])[0] == 4  # clamped
+
+
+def test_tile_cap_overflow_detected_dense_path():
+    # Dense path rounds the cap up to 128 (DMA lane alignment); overflow
+    # still detected past the rounded cap.
+    n = 130
+    setup = make_setup([0] * n, [0] * n, [1] * n, [1] * n)
+    out = binning.bin_triangles_dense(setup, ntx=2, nty=2, pair_cap=256,
+                                      tile_cap=4)
+    assert bool(out["overflow"])
+    assert np.asarray(out["seg_count"])[0] == 128  # clamped to rounded cap
 
 
 def test_interleaved_tiles():
@@ -87,16 +100,40 @@ def test_interleaved_tiles():
 
 def test_window_never_out_of_bounds():
     # Any 1024-aligned superwindow starting at or before any seg_start must
-    # stay inside pair_tri (the raster kernel's DMA contract).
+    # stay inside pair_tri (the raster kernel's DMA contract, sort path).
     from compute_renderer_tpu.backends.pallas_raster import window_elems
 
     setup = make_setup([0, 3], [0, 3], [1, 4], [1, 4])
     pair_cap, tile_cap = 8, 8
-    out = binning.bin_triangles(setup, ntx=4, nty=4, pair_cap=pair_cap,
-                                tile_cap=tile_cap)
+    out = binning.bin_triangles_sort(setup, ntx=4, nty=4, pair_cap=pair_cap,
+                                     tile_cap=tile_cap)
     max_start = int(np.asarray(out["seg_start"]).max())
     aligned = (max_start // 1024) * 1024
     assert aligned + window_elems(tile_cap) <= out["pair_tri"].shape[0]
+
+
+def test_dense_rows_padded_to_8():
+    setup = make_setup([0], [0], [1], [1])
+    out = binning.bin_triangles_dense(setup, ntx=3, nty=3, pair_cap=16,
+                                      tile_cap=8)
+    assert out["bin_rows"].shape[0] % 8 == 0
+
+
+def test_dense_matches_sort_path(rng):
+    # Random tile rectangles: both implementations must produce identical
+    # per-tile lists.
+    n, ntx, nty = 40, 6, 5
+    x0 = rng.integers(0, ntx, n)
+    y0 = rng.integers(0, nty, n)
+    x1 = np.minimum(x0 + rng.integers(1, 4, n), ntx)
+    y1 = np.minimum(y0 + rng.integers(1, 3, n), nty)
+    alive = rng.random(n) > 0.2
+    setup = make_setup(list(x0), list(y0), list(x1), list(y1), alive=list(alive))
+    dense = binning.bin_triangles_dense(setup, ntx, nty, pair_cap=512, tile_cap=48)
+    flat = binning.bin_triangles_sort(setup, ntx, nty, pair_cap=512, tile_cap=48)
+    assert int(dense["total_pairs"]) == int(flat["total_pairs"])
+    for j in range(ntx * nty):
+        np.testing.assert_array_equal(tile_list(dense, j), tile_list(flat, j))
 
 
 def test_heuristics():
