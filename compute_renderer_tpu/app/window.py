@@ -50,6 +50,7 @@ class InteractiveApp:
 
         self.root.bind("<KeyPress>", self._on_key_press)
         self.root.bind("<KeyRelease>", self._on_key_release)
+        self.root.bind("<Configure>", self._on_resize)
         self.canvas.bind("<ButtonPress-1>", self._on_mouse_down)
         self.canvas.bind("<ButtonRelease-1>", self._on_mouse_up)
         self.canvas.bind("<Motion>", self._on_mouse_move)
@@ -80,6 +81,19 @@ class InteractiveApp:
         name = event.keysym.lower()
         if name in _KEYMAP:
             self.keys_down.discard(_KEYMAP[name])
+
+    def _on_resize(self, event) -> None:
+        """Window resize (reference window.rs:137-169): update aspect ratio
+        and rebuild the compiled render step for the new framebuffer."""
+        w, h = int(event.width), int(event.height)
+        if (w, h) == (self.width, self.height) or w < 16 or h < 16:
+            return
+        self.width, self.height = w, h
+        self.canvas.config(width=w, height=h)
+        camera = self.scene.get_active_camera()
+        if camera is not None:
+            camera.set_aspect_ratio(w / h)
+        self.renderer.resize(w, h)
 
     def _on_mouse_down(self, event) -> None:
         self.mouse_down = True

@@ -124,3 +124,26 @@ def test_renderer_tpu_backend():
     img = r.render(scene.update(0.016))
     assert img.shape == (H, W, 4)
     assert (img[..., 3] == 255).all()
+
+
+def test_chunked_rendering_matches_single_pass():
+    # Force multi-chunk (3 chunks of <=160 tris) and compare bit-exact with
+    # the single-pass result, including depth tie-breaks across chunks.
+    import jax.numpy as jnp
+
+    mesh = procedural.icosphere(1)  # 320 tris
+    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    eff = EffectUniform().as_array()
+    lwp, lc, li = lights_default()
+    args = (
+        jnp.asarray(mesh.positions), jnp.asarray(mesh.normals),
+        jnp.asarray(mesh.uvs),
+        jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3),
+        jnp.asarray(u.view_proj), jnp.asarray(u.view_position),
+        jnp.asarray(lwp), jnp.asarray(lc), jnp.asarray(li), jnp.asarray(eff),
+    )
+    single = tpu.render_frame(*args, width=W, height=H)
+    chunked = tpu.render_frame(*args, width=W, height=H, tri_chunk=160)
+    np.testing.assert_array_equal(np.asarray(single[0]), np.asarray(chunked[0]))
+    np.testing.assert_array_equal(np.asarray(single[1]), np.asarray(chunked[1]))
