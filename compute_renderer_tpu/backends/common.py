@@ -228,6 +228,48 @@ def barycentric(v1, v2, v3, px, py):
     return bc1, bc2, bc3
 
 
+def barycentric_coefficients(v1x, v1y, v2x, v2y, v3x, v3y):
+    """Affine barycentric coefficients.
+
+    The cross-product barycentrics (rasteriser.wgsl:71-81) are affine in the
+    sample position: bc_i(px, py) = A_i + B_i*px + C_i*py. Precomputing
+    (A, B, C) per triangle — with the 1/uz division folded in — turns the
+    per-pixel evaluation into two FMAs per coordinate, the hot-loop form
+    both backends share (bit-identical across them by construction).
+
+    Inputs are (...,)-shaped per-triangle screen coords. Returns a dict of
+    nine (...,) coefficient arrays. Degenerate triangles (uz == 0) produce
+    inf/nan coefficients; evaluation then fails the isfinite(z) mask exactly
+    like the direct formulation."""
+    bux = v2y - v1y
+    cux = -(v2x - v1x)
+    aux = (v2x - v1x) * v1y - v1x * (v2y - v1y)
+    buy = -(v3y - v1y)
+    cuy = v3x - v1x
+    auy = v1x * (v3y - v1y) - (v3x - v1x) * v1y
+    uz = (v3x - v1x) * (v2y - v1y) - (v2x - v1x) * (v3y - v1y)
+    inv = F32(1.0) / uz
+    a3, b3, c3 = aux * inv, bux * inv, cux * inv  # bc3 = ux/uz
+    a2, b2, c2 = auy * inv, buy * inv, cuy * inv  # bc2 = uy/uz
+    a1 = F32(1.0) - (aux + auy) * inv
+    b1 = -(bux + buy) * inv
+    c1 = -(cux + cuy) * inv
+    return {
+        "a1": a1, "b1": b1, "c1": c1,
+        "a2": a2, "b2": b2, "c2": c2,
+        "a3": a3, "b3": b3, "c3": c3,
+    }
+
+
+def affine_combine(coeffs, w1, w2, w3):
+    """(A, B, C) of w1*bc1 + w2*bc2 + w3*bc3 — the affine form of any
+    barycentric-interpolated quantity (depth, normals, world positions)."""
+    a = w1 * coeffs["a1"] + w2 * coeffs["a2"] + w3 * coeffs["a3"]
+    b = w1 * coeffs["b1"] + w2 * coeffs["b2"] + w3 * coeffs["b3"]
+    c = w1 * coeffs["c1"] + w2 * coeffs["c2"] + w3 * coeffs["c3"]
+    return a, b, c
+
+
 def coverage_thresholds(effect):
     """Per-frame scalar thresholds for the inside test.
 
@@ -284,17 +326,29 @@ def resolve_attributes(best_tri, tri, screen, world, normals, uvs, effect,
     v3 = screen[idx[..., 2]]
 
     px, py = pixel_grid(effect, width, height, x_offset, y_offset)
-    bc1, bc2, bc3 = barycentric(v1, v2, v3, px, py)
-    b1, b2, b3 = bc1[..., None], bc2[..., None], bc3[..., None]
-
-    uv = b1 * uvs[idx[..., 0]] + b2 * uvs[idx[..., 1]] + b3 * uvs[idx[..., 2]]
-    nrm = (
-        b1 * normals[idx[..., 0]]
-        + b2 * normals[idx[..., 1]]
-        + b3 * normals[idx[..., 2]]
+    # Affine form, identical to the Pallas kernel's evaluation order.
+    co = barycentric_coefficients(
+        v1[..., 0], v1[..., 1], v2[..., 0], v2[..., 1], v3[..., 0], v3[..., 1]
     )
-    pos = (
-        b1 * world[idx[..., 0]] + b2 * world[idx[..., 1]] + b3 * world[idx[..., 2]]
+
+    def interp(w1, w2, w3):
+        a, b, c = affine_combine(co, w1, w2, w3)
+        return a + b * px + c * py
+
+    uv = jnp.stack(
+        [interp(uvs[idx[..., 0]][..., ch], uvs[idx[..., 1]][..., ch],
+                uvs[idx[..., 2]][..., ch]) for ch in range(2)],
+        axis=-1,
+    )
+    nrm = jnp.stack(
+        [interp(normals[idx[..., 0]][..., ch], normals[idx[..., 1]][..., ch],
+                normals[idx[..., 2]][..., ch]) for ch in range(3)],
+        axis=-1,
+    )
+    pos = jnp.stack(
+        [interp(world[idx[..., 0]][..., ch], world[idx[..., 1]][..., ch],
+                world[idx[..., 2]][..., ch]) for ch in range(3)],
+        axis=-1,
     )
     zero = F32(0.0)
     return {

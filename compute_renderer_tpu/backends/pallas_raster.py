@@ -47,24 +47,43 @@ F32 = jnp.float32
 # by the pallas kernel closure, which pallas_call rejects.
 DEPTH_CLEAR_BITS = np.uint32(0xFFFFFFFF)
 
-# tri_table row layout (48 lanes):
-#   0:9    v1.xyz v2.xyz v3.xyz  (screen space: x_px, y_px, ndc_z)
-#   9:33   8 attribute channels [u, v, nx, ny, nz, wx, wy, wz], each stored
-#          channel-major as (a_v1, a_v2, a_v3) — the kernel interpolates
-#          channel c from lanes 9+3c .. 11+3c
-#   33:48  pad
-TRI_TABLE_WIDTH = 48
+# tri_table row layout (32 lanes) — affine (A, B, C) coefficient triples,
+# each quantity evaluated per pixel as A + B*px + C*py:
+#   0:3    bc1    3:6  bc2    6:9  bc3   (1/uz folded in)
+#   9:12   depth z
+#   12:30  6 attribute channels [nx, ny, nz, wx, wy, wz]
+#   30:32  pad
+# UV interpolation is intentionally omitted: the reference writes uv to its
+# fragment buffer but the lighting formula never reads it (fragment.wgsl:70-82).
+TRI_TABLE_WIDTH = 32
 
 
 def build_tri_table(screen, tri, uvs, normals, world):
-    """(T, 48) f32 per-triangle table: screen verts + attributes."""
+    """(T, 32) f32 per-triangle affine-coefficient table."""
+    from compute_renderer_tpu.backends import common
+
+    del uvs  # dead in shading (see layout comment)
     v = screen[tri]  # (T, 3, 4)
-    xyz = v[:, :, :3].reshape(-1, 9)
-    # Channel-major packing: (T, 3 verts, C channels) -> (T, C, 3) -> flat.
-    uv = uvs[tri].transpose(0, 2, 1).reshape(-1, 6)
-    nrm = normals[tri].transpose(0, 2, 1).reshape(-1, 9)
-    wld = world[tri].transpose(0, 2, 1).reshape(-1, 9)
-    out = jnp.concatenate([xyz, uv, nrm, wld], axis=1)
+    v1, v2, v3 = v[:, 0], v[:, 1], v[:, 2]
+    co = common.barycentric_coefficients(
+        v1[:, 0], v1[:, 1], v2[:, 0], v2[:, 1], v3[:, 0], v3[:, 1]
+    )
+
+    cols = [co["a1"], co["b1"], co["c1"],
+            co["a2"], co["b2"], co["c2"],
+            co["a3"], co["b3"], co["c3"]]
+    cols += list(common.affine_combine(co, v1[:, 2], v2[:, 2], v3[:, 2]))
+
+    nrm = normals[tri]  # (T, 3, 3)
+    wld = world[tri]
+    for src in (nrm, wld):
+        for ch in range(3):
+            cols += list(
+                common.affine_combine(co, src[:, 0, ch], src[:, 1, ch],
+                                      src[:, 2, ch])
+            )
+
+    out = jnp.stack(cols, axis=1)
     pad = jnp.zeros((out.shape[0], TRI_TABLE_WIDTH - out.shape[1]), F32)
     return jnp.concatenate([out, pad], axis=1)
 
@@ -197,25 +216,18 @@ def _raster_tile(
     def body(k, carry):
         best_key, best_tri, attrs = carry
         t = read_slot(k)
-        row = tri_table_ref[t, :]  # (48,) f32
-        v1x, v1y, v1z = row[0], row[1], row[2]
-        v2x, v2y, v2z = row[3], row[4], row[5]
-        v3x, v3y, v3z = row[6], row[7], row[8]
+        row = tri_table_ref[t, :]  # (32,) affine coefficients
 
-        # Barycentric cross-product form (rasteriser.wgsl:71-81). Plain
-        # division — bit-identical to the XLA backend's math.
-        ux = (v2x - v1x) * (v1y - py) - (v1x - px) * (v2y - v1y)
-        uy = (v1x - px) * (v3y - v1y) - (v3x - v1x) * (v1y - py)
-        uz = (v3x - v1x) * (v2y - v1y) - (v2x - v1x) * (v3y - v1y)
-        bc2 = uy / uz
-        bc3 = ux / uz
-        bc1 = F32(1.0) - (ux + uy) / uz
+        # Affine evaluation: bc_i = A + B*px + C*py (1/uz pre-folded).
+        bc1 = row[0] + row[1] * px + row[2] * py
+        bc2 = row[3] + row[4] * px + row[5] * py
+        bc3 = row[6] + row[7] * px + row[8] * py
 
         mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
         min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
         mask &= min_bc >= melt_threshold
 
-        z = bc1 * v1z + bc2 * v2z + bc3 * v3z
+        z = row[9] + row[10] * px + row[11] * py
         mask &= jnp.isfinite(z)
 
         key = jnp.where(mask, pltpu.bitcast(z, jnp.uint32), DEPTH_CLEAR_BITS)
@@ -224,27 +236,25 @@ def _raster_tile(
         best_key = jnp.where(win, key, best_key)
         best_tri = jnp.where(win, t, best_tri)
 
-        # Interpolate and select the winner's attributes in-register
-        # (replaces the reference's fragment_buffer writes,
-        # rasteriser.wgsl:173-179).
+        # Select the winner's interpolated attributes in-register (replaces
+        # the reference's fragment_buffer writes, rasteriser.wgsl:173-179).
         new_attrs = []
-        for c in range(8):
-            a1, a2, a3 = row[9 + c * 3], row[10 + c * 3], row[11 + c * 3]
-            interp = bc1 * a1 + bc2 * a2 + bc3 * a3
+        for c in range(6):
+            interp = row[12 + c * 3] + row[13 + c * 3] * px + row[14 + c * 3] * py
             new_attrs.append(jnp.where(win, interp, attrs[c]))
         return best_key, best_tri, tuple(new_attrs)
 
     init = (
         jnp.full((tile_h, tile_w), DEPTH_CLEAR_BITS, jnp.uint32),
         jnp.full((tile_h, tile_w), -1, jnp.int32),
-        tuple(zero for _ in range(8)),
+        tuple(zero for _ in range(6)),
     )
     best_key, best_tri, attrs = jax.lax.fori_loop(0, count, body, init)
 
     # -- shading epilogue (fragment.wgsl:50-93) ------------------------------
-    # attrs: [u, v, nx, ny, nz, wx, wy, wz]; uv computed for API parity.
-    nx, ny, nz = attrs[2], attrs[3], attrs[4]
-    wx, wy, wz = attrs[5], attrs[6], attrs[7]
+    # attrs: [nx, ny, nz, wx, wy, wz]
+    nx, ny, nz = attrs[0], attrs[1], attrs[2]
+    wx, wy, wz = attrs[3], attrs[4], attrs[5]
 
     eye_x = params_ref[1, 0]
     eye_y = params_ref[1, 1]

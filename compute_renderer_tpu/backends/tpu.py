@@ -50,7 +50,10 @@ def choose_tile(num_triangles: int, width: int, height: int) -> tuple:
     low-density scenes want big tiles to amortize per-tile overhead
     (measured sweep in BASELINE.md)."""
     avg_area = (width * height) / max(num_triangles, 1)
-    if avg_area < 32.0:
+    # Measured sweep (BASELINE.md): 16x256 wins down to ~19 px/tri scenes;
+    # only truly subpixel geometry (~1M tris at 1024x768) gains from the
+    # smaller tile's 4x lower per-pair vector cost.
+    if avg_area < 4.0:
         return 8, 128
     return 16, 256
 

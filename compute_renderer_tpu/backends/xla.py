@@ -88,13 +88,29 @@ def render_frame(
         best_key, best_tri = carry
         s = c * chunk
         idx = jax.lax.dynamic_slice(tri_pad, (s, 0), (chunk, 3))  # (C,3)
-        v1 = screen[idx[:, 0]][:, None, None, :]  # (C,1,1,4)
-        v2 = screen[idx[:, 1]][:, None, None, :]
-        v3 = screen[idx[:, 2]][:, None, None, :]
+        v1 = screen[idx[:, 0]]  # (C,4)
+        v2 = screen[idx[:, 1]]
+        v3 = screen[idx[:, 2]]
 
-        mask, z = common.coverage_and_depth(
-            v1, v2, v3, px[None], py[None], threshold, melt_threshold
-        )  # (C,H,W)
+        # Same affine coefficient form + evaluation order as the Pallas
+        # kernel (pallas_raster.build_tri_table / _raster_kernel), so the
+        # two backends agree bitwise.
+        co = common.barycentric_coefficients(
+            v1[:, 0], v1[:, 1], v2[:, 0], v2[:, 1], v3[:, 0], v3[:, 1]
+        )
+        za, zb, zc = common.affine_combine(co, v1[:, 2], v2[:, 2], v3[:, 2])
+
+        bcast = lambda a: a[:, None, None]
+        pxb, pyb = px[None], py[None]
+        bc1 = bcast(co["a1"]) + bcast(co["b1"]) * pxb + bcast(co["c1"]) * pyb
+        bc2 = bcast(co["a2"]) + bcast(co["b2"]) * pxb + bcast(co["c2"]) * pyb
+        bc3 = bcast(co["a3"]) + bcast(co["b3"]) * pxb + bcast(co["c3"]) * pyb
+
+        mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
+        min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
+        mask &= min_bc >= melt_threshold
+        z = bcast(za) + bcast(zb) * pxb + bcast(zc) * pyb
+        mask &= jnp.isfinite(z)  # (C,H,W)
 
         sl = lambda a: jax.lax.dynamic_slice(a, (s,), (chunk,))[:, None, None]
         mask &= (xi[None] >= sl(x0_pad)) & (xi[None] < sl(x1_pad))
