@@ -119,7 +119,6 @@ def _raster_kernel(
     # outputs (blocked per tile)
     rgba_ref,  # (TH, TW) u32 byte-packed RGBA
     key_ref,  # (TH, TW) u32 depth keys
-    tri_ref,  # (TH, TW) i32 winning triangle ids
     # scratch
     idx_smem,  # flat: (W,) i32 window | dense: (8, C) i32 row block
     dma_sem,
@@ -131,64 +130,93 @@ def _raster_kernel(
 ):
     ti = pl.program_id(0)  # tile row
     tj = pl.program_id(1)  # tile col
+    num_tiles = pl.num_programs(0) * pl.num_programs(1)
     tile_id = ti * pl.num_programs(1) + tj
 
     count = count_ref[tile_id]
 
+    # -- triangle-list staging (overlapped across grid steps) ----------------
+    if dense_rows:
+        # Dense (rows, C) layout: one synchronous DMA per 8-row block (i32
+        # HBM tiling is (8, 128)); the block scratch persists across the
+        # next 7 grid steps.
+        j0 = pl.multiple_of((tile_id // 8) * 8, 8)
+        row_in_block = tile_id - j0
+
+        @pl.when(row_in_block == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                pair_tri_ref.at[pl.ds(j0, 8), :], idx_smem, dma_sem
+            )
+            cp.start()
+            cp.wait()
+
+        def wait_list():
+            pass
+
+        read_slot = lambda k: idx_smem[row_in_block, k]
+    else:
+        # Flat sorted-pair-list layout: double-buffered prefetch. Step i
+        # issues tile i+1's window into slot (i+1)%2 and waits on its own
+        # slot only when it has work, hiding one full DMA latency per tile.
+        W = idx_smem.shape[1]
+        slot = tile_id % 2
+
+        def issue(tid, slot_idx):
+            seg_start = start_ref[tid]
+            # 1-D i32 HBM tiling is 1024 elements: offset and size must be
+            # 1024-aligned; index with the residual at read time.
+            aligned = pl.multiple_of((seg_start // 1024) * 1024, 1024)
+            pltpu.make_async_copy(
+                pair_tri_ref.at[pl.ds(aligned, W)],
+                idx_smem.at[slot_idx],
+                dma_sem.at[slot_idx],
+            ).start()
+
+        @pl.when((tile_id == 0) & (count > 0))
+        def _():
+            issue(0, 0)
+
+        nxt = jnp.minimum(tile_id + 1, num_tiles - 1)
+
+        @pl.when((tile_id + 1 < num_tiles) & (count_ref[nxt] > 0))
+        def _():
+            issue(nxt, (tile_id + 1) % 2)
+
+        def wait_list():
+            pltpu.make_async_copy(
+                pair_tri_ref.at[pl.ds(0, W)], idx_smem.at[slot],
+                dma_sem.at[slot],
+            ).wait()
+
+        seg_offset = start_ref[tile_id] - (start_ref[tile_id] // 1024) * 1024
+        read_slot = lambda k: idx_smem[slot, seg_offset + k]
+
     # Empty tiles (most of the screen for typical scenes) take the constant
-    # fast path: background color, cleared depth. No DMA, no shading.
+    # fast path: background color, cleared depth. No wait, no shading.
     @pl.when(count == 0)
     def _():
         rgba_ref[:, :] = jnp.full(
             (tile_h, tile_w), 0xFFFF0000, jnp.uint32  # blue, alpha 1
         )
         key_ref[:, :] = jnp.full((tile_h, tile_w), DEPTH_CLEAR_BITS, jnp.uint32)
-        tri_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
 
     @pl.when(count > 0)
     def _():
         _raster_tile(
-            params_ref, lights_ref, start_ref, tri_table_ref, pair_tri_ref,
-            rgba_ref, key_ref, tri_ref, idx_smem, dma_sem,
-            ti, tj, tile_id, count,
+            params_ref, lights_ref, tri_table_ref,
+            rgba_ref, key_ref,
+            wait_list, read_slot, ti, tj, count,
             tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
-            dense_rows=dense_rows,
         )
 
 
 def _raster_tile(
-    params_ref, lights_ref, start_ref, tri_table_ref, pair_tri_ref,
-    rgba_ref, key_ref, tri_ref, idx_smem, dma_sem,
-    ti, tj, tile_id, count,
-    *, tile_h: int, tile_w: int, num_lights: int, dense_rows: bool,
+    params_ref, lights_ref, tri_table_ref,
+    rgba_ref, key_ref,
+    wait_list, read_slot, ti, tj, count,
+    *, tile_h: int, tile_w: int, num_lights: int,
 ):
-    # Stream this tile's triangle list HBM -> SMEM early; overlaps with the
-    # sample-position setup below. (SMEM because the bin walk needs dynamic
-    # scalar indexing, which VMEM lanes don't support.)
-    if dense_rows:
-        # Dense (rows, C) bin matrix: i32 HBM memrefs tile as (8, 128), so
-        # fetch the aligned 8-row block containing this tile's row.
-        j0 = pl.multiple_of((tile_id // 8) * 8, 8)
-        row_in_block = tile_id - j0
-        list_copy = pltpu.make_async_copy(
-            pair_tri_ref.at[pl.ds(j0, 8), :], idx_smem, dma_sem
-        )
-        read_slot = lambda k: idx_smem[row_in_block, k]
-    else:
-        # Flat sorted pair list: 1-D int32 HBM memrefs tile in 1024-element
-        # chunks, so both the DMA offset and size must be 1024-aligned:
-        # fetch the aligned superwindow containing
-        # [seg_start, seg_start + tile_cap) and index with the residual.
-        W = idx_smem.shape[0]
-        seg_start = start_ref[tile_id]
-        start_aligned = pl.multiple_of((seg_start // 1024) * 1024, 1024)
-        seg_offset = seg_start - start_aligned
-        list_copy = pltpu.make_async_copy(
-            pair_tri_ref.at[pl.ds(start_aligned, W)], idx_smem, dma_sem
-        )
-        read_slot = lambda k: idx_smem[seg_offset + k]
-    list_copy.start()
-
     threshold = params_ref[0, 0]
     melt_threshold = params_ref[0, 1]
     mirage = params_ref[0, 2]
@@ -209,12 +237,12 @@ def _raster_tile(
     px = jnp.where(mirage > 0.5, xs + off_x, xs)
     py = jnp.where(mirage > 0.5, ys + off_y, ys)
 
-    list_copy.wait()
+    wait_list()
 
     zero = jnp.zeros((tile_h, tile_w), F32)
 
     def body(k, carry):
-        best_key, best_tri, attrs = carry
+        best_key, attrs = carry
         t = read_slot(k)
         row = tri_table_ref[t, :]  # (32,) affine coefficients
 
@@ -234,7 +262,6 @@ def _raster_tile(
         # Strict <: earlier bin entries (lower triangle ids) win ties.
         win = key < best_key
         best_key = jnp.where(win, key, best_key)
-        best_tri = jnp.where(win, t, best_tri)
 
         # Select the winner's interpolated attributes in-register (replaces
         # the reference's fragment_buffer writes, rasteriser.wgsl:173-179).
@@ -242,14 +269,13 @@ def _raster_tile(
         for c in range(6):
             interp = row[12 + c * 3] + row[13 + c * 3] * px + row[14 + c * 3] * py
             new_attrs.append(jnp.where(win, interp, attrs[c]))
-        return best_key, best_tri, tuple(new_attrs)
+        return best_key, tuple(new_attrs)
 
     init = (
         jnp.full((tile_h, tile_w), DEPTH_CLEAR_BITS, jnp.uint32),
-        jnp.full((tile_h, tile_w), -1, jnp.int32),
         tuple(zero for _ in range(6)),
     )
-    best_key, best_tri, attrs = jax.lax.fori_loop(0, count, body, init)
+    best_key, attrs = jax.lax.fori_loop(0, count, body, init)
 
     # -- shading epilogue (fragment.wgsl:50-93) ------------------------------
     # attrs: [nx, ny, nz, wx, wy, wz]
@@ -321,7 +347,6 @@ def _raster_tile(
 
     rgba_ref[:, :] = jnp.where(flag, shaded, background)
     key_ref[:, :] = best_key
-    tri_ref[:, :] = best_tri
 
 
 @functools.partial(
@@ -354,8 +379,7 @@ def raster_shade_tiles(
     ``y_offset`` (traced scalar ok) is the global pixel row of this window —
     nonzero when rendering one stripe of a sharded framebuffer.
 
-    Returns (rgba_packed (Hp,Wp) u32, best_key (Hp,Wp) u32,
-    best_tri (Hp,Wp) i32)."""
+    Returns (rgba_packed (Hp,Wp) u32, best_key (Hp,Wp) u32)."""
     nty = height_padded // tile_h
     ntx = width_padded // tile_w
 
@@ -391,10 +415,12 @@ def raster_shade_tiles(
     )
     if dense_rows:
         scratch_list = pltpu.SMEM((8, pair_tri.shape[1]), jnp.int32)
+        scratch_sem = pltpu.SemaphoreType.DMA
     else:
-        scratch_list = pltpu.SMEM((window_elems(tile_cap),), jnp.int32)
+        scratch_list = pltpu.SMEM((2, window_elems(tile_cap)), jnp.int32)
+        scratch_sem = pltpu.SemaphoreType.DMA((2,))
 
-    rgba, best_key, best_tri = pl.pallas_call(
+    rgba, best_key = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -413,17 +439,14 @@ def raster_shade_tiles(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
-            jax.ShapeDtypeStruct((height_padded, width_padded), jnp.int32),
         ],
         scratch_shapes=[
             scratch_list,
-            pltpu.SemaphoreType.DMA,
+            scratch_sem,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -431,7 +454,7 @@ def raster_shade_tiles(
         interpret=interpret,
     )(params, lights, seg_start.astype(jnp.int32),
       seg_count.astype(jnp.int32), tri_table, pair_tri)
-    return rgba, best_key, best_tri
+    return rgba, best_key
 
 
 def unpack_rgba(packed):

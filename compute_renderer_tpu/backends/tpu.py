@@ -145,7 +145,7 @@ def render_frame(
         pair_data = (
             bins["bin_rows"] if bins["layout"] == "dense" else bins["pair_tri"]
         )
-        rgba_c, key_c, _ = pallas_raster.raster_shade_tiles(
+        rgba_c, key_c = pallas_raster.raster_shade_tiles(
             tri_table,
             pair_data,
             bins["seg_start"],

@@ -74,7 +74,7 @@ def _stripe_render(
         screen, tri, uvs.astype(F32), normals.astype(F32), world
     )
     pair_data = bins["bin_rows"] if bins["layout"] == "dense" else bins["pair_tri"]
-    rgba_packed, best_key, _ = pallas_raster.raster_shade_tiles(
+    rgba_packed, best_key = pallas_raster.raster_shade_tiles(
         tri_table, pair_data, bins["seg_start"], bins["seg_count"],
         effect,
         view_position.astype(F32), light_world_pos.astype(F32),
