@@ -7,23 +7,29 @@ TPU-native replacement for ``raster_main`` + ``fragment_main``
 itself documents as racy (rasteriser.wgsl:166-185), then a separate
 pixel-parallel lighting pass over a fragment G-buffer. Here:
 
-- the grid is the framebuffer tile grid (default tile = 8 x 128 — one VPU
-  sublane x lane register shape, 16x the reference's tile area);
-- each grid step DMAs its tile's binned triangle list HBM -> SMEM (SMEM
-  supports the dynamic scalar indexing the bin walk needs), then loops the
-  list with a dynamic trip count, evaluating all tile pixels per triangle as
-  (8,128) vector ops: barycentric coverage, effect thresholds, interpolated
-  depth, and masked selects of the interpolated {uv, normal, world_pos};
-- the depth resolve is a running (key, triangle) min carried in registers —
+- the grid is the framebuffer tile grid (default 16 x 256, adaptively
+  8 x 128 for subpixel-triangle scenes — VPU-register-shaped, vs the
+  reference's 8 x 8 GPU workgroup tiles);
+- each grid step stages its tile's binned triangle list HBM -> SMEM (SMEM
+  supports the dynamic scalar indexing the bin walk needs): the dense
+  layout DMAs one 8-row block per 8 tiles, the flat layout double-buffers
+  a prefetched window per tile;
+- the list walk has a dynamic trip count; per triangle, all tile pixels
+  evaluate as vector ops using precomputed affine (A + B*px + C*py)
+  coefficients for barycentrics (1/uz folded in), depth, and the six
+  attribute channels — two FMAs per quantity;
+- the depth resolve is a running depth-key min carried in registers —
   deterministic (first triangle in bin order wins ties), no atomics;
 - the epilogue shades the tile in place (ambient + per-light diffuse +
-  Phong specular, gamma, blue background) and writes byte-packed RGBA.
+  Phong specular, gamma, blue background) and writes byte-packed RGBA;
+  empty tiles short-circuit to constant background.
 
 Fusing shading here removes the XLA per-pixel gather pass that dominated
 frame time (~21 ms of a 22 ms frame at 1024x768 on v5e).
 
-The triangle table lives whole in VMEM ((T, 48) f32 = 192 B/tri; ~80k
-triangles in a 16 MB VMEM); the bin matrix stays in HBM and streams per-tile.
+The coefficient table lives whole in VMEM ((T, 32) f32 = 128 B/tri; ~98k
+triangles per chunk in a 16 MB VMEM — larger scenes render in chunks,
+backends/tpu.py); the bin lists stay in HBM and stream per-tile.
 """
 
 from __future__ import annotations
@@ -119,10 +125,8 @@ def _raster_kernel(
     # outputs (blocked per tile)
     rgba_ref,  # (TH, TW) u32 byte-packed RGBA
     key_ref,  # (TH, TW) u32 depth keys
-    # scratch
-    idx_smem,  # flat: (W,) i32 window | dense: (8, C) i32 row block
-    dma_sem,
-    *,
+    # scratch: dense -> (block_smem, sem); flat -> (buf_a, buf_b, sem_a, sem_b)
+    *scratch,
     tile_h: int,
     tile_w: int,
     num_lights: int,
@@ -140,6 +144,7 @@ def _raster_kernel(
         # Dense (rows, C) layout: one synchronous DMA per 8-row block (i32
         # HBM tiling is (8, 128)); the block scratch persists across the
         # next 7 grid steps.
+        idx_smem, dma_sem = scratch
         j0 = pl.multiple_of((tile_id // 8) * 8, 8)
         row_in_block = tile_id - j0
 
@@ -157,40 +162,56 @@ def _raster_kernel(
         read_slot = lambda k: idx_smem[row_in_block, k]
     else:
         # Flat sorted-pair-list layout: double-buffered prefetch. Step i
-        # issues tile i+1's window into slot (i+1)%2 and waits on its own
-        # slot only when it has work, hiding one full DMA latency per tile.
-        W = idx_smem.shape[1]
+        # issues tile i+1's window into the alternate buffer and waits on
+        # its own only when it has work, hiding one DMA latency per tile.
+        # Two separate scratch buffers (not a (2, W) array): Mosaic can't
+        # take a dynamic-row SMEM slice as a DMA target.
+        idx_a, idx_b, sem_a, sem_b = scratch
+        W = idx_a.shape[0]
         slot = tile_id % 2
 
-        def issue(tid, slot_idx):
+        def issue(tid, buf, sem):
             seg_start = start_ref[tid]
             # 1-D i32 HBM tiling is 1024 elements: offset and size must be
             # 1024-aligned; index with the residual at read time.
             aligned = pl.multiple_of((seg_start // 1024) * 1024, 1024)
             pltpu.make_async_copy(
-                pair_tri_ref.at[pl.ds(aligned, W)],
-                idx_smem.at[slot_idx],
-                dma_sem.at[slot_idx],
+                pair_tri_ref.at[pl.ds(aligned, W)], buf, sem
             ).start()
 
         @pl.when((tile_id == 0) & (count > 0))
         def _():
-            issue(0, 0)
+            issue(0, idx_a, sem_a)
 
         nxt = jnp.minimum(tile_id + 1, num_tiles - 1)
+        do_prefetch = (tile_id + 1 < num_tiles) & (count_ref[nxt] > 0)
 
-        @pl.when((tile_id + 1 < num_tiles) & (count_ref[nxt] > 0))
+        @pl.when(do_prefetch & (slot == 1))  # next slot is 0
         def _():
-            issue(nxt, (tile_id + 1) % 2)
+            issue(nxt, idx_a, sem_a)
+
+        @pl.when(do_prefetch & (slot == 0))  # next slot is 1
+        def _():
+            issue(nxt, idx_b, sem_b)
 
         def wait_list():
-            pltpu.make_async_copy(
-                pair_tri_ref.at[pl.ds(0, W)], idx_smem.at[slot],
-                dma_sem.at[slot],
-            ).wait()
+            @pl.when(slot == 0)
+            def _():
+                pltpu.make_async_copy(
+                    pair_tri_ref.at[pl.ds(0, W)], idx_a, sem_a
+                ).wait()
+
+            @pl.when(slot == 1)
+            def _():
+                pltpu.make_async_copy(
+                    pair_tri_ref.at[pl.ds(0, W)], idx_b, sem_b
+                ).wait()
 
         seg_offset = start_ref[tile_id] - (start_ref[tile_id] // 1024) * 1024
-        read_slot = lambda k: idx_smem[slot, seg_offset + k]
+
+        def read_slot(k):
+            i = seg_offset + k
+            return jnp.where(slot == 0, idx_a[i], idx_b[i])
 
     # Empty tiles (most of the screen for typical scenes) take the constant
     # fast path: background color, cleared depth. No wait, no shading.
@@ -414,11 +435,18 @@ def raster_shade_tiles(
         dense_rows=dense_rows,
     )
     if dense_rows:
-        scratch_list = pltpu.SMEM((8, pair_tri.shape[1]), jnp.int32)
-        scratch_sem = pltpu.SemaphoreType.DMA
+        scratch_shapes = [
+            pltpu.SMEM((8, pair_tri.shape[1]), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
     else:
-        scratch_list = pltpu.SMEM((2, window_elems(tile_cap)), jnp.int32)
-        scratch_sem = pltpu.SemaphoreType.DMA((2,))
+        W = window_elems(tile_cap)
+        scratch_shapes = [
+            pltpu.SMEM((W,), jnp.int32),
+            pltpu.SMEM((W,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
 
     rgba, best_key = pl.pallas_call(
         kernel,
@@ -444,10 +472,7 @@ def raster_shade_tiles(
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
         ],
-        scratch_shapes=[
-            scratch_list,
-            scratch_sem,
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),

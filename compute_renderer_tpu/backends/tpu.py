@@ -3,13 +3,13 @@
 This is the rebuild of the reference's custom pipeline
 (src/custom_pipeline/): the four WGSL passes become
 
-  vertex+setup (XLA, batched)      <- binning.wgsl count_triangles' geometry
-  bin_triangles (XLA sort/segment) <- count/scan/store kernels (D1-D4)
-  raster_tiles (Pallas)            <- rasteriser.wgsl raster_main (D5)
-  resolve + shade (XLA, fused)     <- fragment.wgsl fragment_main (D6)
+  vertex+setup (XLA, batched)       <- binning.wgsl count_triangles' geometry
+  bin_triangles (XLA, dense or sort)<- count/scan/store kernels (D1-D4)
+  raster_shade_tiles (Pallas, fused)<- raster_main (D5) + fragment_main (D6)
 
-The framebuffer is padded to the tile grid (default 8 x 128, the VPU
-register shape) and cropped after the kernel. On non-TPU platforms the
+The framebuffer is padded to the tile grid (16 x 256 by default, chosen
+adaptively) and cropped after the kernel; scenes beyond the VMEM triangle-
+table budget render in chunks merged by depth key. On non-TPU platforms the
 Pallas kernel runs in interpret mode so tests/CI work anywhere.
 """
 

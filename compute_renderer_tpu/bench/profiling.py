@@ -79,9 +79,17 @@ def stage_timings(mesh, uniforms, width: int, height: int,
 
     @jax.jit
     def f_bin(setup):
-        return binning.bin_triangles(setup, ntx, nty, pc, tc)
+        out = dict(binning.bin_triangles(setup, ntx, nty, pc, tc))
+        out.pop("layout")  # static python string, not a JAX type
+        return out
 
     t_bin, bins = _timeit(f_bin, setup, iters=iters)
+    # Same dispatch rule as binning.bin_triangles.
+    layout = (
+        "dense"
+        if ntx * nty * tc * max(T, 1) <= binning.DENSE_BINNING_OP_LIMIT
+        else "flat"
+    )
 
     @jax.jit
     def f_table(screen, tri, uvs, nrm, world):
@@ -89,15 +97,18 @@ def stage_timings(mesh, uniforms, width: int, height: int,
 
     t_table, table = _timeit(f_table, screen, tri, uvs, nrm, world, iters=iters)
 
-    def f_raster(table, bidx, bcnt, eff):
+    pair_data = bins["bin_rows"] if layout == "dense" else bins["pair_tri"]
+
+    def f_raster(table, pair_data, bstart, bcnt, eff):
         return pallas_raster.raster_shade_tiles(
-            table, bidx, bcnt, eff, vpos, lwp, lc, li,
+            table, pair_data, bstart, bcnt, eff, vpos, lwp, lc, li,
             height_padded=nty * tile_h, width_padded=ntx * tile_w,
-            tile_h=tile_h, tile_w=tile_w, interpret=interpret,
+            tile_h=tile_h, tile_w=tile_w, tile_cap=tc, layout=layout,
+            interpret=interpret,
         )
 
-    t_raster, _ = _timeit(f_raster, table, bins["bin_idx"], bins["bin_count"],
-                          eff, iters=iters)
+    t_raster, _ = _timeit(f_raster, table, pair_data, bins["seg_start"],
+                          bins["seg_count"], eff, iters=iters)
 
     def f_full():
         return tpu.render_frame(

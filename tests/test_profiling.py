@@ -1,0 +1,27 @@
+"""Smoke tests for the tracing/profiling subsystem (SURVEY.md §5)."""
+
+from compute_renderer_tpu.bench.profiling import stage_timings, trace
+from compute_renderer_tpu.core.camera import Camera
+from compute_renderer_tpu.engine.scene import Scene, SceneConfig
+
+
+def test_stage_timings_smoke():
+    scene = Scene.from_config(SceneConfig(), 64, 48)
+    cam = Camera.first_person([0, 0, 3.0], aspect=64 / 48)
+    scene.cameras[0] = cam
+    uniforms = scene.update(0.016)
+    t = stage_timings(scene.mesh, uniforms, 64, 48, iters=2)
+    assert set(t) == {
+        "vertex_setup_ms", "binning_ms", "tri_table_ms",
+        "raster_shade_ms", "total_fused_ms",
+    }
+    assert all(v > 0 for v in t.values())
+
+
+def test_trace_context_manager(tmp_path):
+    import jax.numpy as jnp
+
+    with trace(str(tmp_path)):
+        (jnp.arange(8) * 2).block_until_ready()
+    # Trace files land under plugins/profile/<timestamp>/
+    assert any(tmp_path.rglob("*.pb")) or any(tmp_path.rglob("*.json.gz"))

@@ -147,3 +147,13 @@ def test_chunked_rendering_matches_single_pass():
     chunked = tpu.render_frame(*args, width=W, height=H, tri_chunk=160)
     np.testing.assert_array_equal(np.asarray(single[0]), np.asarray(chunked[0]))
     np.testing.assert_array_equal(np.asarray(single[1]), np.asarray(chunked[1]))
+
+
+def test_flat_layout_parity(monkeypatch):
+    # Force the sort/flat binning path (normally reserved for huge scenes)
+    # and check it matches the XLA baseline exactly. The odd tile_cap also
+    # avoids reusing the dense-path jit cache entry.
+    from compute_renderer_tpu.backends import binning as B
+
+    monkeypatch.setattr(B, "DENSE_BINNING_OP_LIMIT", 0)
+    compare_backends(procedural.icosphere(2), tile_cap=136)
