@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="Runs a 3D scene with configurable parameters "
         "(TPU-native rebuild of compute-renderer).",
     )
+    from compute_renderer_tpu import __version__
+
+    p.add_argument("--version", "-V", action="version",
+                   version=f"%(prog)s {__version__}")
     p.add_argument("--width", type=int, default=1024,
                    help="Set the width of the framebuffer (in pixels)")
     p.add_argument("--height", type=int, default=768,
