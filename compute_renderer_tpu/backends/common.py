@@ -285,21 +285,6 @@ def coverage_thresholds(effect):
     return threshold, melt_threshold
 
 
-def coverage_and_depth(v1, v2, v3, px, py, threshold, melt_threshold):
-    """Inside test + interpolated depth for one triangle against samples.
-
-    Returns (mask bool, z f32). NaN barycentrics (degenerate triangles) fail
-    the mask; non-finite z is rejected (documented divergence: the reference
-    lets NaN depth keys win, rasteriser.wgsl:147-170)."""
-    bc1, bc2, bc3 = barycentric(v1, v2, v3, px, py)
-    mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
-    min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
-    mask &= min_bc >= melt_threshold
-    z = bc1 * v1[..., 2] + bc2 * v2[..., 2] + bc3 * v3[..., 2]
-    mask &= jnp.isfinite(z)
-    return mask, z
-
-
 def depth_key(z):
     """f32 depth -> u32 ordering key (bitcast), matching the reference's
     atomic comparison on raw float bits (rasteriser.wgsl:84-90)."""

@@ -42,11 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from compute_renderer_tpu.core.effects import (
-    EFFECT_EDGE_MELT,
-    EFFECT_MIRAGE,
-    EFFECT_VOXELIZE,
-)
+from compute_renderer_tpu.core.effects import EFFECT_MIRAGE
 
 F32 = jnp.float32
 # numpy scalar (not a jnp array): jnp constants would be captured as consts
@@ -120,7 +116,7 @@ def _raster_kernel(
     start_ref,  # (num_tiles,) i32 per-tile segment offsets into pair list
     count_ref,  # (num_tiles,) i32 per-tile triangle counts
     # VMEM / HBM inputs (full, unblocked)
-    tri_table_ref,  # (T, 48) f32 triangle table (VMEM)
+    tri_table_ref,  # (T, 32) f32 affine-coefficient table (VMEM)
     pair_tri_ref,  # flat: (padded pairs,) i32 | dense: (rows8, C) i32 (HBM)
     # outputs (blocked per tile)
     rgba_ref,  # (TH, TW) u32 byte-packed RGBA
@@ -376,7 +372,7 @@ def _raster_tile(
                      "tile_cap", "layout", "interpret"),
 )
 def raster_shade_tiles(
-    tri_table,  # (T, 48) f32
+    tri_table,  # (T, 32) f32
     pair_tri,  # (pair_cap + C,) i32 tile-sorted triangle ids
     seg_start,  # (num_tiles,) i32
     seg_count,  # (num_tiles,) i32
@@ -404,9 +400,9 @@ def raster_shade_tiles(
     nty = height_padded // tile_h
     ntx = width_padded // tile_w
 
-    threshold = jnp.where(effect[0] == EFFECT_VOXELIZE, -effect[1], F32(0.0))
-    melt = effect[1] * (F32(0.5) + F32(0.5) * jnp.sin(effect[5] + effect[2]))
-    melt_threshold = jnp.where(effect[0] == EFFECT_EDGE_MELT, melt, F32(-jnp.inf))
+    from compute_renderer_tpu.backends import common
+
+    threshold, melt_threshold = common.coverage_thresholds(effect)
     mirage_flag = jnp.where(effect[0] == EFFECT_MIRAGE, F32(1.0), F32(0.0))
 
     num_lights = int(light_world_pos.shape[0])
@@ -473,8 +469,13 @@ def raster_shade_tiles(
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
         ],
         scratch_shapes=scratch_shapes,
+        # "arbitrary" (sequential) — the kernel depends on grid order: flat
+        # layout prefetches tile i+1's list during tile i, and the dense
+        # 8-row SMEM block is loaded once per block and reused for the next
+        # 7 steps. "parallel" could split the grid across Megacore
+        # TensorCores and break both.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(params, lights, seg_start.astype(jnp.int32),

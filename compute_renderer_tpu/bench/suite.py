@@ -92,7 +92,7 @@ def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0
 
         camera = scene.get_active_camera()
         if camera is not None:
-            camera.update_over_time(dt * batch)
+            camera.update_over_time(dt)
 
         if batch <= 1:
             uniforms = scene.update(dt)
@@ -100,7 +100,10 @@ def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0
             frames += 1
             done = collector.update()
         else:
-            uniforms_seq = [scene.update(dt) for _ in range(batch)]
+            # dt spans the whole previous batch; each frame advances its
+            # share so animation speed matches the unbatched loop.
+            per_dt = dt / batch
+            uniforms_seq = [scene.update(per_dt) for _ in range(batch)]
             t0 = time.perf_counter()
             out = renderer.render_batch_device(uniforms_seq)
             jax.block_until_ready(out)
@@ -108,7 +111,10 @@ def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0
             frames += batch
             done = collector.update_batch(batch, elapsed)
 
-        if done or (max_frames is not None and frames >= max_frames):
+        if done or (
+            max_frames is not None
+            and len(collector.frame_times) >= max_frames
+        ):
             break
 
     data = collector.finalise()

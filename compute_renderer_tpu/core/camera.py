@@ -104,7 +104,7 @@ class Camera:
     # -- matrices -------------------------------------------------------------
 
     def build_view_matrix(self) -> np.ndarray:
-        return maths.look_at_rh(self.eye, self.target, UP)
+        return maths.look_at_rh(self.eye, self.target, self.up)
 
     def build_view_projection_matrix(self) -> np.ndarray:
         view = maths.look_at_rh(self.eye, self.target, self.up)

@@ -99,9 +99,50 @@ class Renderer:
 
     def render_device(self, uniforms: FrameUniforms):
         """Render and return the device-resident (H,W,4) u8 framebuffer
-        (plus the depth-key buffer). No host transfer of the image."""
+        (plus the depth-key buffer; the tpu backend also returns its binning
+        overflow flag). No host transfer, no overflow check — callers that
+        block (render / render_blocked / the benchmark loop) go through
+        ``_checked`` so overflow retries with doubled capacities instead of
+        silently dropping triangles (the reference's unchecked-overflow bug,
+        gpu_buffers.rs:53-63)."""
         packed, L = self.pack_uniforms(uniforms)
         return self._get_step(L)(jnp.asarray(packed))
+
+    def _checked(self, uniforms: FrameUniforms, max_retries: int = 3):
+        """Render, blocking on the tpu backend's overflow flag; on overflow
+        double the binning capacities, rebuild the compiled step, retry."""
+        for _ in range(max_retries):
+            out = self.render_device(uniforms)
+            if len(out) < 3 or not bool(out[2]):
+                return out
+            self._grow_caps()
+        raise RuntimeError(
+            f"binning capacity overflow after {max_retries} retries "
+            f"(options={self.options})"
+        )
+
+    def _grow_caps(self) -> None:
+        from compute_renderer_tpu.backends import binning as binning_mod
+        from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP, choose_tile
+
+        T = max(self.num_triangles, 1)
+        tile_h = self.options.get("tile_h", 0)
+        tile_w = self.options.get("tile_w", 0)
+        if not tile_h or not tile_w:
+            tile_h, tile_w = choose_tile(T, self.width, self.height)
+        ntx = (self.width + tile_w - 1) // tile_w
+        nty = (self.height + tile_h - 1) // tile_h
+        pc = self.options.get("pair_cap") or binning_mod.default_pair_cap(
+            T, ntx * nty
+        )
+        tc = self.options.get("tile_cap") or min(
+            binning_mod.default_tile_cap(T, self.width, self.height,
+                                         tile_h, tile_w),
+            MAX_TILE_CAP,
+        )
+        self.options["pair_cap"] = pc * 2
+        self.options["tile_cap"] = tc * 2
+        self._step_cache.clear()
 
     def _get_batch_step(self, num_lights: int):
         """Compiled K-frame step: lax.scan over a stack of packed uniforms
@@ -115,32 +156,45 @@ class Renderer:
 
         @jax.jit
         def batch(packed_stack):
-            def body(_, packed):
+            def body(overflow, packed):
                 out = frame(packed)
-                return None, out[0]  # rgba only
+                if len(out) > 2:
+                    overflow = overflow | out[2]
+                return overflow, out[0]
 
-            _, frames = jax.lax.scan(body, None, packed_stack)
-            return frames
+            overflow, frames = jax.lax.scan(
+                body, jnp.asarray(False), packed_stack
+            )
+            return frames, overflow
 
         self._step_cache[key] = batch
         return batch
 
-    def render_batch_device(self, uniforms_seq):
+    def render_batch_device(self, uniforms_seq, max_retries: int = 3):
         """Render a sequence of frames in one dispatch; returns the
-        device-resident (K,H,W,4) u8 stack."""
+        device-resident (K,H,W,4) u8 stack. Retries with doubled binning
+        capacities if any frame's bins overflowed."""
         packs = []
         L = None
         for u in uniforms_seq:
             p, L = self.pack_uniforms(u)
             packs.append(p)
         stack = jnp.asarray(np.stack(packs))
-        return self._get_batch_step(L)(stack)
+        for _ in range(max_retries):
+            frames, overflow = self._get_batch_step(L)(stack)
+            if not bool(overflow):
+                return frames
+            self._grow_caps()
+        raise RuntimeError(
+            f"binning capacity overflow after {max_retries} retries "
+            f"(options={self.options})"
+        )
 
     def render(self, uniforms: FrameUniforms) -> np.ndarray:
         """Render one frame to a host (H,W,4) uint8 RGBA array — the
         'present' step (reference present_pass collapses to a device_get,
         SURVEY.md D7)."""
-        rgba = self.render_device(uniforms)[0]
+        rgba = self._checked(uniforms)[0]
         return np.asarray(jax.device_get(rgba))
 
     def render_blocked(self, uniforms: FrameUniforms):
@@ -148,5 +202,5 @@ class Renderer:
         framebuffer. Used by the benchmark harness to measure true per-frame
         latency (the reference's custom path never fences — BASELINE.md
         documents why we do)."""
-        rgba = self.render_device(uniforms)[0]
+        rgba = self._checked(uniforms)[0]
         return jax.block_until_ready(rgba)

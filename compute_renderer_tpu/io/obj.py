@@ -80,8 +80,10 @@ def load_obj(path) -> Mesh:
 
     with open(path, "r", errors="replace") as f:
         for line in f:
-            line = line.strip()
-            if not line or line.startswith("#"):
+            # Comments can trail any statement (the native parser stops at
+            # '#' mid-line; match it).
+            line = line.split("#", 1)[0].strip()
+            if not line:
                 continue
             parts = line.split()
             tag = parts[0]
@@ -130,12 +132,14 @@ def load_obj(path) -> Mesh:
         for out_i, (vi, ti, ni) in enumerate(sm.triples):
             p[out_i] = pos_arr[vi]
             if has_tex:
-                if ti >= 0 and tex_arr.size:
+                # Out-of-range indices zero-fill (like the native parser and
+                # tobj); the V flip then maps the filled 0 to 1.
+                if 0 <= ti < tex_arr.shape[0]:
                     t[out_i, 0] = tex_arr[ti, 0]
                     t[out_i, 1] = F32(1.0) - tex_arr[ti, 1]  # V flip (model.rs:64)
                 else:
                     t[out_i] = (0.0, 1.0)
-            if ni >= 0 and nrm_arr.size:
+            if 0 <= ni < nrm_arr.shape[0]:
                 nr[out_i] = nrm_arr[ni]
         meshes.append(
             Mesh(

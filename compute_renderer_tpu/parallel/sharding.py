@@ -125,7 +125,22 @@ def render_frame_sharded(
     if pair_cap == 0:
         pair_cap = binning.default_pair_cap(T, ntx * nty)
     if tile_cap == 0:
-        tile_cap = binning.default_tile_cap(T, width, height, tile_h, tile_w)
+        from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
+
+        tile_cap = min(
+            binning.default_tile_cap(T, width, height, tile_h, tile_w),
+            MAX_TILE_CAP,
+        )
+    from compute_renderer_tpu.backends.tpu import MAX_TRI_TABLE_BYTES
+
+    table_bytes = T * pallas_raster.TRI_TABLE_WIDTH * 4
+    if table_bytes > MAX_TRI_TABLE_BYTES:
+        raise ValueError(
+            f"Sharded rendering of {T} triangles needs a "
+            f"{table_bytes / 2**20:.0f} MiB VMEM triangle table; chunked "
+            "multi-pass is not wired into the sharded path yet — render "
+            "single-device (backends.tpu chunks automatically)."
+        )
 
     body = partial(
         _stripe_render,

@@ -127,3 +127,25 @@ def test_native_matches_python_large(tmp_path):
     np.testing.assert_allclose(py.positions, nat.positions)
     np.testing.assert_allclose(py.normals, nat.normals)
     np.testing.assert_allclose(py.uvs, nat.uvs)
+
+
+def test_loaders_tolerate_trailing_comments_and_oor_indices(tmp_path):
+    # Both loaders must accept what the other accepts (oracle contract).
+    p = tmp_path / "messy.obj"
+    p.write_text(
+        """
+v 0 0 0
+v 1 0 0
+v 0 1 0
+vt 0.5 0.5
+f 1/1 2/9 3 # trailing comment
+"""
+    )
+    py = load_obj(p)
+    assert py.num_triangles == 1
+    # vt index 9 is out of range -> zero-filled -> V flip gives (0, 1).
+    np.testing.assert_allclose(py.uvs[1], [0.0, 1.0])
+    if native.available():
+        nat = native.load_obj(p)
+        np.testing.assert_array_equal(py.indices, nat.indices)
+        np.testing.assert_allclose(py.uvs, nat.uvs)

@@ -157,3 +157,37 @@ def test_flat_layout_parity(monkeypatch):
 
     monkeypatch.setattr(B, "DENSE_BINNING_OP_LIMIT", 0)
     compare_backends(procedural.icosphere(2), tile_cap=136)
+
+
+def test_renderer_overflow_retry():
+    # 200 coincident triangles in one tile with a deliberately small
+    # tile_cap: the engine must detect the overflow and retry with doubled
+    # capacities instead of silently dropping geometry.
+    from compute_renderer_tpu import Renderer
+    from compute_renderer_tpu.core.types import Mesh as MeshT
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+
+    n = 200
+    base = procedural.single_triangle(z=0.0)
+    pos = np.tile(base.positions, (n, 1))
+    pos[:, 2] += np.repeat(np.linspace(0, 0.5, n), 3)  # distinct depths
+    mesh = MeshT(pos, np.tile(base.normals, (n, 1)),
+                 np.tile(base.uvs, (n, 1)),
+                 np.arange(3 * n, dtype=np.uint32))
+
+    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    lwp, lc, li = lights_default()
+    uniforms = FrameUniforms(
+        view_position=u.view_position, view_proj=u.view_proj,
+        light_world_pos=lwp, light_color=lc, light_intensity=li,
+        effect=EffectUniform().as_array(),
+    )
+    r = Renderer(mesh, W, H, backend="tpu", tile_cap=96)
+    img = r.render(uniforms)
+    # Retry happened (caps doubled) and the frame has geometry.
+    assert r.options["tile_cap"] == 192
+    assert (img[..., 0] > 0).any()
+    # Result matches a render with ample caps from the start.
+    r2 = Renderer(mesh, W, H, backend="tpu", tile_cap=1024)
+    np.testing.assert_array_equal(img, r2.render(uniforms))
