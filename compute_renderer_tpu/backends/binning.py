@@ -111,13 +111,15 @@ def bin_triangles_dense(setup, ntx: int, nty: int, pair_cap: int,
             [tri_of_slot, jnp.zeros((rows_padded - num_tiles, tile_cap), i32)]
         )
 
-    overflow = jnp.any(counts > tile_cap)
+    tile_overflow = jnp.any(counts > tile_cap)
     return {
         "bin_rows": tri_of_slot,
         "seg_start": seg_start,
         "seg_count": jnp.minimum(counts, tile_cap),
         "total_pairs": total,
-        "overflow": overflow,
+        "overflow": tile_overflow,
+        "pair_overflow": jnp.asarray(False),
+        "tile_overflow": tile_overflow,
         "layout": "dense",
     }
 
@@ -150,8 +152,11 @@ def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
 
     p = jnp.arange(pair_cap, dtype=i32)
     # Rightmost triangle with start <= p owns pair p (empty ranges skipped).
+    # compare_all is a dense (P x T) VPU matrix — unbeatable at small sizes
+    # but quadratic; past ~100M ops the sort-based method wins.
+    method = "compare_all" if pair_cap * max(starts.shape[0], 1) <= 100_000_000 else "sort"
     tri_of_pair = (
-        jnp.searchsorted(starts, p, side="right", method="compare_all").astype(i32)
+        jnp.searchsorted(starts, p, side="right", method=method).astype(i32)
         - 1
     )
     tri_of_pair = jnp.clip(tri_of_pair, 0, starts.shape[0] - 1)
@@ -177,11 +182,14 @@ def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
     )
 
     tile_ids = jnp.arange(num_tiles, dtype=i32)
+    seg_method = (
+        "compare_all" if num_tiles * pair_cap <= 100_000_000 else "sort"
+    )
     seg_start = jnp.searchsorted(
-        sorted_tile, tile_ids, side="left", method="compare_all"
+        sorted_tile, tile_ids, side="left", method=seg_method
     ).astype(i32)
     seg_end = jnp.searchsorted(
-        sorted_tile, tile_ids, side="right", method="compare_all"
+        sorted_tile, tile_ids, side="right", method=seg_method
     ).astype(i32)
     count = seg_end - seg_start
 
@@ -191,13 +199,16 @@ def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
     pad = pair_list_padding(pair_cap, tile_cap)
     pair_tri = jnp.concatenate([sorted_tri, jnp.zeros((pad,), i32)])
 
-    overflow = (total > pair_cap) | jnp.any(count > tile_cap)
+    pair_overflow = total > pair_cap
+    tile_overflow = jnp.any(count > tile_cap)
     return {
         "pair_tri": pair_tri,
         "seg_start": seg_start,
         "seg_count": jnp.minimum(count, tile_cap),
         "total_pairs": total,
-        "overflow": overflow,
+        "overflow": pair_overflow | tile_overflow,
+        "pair_overflow": pair_overflow,
+        "tile_overflow": tile_overflow,
         "layout": "flat",
     }
 

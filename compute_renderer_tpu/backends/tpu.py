@@ -85,7 +85,7 @@ def render_frame(
     tri_chunk: int = 0,  # 0 -> VMEM-budget heuristic
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
-    overflow () bool).
+    overflow (2,) bool = [pair_overflow, tile_overflow]).
 
     Scenes whose triangle table exceeds the VMEM budget are rendered in
     triangle chunks: the fused kernel runs once per chunk and the chunk
@@ -95,7 +95,7 @@ def render_frame(
     result is bit-identical to a single pass."""
     if tri.shape[0] == 0:
         rgba, key = common.empty_frame(width, height)
-        return rgba, key, jnp.asarray(False)
+        return rgba, key, jnp.zeros((2,), bool)
 
     if interpret is None:
         interpret = _use_interpret()
@@ -163,13 +163,14 @@ def render_frame(
             layout=bins["layout"],
             interpret=interpret,
         )
+        chunk_flags = jnp.stack([bins["pair_overflow"], bins["tile_overflow"]])
         if rgba_packed is None:
-            rgba_packed, best_key_p, overflow = rgba_c, key_c, bins["overflow"]
+            rgba_packed, best_key_p, overflow = rgba_c, key_c, chunk_flags
         else:
             win = key_c < best_key_p
             rgba_packed = jnp.where(win, rgba_c, rgba_packed)
             best_key_p = jnp.where(win, key_c, best_key_p)
-            overflow = overflow | bins["overflow"]
+            overflow = overflow | chunk_flags
 
     rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
     best_key = best_key_p[:height, :width]
@@ -211,10 +212,13 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             *args, width=width, height=height, tile_h=tile_h, tile_w=tile_w,
             pair_cap=pc, tile_cap=tc,
         )
-        if not bool(overflow):
+        flags = np.asarray(overflow)
+        if not flags.any():
             return np.asarray(rgba)
-        pc *= 2
-        tc *= 2
+        if flags[0]:
+            pc *= 2
+        if flags[1]:
+            tc *= 2
     raise RuntimeError(
         f"binning capacity overflow after {max_retries} retries "
         f"(pair_cap={pc}, tile_cap={tc})"

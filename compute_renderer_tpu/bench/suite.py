@@ -105,7 +105,10 @@ def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0
             per_dt = dt / batch
             uniforms_seq = [scene.update(per_dt) for _ in range(batch)]
             t0 = time.perf_counter()
-            out = renderer.render_batch_device(uniforms_seq)
+            # First batch checks (and retries) binning overflow so the
+            # capacities settle; steady-state batches accumulate the flags
+            # on-device (no per-batch round trip) and flush at scene end.
+            out = renderer.render_batch_device(uniforms_seq, check=(frames == 0))
             jax.block_until_ready(out)
             elapsed = time.perf_counter() - t0
             frames += batch
@@ -117,8 +120,13 @@ def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0
         ):
             break
 
+    overflowed = renderer.flush_overflow()
+    if overflowed:
+        print(f"WARNING: {config.scene_name()}: binning overflow occurred "
+              "after the first batch; some frames dropped triangles")
     data = collector.finalise()
     result = json.loads(data.to_json())
+    result["overflow"] = overflowed
     result["scene"] = config.scene_name()
     result["backend"] = config.normalized_backend()
     result["num_triangles"] = scene.total_tris

@@ -21,6 +21,19 @@ from compute_renderer_tpu.core.effects import Effect, WaveDirection
 from compute_renderer_tpu.engine.scene import CameraConfig, SceneConfig
 
 
+
+def _enable_compilation_cache():
+    """Persistent XLA compile cache: capacity-retry recompiles and repeated
+    CLI runs reuse executables across processes."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="compute-renderer-tpu",
@@ -145,6 +158,7 @@ def scene_config_from_args(args) -> SceneConfig:
 
 
 def main(argv=None) -> int:
+    _enable_compilation_cache()
     args = build_parser().parse_args(argv)
 
     if args.command == "benchmarks":

@@ -27,6 +27,7 @@ class Renderer:
         self.height = int(height)
         self.options = options
         self._step_cache = {}
+        self._pending_overflow = None
         self._upload(mesh)
 
     def _upload(self, mesh) -> None:
@@ -113,15 +114,18 @@ class Renderer:
         double the binning capacities, rebuild the compiled step, retry."""
         for _ in range(max_retries):
             out = self.render_device(uniforms)
-            if len(out) < 3 or not bool(out[2]):
+            if len(out) < 3:
                 return out
-            self._grow_caps()
+            flags = np.asarray(out[2])
+            if not flags.any():
+                return out
+            self._grow_caps(grow_pair=bool(flags[0]), grow_tile=bool(flags[1]))
         raise RuntimeError(
             f"binning capacity overflow after {max_retries} retries "
             f"(options={self.options})"
         )
 
-    def _grow_caps(self) -> None:
+    def _grow_caps(self, grow_pair: bool = True, grow_tile: bool = True) -> None:
         from compute_renderer_tpu.backends import binning as binning_mod
         from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP, choose_tile
 
@@ -140,8 +144,8 @@ class Renderer:
                                          tile_h, tile_w),
             MAX_TILE_CAP,
         )
-        self.options["pair_cap"] = pc * 2
-        self.options["tile_cap"] = tc * 2
+        self.options["pair_cap"] = pc * 2 if grow_pair else pc
+        self.options["tile_cap"] = tc * 2 if grow_tile else tc
         self._step_cache.clear()
 
     def _get_batch_step(self, num_lights: int):
@@ -163,17 +167,22 @@ class Renderer:
                 return overflow, out[0]
 
             overflow, frames = jax.lax.scan(
-                body, jnp.asarray(False), packed_stack
+                body, jnp.zeros((2,), bool), packed_stack
             )
             return frames, overflow
 
         self._step_cache[key] = batch
         return batch
 
-    def render_batch_device(self, uniforms_seq, max_retries: int = 3):
+    def render_batch_device(self, uniforms_seq, max_retries: int = 3,
+                            check: bool = True):
         """Render a sequence of frames in one dispatch; returns the
-        device-resident (K,H,W,4) u8 stack. Retries with doubled binning
-        capacities if any frame's bins overflowed."""
+        device-resident (K,H,W,4) u8 stack.
+
+        ``check=True`` fetches the overflow flags (one extra host<->device
+        round trip) and retries with doubled binning capacities. Steady-state
+        loops (benchmarks) pass ``check=False`` — the flags accumulate on
+        device and ``flush_overflow()`` fetches them once at the end."""
         packs = []
         L = None
         for u in uniforms_seq:
@@ -182,13 +191,31 @@ class Renderer:
         stack = jnp.asarray(np.stack(packs))
         for _ in range(max_retries):
             frames, overflow = self._get_batch_step(L)(stack)
-            if not bool(overflow):
+            if not check:
+                self._pending_overflow = (
+                    overflow
+                    if self._pending_overflow is None
+                    else self._pending_overflow | overflow
+                )
                 return frames
-            self._grow_caps()
+            flags = np.asarray(overflow)
+            if not flags.any():
+                return frames
+            self._grow_caps(grow_pair=bool(flags[0]), grow_tile=bool(flags[1]))
         raise RuntimeError(
             f"binning capacity overflow after {max_retries} retries "
             f"(options={self.options})"
         )
+
+    def flush_overflow(self) -> bool:
+        """Fetch and clear overflow flags accumulated by unchecked batch
+        renders. True means at least one rendered frame silently dropped
+        triangles and the run should be treated as invalid."""
+        if self._pending_overflow is None:
+            return False
+        flags = np.asarray(self._pending_overflow)
+        self._pending_overflow = None
+        return bool(flags.any())
 
     def render(self, uniforms: FrameUniforms) -> np.ndarray:
         """Render one frame to a host (H,W,4) uint8 RGBA array — the
