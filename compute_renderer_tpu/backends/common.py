@@ -229,35 +229,42 @@ def barycentric(v1, v2, v3, px, py):
 
 
 def barycentric_coefficients(v1x, v1y, v2x, v2y, v3x, v3y):
-    """Affine barycentric coefficients.
+    """*Anchored* affine barycentric coefficients.
 
     The cross-product barycentrics (rasteriser.wgsl:71-81) are affine in the
-    sample position: bc_i(px, py) = A_i + B_i*px + C_i*py. Precomputing
-    (A, B, C) per triangle — with the 1/uz division folded in — turns the
-    per-pixel evaluation into two FMAs per coordinate, the hot-loop form
-    both backends share (bit-identical across them by construction).
+    sample position. Evaluated about the origin the constant term suffers
+    catastrophic cancellation (A ~ coords^2 while bc ~ 1, which punched
+    pixel-center pinholes along shared edges); anchoring at vertex 1 makes
+    the constant term exact — bc = (1,0,0) at the anchor — and the deltas
+    small:
 
-    Inputs are (...,)-shaped per-triangle screen coords. Returns a dict of
-    nine (...,) coefficient arrays. Degenerate triangles (uz == 0) produce
-    inf/nan coefficients; evaluation then fails the isfinite(z) mask exactly
-    like the direct formulation."""
+        bc_i(px, py) = A_i + B_i*dx + C_i*dy,   dx = px - v1x, dy = py - v1y
+
+    with the 1/uz division folded into B/C. Two FMAs per quantity in the hot
+    loop, shared by both backends (bit-identical across them by
+    construction). Degenerate triangles (uz == 0) produce inf/nan
+    coefficients; evaluation then fails the isfinite(z) mask exactly like
+    the direct formulation.
+
+    Returns a dict with the nine coefficient arrays plus the anchor
+    ("ax", "ay")."""
     bux = v2y - v1y
     cux = -(v2x - v1x)
-    aux = (v2x - v1x) * v1y - v1x * (v2y - v1y)
     buy = -(v3y - v1y)
     cuy = v3x - v1x
-    auy = v1x * (v3y - v1y) - (v3x - v1x) * v1y
     uz = (v3x - v1x) * (v2y - v1y) - (v2x - v1x) * (v3y - v1y)
     inv = F32(1.0) / uz
-    a3, b3, c3 = aux * inv, bux * inv, cux * inv  # bc3 = ux/uz
-    a2, b2, c2 = auy * inv, buy * inv, cuy * inv  # bc2 = uy/uz
-    a1 = F32(1.0) - (aux + auy) * inv
+    zero = jnp.zeros_like(inv)
+    b3, c3 = bux * inv, cux * inv  # bc3 = ux/uz, ux(anchor) = 0
+    b2, c2 = buy * inv, cuy * inv  # bc2 = uy/uz, uy(anchor) = 0
+    a1 = jnp.full_like(inv, F32(1.0)) + zero * inv  # nan for degenerate uz
     b1 = -(bux + buy) * inv
     c1 = -(cux + cuy) * inv
     return {
         "a1": a1, "b1": b1, "c1": c1,
-        "a2": a2, "b2": b2, "c2": c2,
-        "a3": a3, "b3": b3, "c3": c3,
+        "a2": zero * inv, "b2": b2, "c2": c2,
+        "a3": zero * inv, "b3": b3, "c3": c3,
+        "ax": v1x, "ay": v1y,
     }
 
 
@@ -316,9 +323,12 @@ def resolve_attributes(best_tri, tri, screen, world, normals, uvs, effect,
         v1[..., 0], v1[..., 1], v2[..., 0], v2[..., 1], v3[..., 0], v3[..., 1]
     )
 
+    dx = px - co["ax"]
+    dy = py - co["ay"]
+
     def interp(w1, w2, w3):
         a, b, c = affine_combine(co, w1, w2, w3)
-        return a + b * px + c * py
+        return a + b * dx + c * dy
 
     uv = jnp.stack(
         [interp(uvs[idx[..., 0]][..., ch], uvs[idx[..., 1]][..., ch],

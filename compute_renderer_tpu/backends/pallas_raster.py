@@ -49,12 +49,14 @@ F32 = jnp.float32
 # by the pallas kernel closure, which pallas_call rejects.
 DEPTH_CLEAR_BITS = np.uint32(0xFFFFFFFF)
 
-# tri_table row layout (32 lanes) — affine (A, B, C) coefficient triples,
-# each quantity evaluated per pixel as A + B*px + C*py:
+# tri_table row layout (32 lanes) — anchored affine (A, B, C) coefficient
+# triples, each quantity evaluated per pixel as A + B*dx + C*dy with
+# (dx, dy) = sample position minus the triangle's vertex-1 anchor (exact
+# constant term; see common.barycentric_coefficients):
 #   0:3    bc1    3:6  bc2    6:9  bc3   (1/uz folded in)
 #   9:12   depth z
 #   12:30  6 attribute channels [nx, ny, nz, wx, wy, wz]
-#   30:32  pad
+#   30:32  anchor (v1x, v1y)
 # UV interpolation is intentionally omitted: the reference writes uv to its
 # fragment buffer but the lighting formula never reads it (fragment.wgsl:70-82).
 TRI_TABLE_WIDTH = 32
@@ -85,9 +87,10 @@ def build_tri_table(screen, tri, uvs, normals, world):
                                       src[:, 2, ch])
             )
 
+    cols += [co["ax"], co["ay"]]
     out = jnp.stack(cols, axis=1)
-    pad = jnp.zeros((out.shape[0], TRI_TABLE_WIDTH - out.shape[1]), F32)
-    return jnp.concatenate([out, pad], axis=1)
+    assert out.shape[1] == TRI_TABLE_WIDTH
+    return out
 
 
 def window_elems(tile_cap: int) -> int:
@@ -261,18 +264,20 @@ def _raster_tile(
     def body(k, carry):
         best_key, attrs = carry
         t = read_slot(k)
-        row = tri_table_ref[t, :]  # (32,) affine coefficients
+        row = tri_table_ref[t, :]  # (32,) anchored affine coefficients
 
-        # Affine evaluation: bc_i = A + B*px + C*py (1/uz pre-folded).
-        bc1 = row[0] + row[1] * px + row[2] * py
-        bc2 = row[3] + row[4] * px + row[5] * py
-        bc3 = row[6] + row[7] * px + row[8] * py
+        # Anchored affine evaluation: q = A + B*dx + C*dy (1/uz pre-folded).
+        dx = px - row[30]
+        dy = py - row[31]
+        bc1 = row[0] + row[1] * dx + row[2] * dy
+        bc2 = row[3] + row[4] * dx + row[5] * dy
+        bc3 = row[6] + row[7] * dx + row[8] * dy
 
         mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
         min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
         mask &= min_bc >= melt_threshold
 
-        z = row[9] + row[10] * px + row[11] * py
+        z = row[9] + row[10] * dx + row[11] * dy
         mask &= jnp.isfinite(z)
 
         key = jnp.where(mask, pltpu.bitcast(z, jnp.uint32), DEPTH_CLEAR_BITS)
@@ -284,7 +289,7 @@ def _raster_tile(
         # the reference's fragment_buffer writes, rasteriser.wgsl:173-179).
         new_attrs = []
         for c in range(6):
-            interp = row[12 + c * 3] + row[13 + c * 3] * px + row[14 + c * 3] * py
+            interp = row[12 + c * 3] + row[13 + c * 3] * dx + row[14 + c * 3] * dy
             new_attrs.append(jnp.where(win, interp, attrs[c]))
         return best_key, tuple(new_attrs)
 

@@ -101,15 +101,16 @@ def render_frame(
         za, zb, zc = common.affine_combine(co, v1[:, 2], v2[:, 2], v3[:, 2])
 
         bcast = lambda a: a[:, None, None]
-        pxb, pyb = px[None], py[None]
-        bc1 = bcast(co["a1"]) + bcast(co["b1"]) * pxb + bcast(co["c1"]) * pyb
-        bc2 = bcast(co["a2"]) + bcast(co["b2"]) * pxb + bcast(co["c2"]) * pyb
-        bc3 = bcast(co["a3"]) + bcast(co["b3"]) * pxb + bcast(co["c3"]) * pyb
+        dx = px[None] - bcast(co["ax"])
+        dy = py[None] - bcast(co["ay"])
+        bc1 = bcast(co["a1"]) + bcast(co["b1"]) * dx + bcast(co["c1"]) * dy
+        bc2 = bcast(co["a2"]) + bcast(co["b2"]) * dx + bcast(co["c2"]) * dy
+        bc3 = bcast(co["a3"]) + bcast(co["b3"]) * dx + bcast(co["c3"]) * dy
 
         mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
         min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
         mask &= min_bc >= melt_threshold
-        z = bcast(za) + bcast(zb) * pxb + bcast(zc) * pyb
+        z = bcast(za) + bcast(zb) * dx + bcast(zc) * dy
         mask &= jnp.isfinite(z)  # (C,H,W)
 
         sl = lambda a: jax.lax.dynamic_slice(a, (s,), (chunk,))[:, None, None]

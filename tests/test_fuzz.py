@@ -113,3 +113,33 @@ def test_fuzz_degenerate_soup():
     ref = xla.render(mesh, u, lights, eff, W, H, tile_h=16, tile_w=256)
     ours = tpu.render(mesh, u, lights, eff, W, H)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_no_pinholes_on_symmetric_silhouette():
+    # Regression: origin-expanded affine edge coefficients suffered
+    # catastrophic cancellation, punching pixel-center pinholes along shared
+    # edges (visible on a symmetric orbit view of a sphere). Anchored
+    # coefficients must match the golden oracle's hole-free coverage.
+    from compute_renderer_tpu.golden.rasterizer import render_golden as rg
+
+    w, h = 256, 192
+    mesh = __import__(
+        "compute_renderer_tpu.io.procedural", fromlist=["icosphere"]
+    ).icosphere(3)
+    cam = Camera.orbit(4.0, 0.0, 0.0, [0, 0, 0], aspect=w / h)
+    u = cam.uniform()
+    lights = random_lights(np.random.default_rng(0), 2)
+    eff = EffectUniform().as_array()
+
+    gold = rg(mesh.positions, mesh.normals, mesh.uvs, mesh.indices,
+              u.view_proj, u.view_position, *lights, eff, w, h)
+    ours = tpu.render(mesh, u, lights, eff, w, h)
+
+    def interior_background(img):
+        blue = (img[:, :, 0] == 0) & (img[:, :, 1] == 0) & (img[:, :, 2] == 255)
+        ys, xs = np.mgrid[0:h, 0:w]
+        inside = ((xs - w / 2) ** 2 + (ys - h / 2) ** 2) < 20 ** 2
+        return int((blue & inside).sum())
+
+    assert interior_background(gold) == 0
+    assert interior_background(ours) == 0
