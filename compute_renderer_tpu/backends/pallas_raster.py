@@ -461,7 +461,7 @@ def raster_shade_tiles(
             # Explicit HBM (not ANY): a small pair list would otherwise be
             # promoted to VMEM, where the dynamic-offset DMA slice violates
             # the (8, 128) tiling.
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
         ],
         out_specs=[
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),

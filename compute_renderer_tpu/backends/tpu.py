@@ -218,7 +218,15 @@ def render(mesh, camera_uniform, lights, effect, width, height,
         if flags[0]:
             pc *= 2
         if flags[1]:
-            tc *= 2
+            if tc >= MAX_TILE_CAP:
+                # The SMEM triangle-list window is bounded; growing past it
+                # would fail Mosaic compilation obscurely. Fail clearly.
+                raise RuntimeError(
+                    f"per-tile triangle list overflow at the MAX_TILE_CAP="
+                    f"{MAX_TILE_CAP} ceiling (scene too dense for tile "
+                    f"{tile_h}x{tile_w}; try a smaller tile size)"
+                )
+            tc = min(tc * 2, MAX_TILE_CAP)
     raise RuntimeError(
         f"binning capacity overflow after {max_retries} retries "
         f"(pair_cap={pc}, tile_cap={tc})"

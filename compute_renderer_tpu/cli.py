@@ -145,8 +145,11 @@ def scene_config_from_args(args) -> SceneConfig:
 
     backend = args.backend_type
     if backend not in ("custom", "wgpu", "tpu", "xla"):
-        print(f"Invalid backend type '{backend}'. Use 'wgpu' or 'custom'.",
-              file=sys.stderr)
+        print(
+            f"Invalid backend type '{backend}'. "
+            "Use 'custom', 'wgpu', 'tpu', or 'xla'.",
+            file=sys.stderr,
+        )
         raise SystemExit(1)
 
     return SceneConfig(
@@ -179,8 +182,12 @@ def main(argv=None) -> int:
     if args.interactive:
         from compute_renderer_tpu.app.window import run_interactive
 
-        run_interactive(config, args.width, args.height)
-        return 0
+        try:
+            run_interactive(config, args.width, args.height)
+            return 0
+        except RuntimeError as e:
+            # Docstring contract: fall back to headless when no display.
+            print(f"{e} Falling back to headless.", file=sys.stderr)
 
     from compute_renderer_tpu.app.headless import run_headless
 

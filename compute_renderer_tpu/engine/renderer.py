@@ -50,7 +50,7 @@ class Renderer:
     # -- per-frame step -------------------------------------------------------
 
     @staticmethod
-    def pack_uniforms(uniforms: FrameUniforms) -> np.ndarray:
+    def pack_uniforms(uniforms: FrameUniforms) -> tuple[np.ndarray, int]:
         """Flatten all per-frame uniforms into ONE f32 buffer so each frame
         costs a single host->device transfer (the reference makes three
         queue.write_buffer calls per frame, scene.rs:156-186; over a remote
@@ -145,7 +145,17 @@ class Renderer:
             MAX_TILE_CAP,
         )
         self.options["pair_cap"] = pc * 2 if grow_pair else pc
-        self.options["tile_cap"] = tc * 2 if grow_tile else tc
+        if grow_tile:
+            if tc >= MAX_TILE_CAP:
+                # SMEM window bound — growing further would fail Mosaic
+                # compilation with an obscure error; fail clearly instead.
+                raise RuntimeError(
+                    f"per-tile triangle list overflow at the MAX_TILE_CAP="
+                    f"{MAX_TILE_CAP} ceiling (scene too dense for tile "
+                    f"{tile_h}x{tile_w}; try a smaller tile size)"
+                )
+            tc = min(tc * 2, MAX_TILE_CAP)
+        self.options["tile_cap"] = tc
         self._step_cache.clear()
 
     def _get_batch_step(self, num_lights: int):

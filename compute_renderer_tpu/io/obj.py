@@ -130,7 +130,12 @@ def load_obj(path) -> Mesh:
         # vt in a sub-mesh that has some vt records flips 0 -> 1.
         has_tex = any(ti >= 0 for (_, ti, _) in sm.triples)
         for out_i, (vi, ti, ni) in enumerate(sm.triples):
-            p[out_i] = pos_arr[vi]
+            # Bounds-check like ti/ni: a malformed index (e.g. 'f 0' or an
+            # over-negative relative index) must zero-fill, matching the
+            # native parser (objparse.cpp) for which this loader is the
+            # correctness oracle — not wrap via Python negative indexing.
+            if 0 <= vi < pos_arr.shape[0]:
+                p[out_i] = pos_arr[vi]
             if has_tex:
                 # Out-of-range indices zero-fill (like the native parser and
                 # tobj); the V flip then maps the filled 0 to 1.
