@@ -213,6 +213,121 @@ def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
     }
 
 
+def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
+                   window_rows: int):
+    """Cell-granularity binning for the micro-raster (mega-scene) path.
+
+    Cells are 8x8 px; a framebuffer tile (8, 128) holds 16 cells side by
+    side. Cell ids are ordered *cell-major within tile*:
+
+        cell_id = (cy * ntx_t + cx // 16) * 16 + cx % 16
+
+    so one tile's 16 cell segments are contiguous in the sorted pair list
+    and the raster kernel DMAs a single per-tile window.
+
+    ``setup`` must come from ``common.triangle_setup(..., tile_h=8,
+    tile_w=8)`` (tile ranges are cell ranges). Unlike the tile path there is
+    no per-cell capacity: the only cap is ``window_rows`` — the per-tile
+    coefficient window the kernel stages into VMEM. One global sort,
+    histogram segments (no per-chunk re-sorts — the chunked tile path paid
+    ~11 sorts per frame at 1M triangles).
+
+    Returns dict:
+      pair_tri:   (pair_cap,) i32 triangle ids sorted by cell
+      seg_start:  (num_cells,) i32   (num_cells = ntx_t * 16 * nty_t)
+      seg_count:  (num_cells,) i32
+      win_start:  (num_tiles,) i32  16-aligned window base row per tile
+      tile_count: (num_tiles,) i32  total pairs per tile
+      pair_overflow / tile_overflow: () bool
+    """
+    i32 = jnp.int32
+    num_tiles = ntx_t * nty_t
+    num_cells = num_tiles * 16
+
+    rx = (setup["tile_x1"] - setup["tile_x0"]).astype(i32)
+    ry = (setup["tile_y1"] - setup["tile_y0"]).astype(i32)
+    c = jnp.where(setup["alive"], rx * ry, 0)
+
+    starts = jnp.cumsum(c) - c
+    total = starts[-1] + c[-1]
+
+    p = jnp.arange(pair_cap, dtype=i32)
+    T = starts.shape[0]
+    method = "compare_all" if pair_cap * max(T, 1) <= 100_000_000 else "sort"
+    tri_of_pair = (
+        jnp.searchsorted(starts, p, side="right", method=method).astype(i32)
+        - 1
+    )
+    tri_of_pair = jnp.clip(tri_of_pair, 0, T - 1)
+    valid = p < total
+
+    meta = jnp.stack(
+        [starts.astype(i32), rx, setup["tile_x0"].astype(i32),
+         setup["tile_y0"].astype(i32)],
+        axis=1,
+    )  # (T, 4)
+    m = meta[tri_of_pair]
+    local = p - m[:, 0]
+    trx = jnp.maximum(m[:, 1], 1)
+    cx = m[:, 2] + local % trx
+    cy = m[:, 3] + local // trx
+    cell_of_pair = (cy * ntx_t + cx // 16) * 16 + cx % 16
+    cell_of_pair = jnp.where(valid, cell_of_pair, num_cells)
+
+    sorted_cell, sorted_tri = jax.lax.sort(
+        (cell_of_pair, tri_of_pair), num_keys=1, is_stable=True
+    )
+
+    # Segments via histogram + cumsum (cheaper than two searchsorted->sort
+    # passes at mega scale). One extra bin collects the invalid tail.
+    counts = jnp.zeros((num_cells + 1,), i32).at[cell_of_pair].add(1)
+    counts = counts[:num_cells]
+    seg_start = jnp.cumsum(counts) - counts
+
+    tile_count = counts.reshape(num_tiles, 16).sum(axis=1)
+    first = seg_start.reshape(num_tiles, 16)[:, 0]
+    win_start = (first // 16) * 16
+    tile_end = first + tile_count
+    tile_overflow = jnp.any(tile_end - win_start > window_rows)
+
+    # Safety clamp: on window overflow (detected above; the renderer
+    # retries with a bigger window) the kernel must still stay inside its
+    # staged window — truncate each cell's count to the window tail.
+    limit = (
+        jnp.broadcast_to(win_start[:, None], (num_tiles, 16)).reshape(-1)
+        + window_rows
+        - seg_start
+    )
+    counts_safe = jnp.clip(jnp.minimum(counts, limit), 0)
+
+    return {
+        "pair_tri": sorted_tri,
+        "seg_start": seg_start,
+        "seg_count": counts_safe,
+        "win_start": win_start,
+        "tile_count": tile_count,
+        "total_pairs": total,
+        "pair_overflow": total > pair_cap,
+        "tile_overflow": tile_overflow,
+        "layout": "micro",
+    }
+
+
+def default_window_rows(num_triangles: int, width: int, height: int) -> int:
+    """Per-tile coefficient-window row cap for the micro path: the
+    reference's density heuristic (gpu_buffers.rs:53-63) at (8,128)-tile
+    granularity, 16-row aligned, bounded by the VMEM double-buffer budget."""
+    avg_tri_area = (width * height) / max(num_triangles, 1)
+    base = int(2.0 * (8 * 128) / max(avg_tri_area, 1e-6))
+    cap = min(max(base, 256), MAX_WINDOW_ROWS)
+    return (cap + 15) // 16 * 16
+
+
+# Two VMEM (rows, 128) f32 window buffers at 512 B/row: 8192 rows => 8 MiB,
+# leaving half of a v5e core's ~16 MiB VMEM for blocks and scratch.
+MAX_WINDOW_ROWS = 8192
+
+
 def pair_list_padding(pair_cap: int, tile_cap: int) -> int:
     """Tail padding for the sorted pair list: the raster kernel DMAs a
     1024-aligned superwindow of ``window_elems(tile_cap)`` ints starting at

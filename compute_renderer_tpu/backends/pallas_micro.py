@@ -1,0 +1,432 @@
+"""Lane-packed micro-triangle Pallas kernel: 16 binned pairs per vector op.
+
+Mega-scene (San-Miguel-class, ~1M triangle) replacement for the fused tile
+kernel in ``pallas_raster.py``. That kernel pays one full (8, 128) vector
+pass per binned triangle — right when triangles cover ~1000 pixels, ~1000x
+wasted when they cover ~1. This kernel restores the balance the reference
+gets from its 8x8-tile/64-thread shape (raster_pass.rs:3,139-142;
+rasteriser.wgsl:192-243), the TPU way:
+
+- binning is at 8x8 *cell* granularity (= the reference's tile size), cells
+  ordered cell-major within each (8, 128) framebuffer tile
+  (``binning.bin_cells_sort``);
+- per walk step, ONE dynamic 16-row read pulls 16 consecutive pairs of one
+  cell from the tile's VMEM-staged coefficient window, and a bit-exact
+  selection matmul (f32 via ``Precision.HIGHEST``; the selection matrix is
+  0/1 so the 3-pass f32 emulation is exact) broadcasts pair g's
+  coefficients to lane group g — 16 triangles x 64 pixels = all 1024 lanes
+  busy per op;
+- each lane group carries its own running (depth key, pair index,
+  attributes) min; after a cell's walk, a 4-round lane-roll butterfly
+  reduces across groups with (key, pair)-lexicographic order — deterministic
+  lowest-triangle-index tie-break, same contract as the tile kernel and the
+  reference's intended (racy) CAS loop (rasteriser.wgsl:147-186);
+- triangle coefficients stream from HBM in per-tile windows (double-buffered
+  prefetch), so there is NO VMEM triangle-table budget and no chunked
+  multi-pass: one launch renders any scene size. The per-chunk re-sorts that
+  dominated mega-scene frames (~11 sorts/frame at 1M tris) collapse into
+  one global sort in binning.
+
+Effect semantics: identical formulas to the tile kernel; coverage outside
+the triangle bbox (voxelize inflation, mirage warp) clips to the 8x8 *cell*
+rectangle union — exactly the xla backend with tile_h=tile_w=8, and exactly
+the reference's own 8x8 tile union, i.e. *closer* to the reference than the
+16x256 tile path (see PARITY.md deviations).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from compute_renderer_tpu.backends.pallas_raster import (
+    DEPTH_CLEAR_BITS,
+    TRI_TABLE_WIDTH,
+    _pow32,
+)
+from compute_renderer_tpu.core.effects import EFFECT_MIRAGE
+
+F32 = jnp.float32
+PAIR_IDX_CLEAR = np.int32(2**31 - 1)
+
+
+def _selection_matrix():
+    """(16, 128) f32 0/1: S[g, j] = 1 iff lane j belongs to group g."""
+    gj = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1) // 8
+    gg = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    return (gj == gg).astype(F32)
+
+
+def _micro_kernel(
+    # SMEM inputs (full)
+    params_ref,  # (2, 8) f32 — same layout as pallas_raster._raster_kernel
+    lights_ref,  # (L, 8) f32
+    seg_start_ref,  # (num_cells,) i32
+    seg_count_ref,  # (num_cells,) i32
+    win_start_ref,  # (num_tiles,) i32 — 16-aligned window base row
+    tile_count_ref,  # (num_tiles,) i32 — total pairs in tile
+    # HBM input (full)
+    coeffs_ref,  # (P_pad, 128) f32 — pair coefficient rows in sorted order
+    # outputs (blocked per tile)
+    rgba_ref,  # (8, 128) u32
+    key_ref,  # (8, 128) u32
+    # scratch
+    win_a,  # (W, 128) f32 VMEM
+    win_b,
+    sem_a,
+    sem_b,
+    *,
+    num_lights: int,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    ntx = pl.num_programs(1)
+    num_tiles = pl.num_programs(0) * ntx
+    tile_id = ti * ntx + tj
+    W = win_a.shape[0]
+
+    count = tile_count_ref[tile_id]
+
+    # -- double-buffered per-tile window prefetch (as pallas_raster flat) ----
+    slot = tile_id % 2
+
+    def issue(tid, buf, sem):
+        w0 = pl.multiple_of(win_start_ref[tid], 16)
+        pltpu.make_async_copy(coeffs_ref.at[pl.ds(w0, W), :], buf, sem).start()
+
+    @pl.when((tile_id == 0) & (count > 0))
+    def _():
+        issue(0, win_a, sem_a)
+
+    nxt = jnp.minimum(tile_id + 1, num_tiles - 1)
+    do_prefetch = (tile_id + 1 < num_tiles) & (tile_count_ref[nxt] > 0)
+
+    @pl.when(do_prefetch & (slot == 1))
+    def _():
+        issue(nxt, win_a, sem_a)
+
+    @pl.when(do_prefetch & (slot == 0))
+    def _():
+        issue(nxt, win_b, sem_b)
+
+    @pl.when(count == 0)
+    def _():
+        rgba_ref[:, :] = jnp.full((8, 128), 0xFFFF0000, jnp.uint32)
+        key_ref[:, :] = jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32)
+
+    @pl.when(count > 0)
+    def _():
+        @pl.when(slot == 0)
+        def _():
+            pltpu.make_async_copy(
+                coeffs_ref.at[pl.ds(0, W), :], win_a, sem_a
+            ).wait()
+
+        @pl.when(slot == 1)
+        def _():
+            pltpu.make_async_copy(
+                coeffs_ref.at[pl.ds(0, W), :], win_b, sem_b
+            ).wait()
+
+        _raster_tile_micro(
+            params_ref, lights_ref, seg_start_ref, seg_count_ref,
+            win_start_ref, rgba_ref, key_ref, win_a, win_b, slot,
+            ti, tj, tile_id, num_lights=num_lights,
+        )
+
+
+def _raster_tile_micro(
+    params_ref, lights_ref, seg_start_ref, seg_count_ref, win_start_ref,
+    rgba_ref, key_ref, win_a, win_b, slot, ti, tj, tile_id,
+    *, num_lights: int,
+):
+    threshold = params_ref[0, 0]
+    melt_threshold = params_ref[0, 1]
+    mirage = params_ref[0, 2]
+    amplitude = params_ref[0, 3]
+    frequency = params_ref[0, 4]
+    phase = params_ref[0, 5]
+    time = params_ref[0, 6]
+
+    w0 = win_start_ref[tile_id]
+    sel = _selection_matrix()
+
+    y0 = (ti * 8).astype(F32) + params_ref[0, 7]
+    x_tile0 = (tj * 128).astype(F32)
+    ys_base = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(F32) + y0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    lane_local = (lane % 8).astype(F32)
+    group = lane // 8  # (8, 128) i32: lane group = pair slot within a step
+
+    # Per-tile accumulated framebuffer state.
+    acc_key = jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32)
+    acc_attrs = tuple(jnp.zeros((8, 128), F32) for _ in range(6))
+
+    for c in range(16):  # static unroll: one 8x8 cell per iteration
+        s = seg_start_ref[tile_id * 16 + c]
+        n = seg_count_ref[tile_id * 16 + c]
+        base0 = (s // 16) * 16
+        nblocks = jnp.where(n > 0, (s + n - base0 + 15) // 16, 0)
+
+        # Every lane group evaluates cell c's 8x8 pixels.
+        xs = x_tile0 + F32(8.0 * c) + lane_local
+        # Mirage sample warp (rasteriser.wgsl:112-118), branchless — same
+        # op order as the tile kernel for bitwise parity.
+        off_x = amplitude * jnp.sin(frequency * xs + time + phase)
+        off_y = amplitude * jnp.cos(frequency * ys_base + time + phase)
+        px = jnp.where(mirage > 0.5, xs + off_x, xs)
+        py = jnp.where(mirage > 0.5, ys_base + off_y, ys_base)
+
+        def body(k, carry, s=s, n=n, base0=base0, px=px, py=py):
+            best_key, best_pair, attrs = carry
+            rel = base0 - w0 + k * 16
+            Ma = win_a[pl.ds(rel, 16), :]
+            Mb = win_b[pl.ds(rel, 16), :]
+            M = jnp.where(slot == 0, Ma, Mb)
+            # Bit-exact f32 broadcast of pair g's row to lane group g.
+            E = jax.lax.dot_general(
+                M, sel, (((0,), (0,)), ((), ())),
+                preferred_element_type=F32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (128, 128); row r = coefficient r per lane
+
+            def coef(r):
+                return jnp.broadcast_to(E[r : r + 1, :], (8, 128))
+
+            pair_idx = base0 + k * 16 + group  # (8, 128) i32, abs pair id
+            valid = (pair_idx >= s) & (pair_idx < s + n)
+
+            dx = px - coef(30)
+            dy = py - coef(31)
+            bc1 = coef(0) + coef(1) * dx + coef(2) * dy
+            bc2 = coef(3) + coef(4) * dx + coef(5) * dy
+            bc3 = coef(6) + coef(7) * dx + coef(8) * dy
+
+            mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
+            min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
+            mask &= min_bc >= melt_threshold
+
+            z = coef(9) + coef(10) * dx + coef(11) * dy
+            mask &= jnp.isfinite(z) & valid
+
+            key = jnp.where(mask, pltpu.bitcast(z, jnp.uint32),
+                            DEPTH_CLEAR_BITS)
+            # Lexicographic (key, pair) min: lowest pair = lowest triangle
+            # id within the cell (sorted stable by cell, generated in
+            # triangle order).
+            win = (key < best_key) | ((key == best_key) & (pair_idx < best_pair))
+            best_key = jnp.where(win, key, best_key)
+            best_pair = jnp.where(win, pair_idx, best_pair)
+            new_attrs = []
+            for ch in range(6):
+                interp = (coef(12 + ch * 3) + coef(13 + ch * 3) * dx
+                          + coef(14 + ch * 3) * dy)
+                new_attrs.append(jnp.where(win, interp, attrs[ch]))
+            return best_key, best_pair, tuple(new_attrs)
+
+        init = (
+            jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32),
+            jnp.full((8, 128), PAIR_IDX_CLEAR, jnp.int32),
+            tuple(jnp.zeros((8, 128), F32) for _ in range(6)),
+        )
+        ckey, cpair, cattrs = jax.lax.fori_loop(0, nblocks, body, init)
+
+        # Cross-group butterfly: all 16 groups hold candidates for the SAME
+        # 64 pixels; reduce to the lexicographic (key, pair) min per pixel.
+        cattrs = list(cattrs)
+        for stride in (8, 16, 32, 64):
+            k2 = pltpu.roll(ckey, 128 - stride, 1)
+            p2 = pltpu.roll(cpair, 128 - stride, 1)
+            win = (k2 < ckey) | ((k2 == ckey) & (p2 < cpair))
+            ckey = jnp.where(win, k2, ckey)
+            cpair = jnp.where(win, p2, cpair)
+            for ch in range(6):
+                a2 = pltpu.roll(cattrs[ch], 128 - stride, 1)
+                cattrs[ch] = jnp.where(win, a2, cattrs[ch])
+
+        # Commit cell c's 64 pixels (lane group c) into the tile state.
+        in_cell = group == c
+        acc_key = jnp.where(in_cell, ckey, acc_key)
+        acc_attrs = tuple(
+            jnp.where(in_cell, cattrs[ch], acc_attrs[ch]) for ch in range(6)
+        )
+
+    # -- shading epilogue: identical to pallas_raster._raster_tile ----------
+    nx, ny, nz = acc_attrs[0], acc_attrs[1], acc_attrs[2]
+    wx, wy, wz = acc_attrs[3], acc_attrs[4], acc_attrs[5]
+
+    eye_x = params_ref[1, 0]
+    eye_y = params_ref[1, 1]
+    eye_z = params_ref[1, 2]
+
+    r = jnp.full((8, 128), F32(0.1))
+    g = jnp.full((8, 128), F32(0.1))
+    b = jnp.full((8, 128), F32(0.1))
+
+    vdx = eye_x - wx
+    vdy = eye_y - wy
+    vdz = eye_z - wz
+    vnorm = jnp.sqrt(vdx * vdx + vdy * vdy + vdz * vdz)
+    vdx = vdx / vnorm
+    vdy = vdy / vnorm
+    vdz = vdz / vnorm
+
+    for li in range(num_lights):
+        lpx = lights_ref[li, 0]
+        lpy = lights_ref[li, 1]
+        lpz = lights_ref[li, 2]
+        lcr = lights_ref[li, 3]
+        lcg = lights_ref[li, 4]
+        lcb = lights_ref[li, 5]
+        inten = lights_ref[li, 6]
+
+        ldx = lpx - wx
+        ldy = lpy - wy
+        ldz = lpz - wz
+        lnorm = jnp.sqrt(ldx * ldx + ldy * ldy + ldz * ldz)
+        ldx = ldx / lnorm
+        ldy = ldy / lnorm
+        ldz = ldz / lnorm
+
+        d = nx * ldx + ny * ldy + nz * ldz
+        diff = jnp.where(d > F32(0.0), d, F32(0.0))
+
+        edotn = -(ldx * nx + ldy * ny + ldz * nz)
+        rdx = -ldx - F32(2.0) * edotn * nx
+        rdy = -ldy - F32(2.0) * edotn * ny
+        rdz = -ldz - F32(2.0) * edotn * nz
+        sp = vdx * rdx + vdy * rdy + vdz * rdz
+        sp = jnp.where(sp > F32(0.0), sp, F32(0.0))
+        spec = _pow32(sp)
+
+        contrib = diff + spec * F32(0.5)
+        r = r + contrib * lcr * inten
+        g = g + contrib * lcg * inten
+        b = b + contrib * lcb * inten
+
+    flag = acc_key != DEPTH_CLEAR_BITS
+    gamma = F32(1.0 / 2.2)
+    r = jnp.power(jnp.clip(r, F32(0.0), F32(1.0)), gamma)
+    g = jnp.power(jnp.clip(g, F32(0.0), F32(1.0)), gamma)
+    b = jnp.power(jnp.clip(b, F32(0.0), F32(1.0)), gamma)
+
+    ri = jnp.round(r * F32(255.0)).astype(jnp.int32).astype(jnp.uint32)
+    gi = jnp.round(g * F32(255.0)).astype(jnp.int32).astype(jnp.uint32)
+    bi = jnp.round(b * F32(255.0)).astype(jnp.int32).astype(jnp.uint32)
+    shaded = ri | (gi << 8) | (bi << 16) | jnp.uint32(0xFF000000)
+    background = jnp.uint32(0xFFFF0000)
+
+    rgba_ref[:, :] = jnp.where(flag, shaded, background)
+    key_ref[:, :] = acc_key
+
+
+def build_pair_coeffs(tri_table, pair_tri, window_rows: int):
+    """(P_pad, 128) f32 coefficient rows in sorted pair order.
+
+    Gathers the (T, 32) affine table into pair order and pads lanes to the
+    128-wide f32 HBM tile so per-tile windows DMA cleanly; tail rows pad so
+    any 16-aligned window of ``window_rows`` starting at or before the last
+    segment stays in bounds."""
+    gathered = tri_table[pair_tri]  # (P, 32)
+    P = gathered.shape[0]
+    P_pad = ((P + 15) // 16 * 16) + window_rows + 16
+    return jnp.pad(gathered, ((0, P_pad - P), (0, 128 - TRI_TABLE_WIDTH)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height_padded", "width_padded", "window_rows",
+                     "interpret"),
+)
+def raster_shade_micro(
+    pair_coeffs,  # (P_pad, 128) f32
+    seg_start,  # (num_cells,) i32
+    seg_count,  # (num_cells,) i32
+    win_start,  # (num_tiles,) i32
+    tile_count,  # (num_tiles,) i32
+    effect,  # (6,) f32
+    view_position,  # (4,) f32
+    light_world_pos,  # (L, 3) f32
+    light_color,  # (L, 3) f32
+    light_intensity,  # (L,) f32
+    *,
+    height_padded: int,
+    width_padded: int,
+    window_rows: int,
+    interpret: bool = False,
+    y_offset=0,
+):
+    """Run the micro kernel over the padded framebuffer.
+
+    Returns (rgba_packed (Hp,Wp) u32, best_key (Hp,Wp) u32)."""
+    nty = height_padded // 8
+    ntx = width_padded // 128
+
+    from compute_renderer_tpu.backends import common
+
+    threshold, melt_threshold = common.coverage_thresholds(effect)
+    mirage_flag = jnp.where(effect[0] == EFFECT_MIRAGE, F32(1.0), F32(0.0))
+
+    num_lights = int(light_world_pos.shape[0])
+    params = jnp.stack(
+        [
+            threshold, melt_threshold, mirage_flag, effect[1], effect[2],
+            effect[3], effect[5], jnp.asarray(y_offset, F32),
+            view_position[0], view_position[1], view_position[2],
+            F32(num_lights), F32(0.0), F32(0.0), F32(0.0), F32(0.0),
+        ]
+    ).reshape(2, 8)
+    lights = jnp.concatenate(
+        [
+            light_world_pos.astype(F32),
+            light_color.astype(F32),
+            light_intensity.astype(F32)[:, None],
+            jnp.zeros((num_lights, 1), F32),
+        ],
+        axis=1,
+    )
+
+    kernel = functools.partial(_micro_kernel, num_lights=num_lights)
+    rgba, best_key = pl.pallas_call(
+        kernel,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seg_start
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seg_count
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # win_start
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_count
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
+            jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((window_rows, 128), F32),
+            pltpu.VMEM((window_rows, 128), F32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        # Sequential: the double-buffered window prefetch depends on grid
+        # order (tile i prefetches tile i+1's window).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(params, lights, seg_start.astype(jnp.int32),
+      seg_count.astype(jnp.int32), win_start.astype(jnp.int32),
+      tile_count.astype(jnp.int32), pair_coeffs)
+    return rgba, best_key

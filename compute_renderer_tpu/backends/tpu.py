@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from compute_renderer_tpu.backends import binning, common, pallas_raster
+from compute_renderer_tpu.backends import (
+    binning,
+    common,
+    pallas_micro,
+    pallas_raster,
+)
 from compute_renderer_tpu.backends.common import F32
 
 
@@ -60,8 +65,110 @@ def choose_tile(num_triangles: int, width: int, height: int) -> tuple:
 
 @partial(
     jax.jit,
+    static_argnames=("width", "height", "pair_cap", "window_rows",
+                     "interpret"),
+)
+def render_frame_micro(
+    positions,
+    normals,
+    uvs,
+    tri,  # (T, 3) int32
+    view_proj,
+    view_position,
+    light_world_pos,
+    light_color,
+    light_intensity,
+    effect,
+    *,
+    width: int,
+    height: int,
+    pair_cap: int = 0,  # 0 -> heuristic
+    window_rows: int = 0,  # 0 -> heuristic
+    interpret: bool | None = None,
+    screen=None,
+    world=None,
+    tri_table=None,
+):
+    """Mega-scene path: 8x8-cell binning (ONE global sort) + the lane-packed
+    micro kernel (pallas_micro). Coefficients stream from HBM, so there is
+    no VMEM triangle-table budget and no chunked multi-pass — one launch
+    renders any scene size. Returns the same contract as ``render_frame``.
+
+    Coverage outside a triangle's bbox (voxelize inflation / mirage warp)
+    clips to the 8x8 cell-rectangle union — the reference's own tile
+    granularity (raster_pass.rs:3), and exactly the xla backend with
+    tile_h=tile_w=8 (see PARITY.md deviations).
+
+    ``screen``/``world``/``tri_table`` may be injected for the bitwise
+    parity tests (see xla.render_frame's docstring on XLA:CPU FMA
+    contraction)."""
+    if tri.shape[0] == 0:
+        rgba, key = common.empty_frame(width, height)
+        return rgba, key, jnp.zeros((2,), bool)
+
+    if interpret is None:
+        interpret = _use_interpret()
+
+    T = int(tri.shape[0])
+    ntx = (width + 127) // 128
+    nty = (height + 7) // 8
+    if pair_cap == 0:
+        pair_cap = binning.default_pair_cap(T, ntx * nty * 16)
+    if window_rows == 0:
+        window_rows = binning.default_window_rows(T, width, height)
+
+    if screen is None:
+        world, screen = common.vertex_stage(positions, view_proj, effect,
+                                            width, height)
+    # Cell-granularity setup: tile ranges ARE cell ranges at (8, 8).
+    setup = common.triangle_setup(screen, tri, effect, width, height, 8, 8)
+    bins = binning.bin_cells_sort(setup, ntx, nty, pair_cap, window_rows)
+
+    if tri_table is None:
+        tri_table = pallas_raster.build_tri_table(
+            screen, tri, uvs.astype(F32), normals.astype(F32), world
+        )
+    pair_coeffs = pallas_micro.build_pair_coeffs(
+        tri_table, bins["pair_tri"], window_rows
+    )
+    rgba_packed, best_key_p = pallas_micro.raster_shade_micro(
+        pair_coeffs,
+        bins["seg_start"],
+        bins["seg_count"],
+        bins["win_start"],
+        bins["tile_count"],
+        effect,
+        view_position.astype(F32),
+        light_world_pos.astype(F32),
+        light_color.astype(F32),
+        light_intensity.astype(F32),
+        height_padded=nty * 8,
+        width_padded=ntx * 128,
+        window_rows=window_rows,
+        interpret=interpret,
+    )
+    rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
+    best_key = best_key_p[:height, :width]
+    overflow = jnp.stack([bins["pair_overflow"], bins["tile_overflow"]])
+    return rgba, best_key, overflow
+
+
+def resolve_path(path: str, num_triangles: int, tri_chunk: int = 0) -> str:
+    """'auto' picks the lane-packed micro path exactly where the tile path
+    would have to chunk its VMEM triangle table (and pay one sort per
+    chunk): above ~98k triangles."""
+    if path != "auto":
+        return path
+    if tri_chunk == 0:
+        tri_chunk = MAX_TRI_TABLE_BYTES // (pallas_raster.TRI_TABLE_WIDTH * 4)
+    return "micro" if num_triangles > tri_chunk else "tile"
+
+
+@partial(
+    jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "pair_cap",
-                     "tile_cap", "interpret", "tri_chunk"),
+                     "tile_cap", "interpret", "tri_chunk", "path",
+                     "window_rows"),
 )
 def render_frame(
     positions,
@@ -83,16 +190,21 @@ def render_frame(
     tile_cap: int = 0,  # 0 -> heuristic
     interpret: bool | None = None,
     tri_chunk: int = 0,  # 0 -> VMEM-budget heuristic
+    path: str = "auto",  # "auto" | "tile" | "micro"
+    window_rows: int = 0,  # micro path's per-tile window cap
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
-    overflow (2,) bool = [pair_overflow, tile_overflow]).
+    overflow (2,) bool = [pair_overflow, tile_or_window_overflow]).
 
-    Scenes whose triangle table exceeds the VMEM budget are rendered in
-    triangle chunks: the fused kernel runs once per chunk and the chunk
-    framebuffers merge by depth key. Shading commutes with the merge (a
-    pixel's shaded color depends only on its depth winner), and the strict
-    < merge preserves the global lowest-triangle-index tie-break, so the
-    result is bit-identical to a single pass."""
+    Dispatch: scenes up to the VMEM triangle-table budget run the fused
+    tile kernel; larger scenes take the lane-packed micro path
+    (``render_frame_micro``) — one global sort, coefficients streamed from
+    HBM, 16 triangles per vector op. ``path`` overrides the heuristic.
+
+    On the tile path, scenes whose triangle table exceeds the VMEM budget
+    (only reachable by forcing ``path="tile"``) render in triangle chunks
+    merged by depth key — bit-identical to a single pass (shading commutes
+    with the merge; strict < preserves the lowest-index tie-break)."""
     if tri.shape[0] == 0:
         rgba, key = common.empty_frame(width, height)
         return rgba, key, jnp.zeros((2,), bool)
@@ -101,6 +213,13 @@ def render_frame(
         interpret = _use_interpret()
 
     T = int(tri.shape[0])
+    if resolve_path(path, T, tri_chunk) == "micro":
+        return render_frame_micro(
+            positions, normals, uvs, tri, view_proj, view_position,
+            light_world_pos, light_color, light_intensity, effect,
+            width=width, height=height, pair_cap=pair_cap,
+            window_rows=window_rows, interpret=interpret,
+        )
     if tri_chunk == 0:
         tri_chunk = MAX_TRI_TABLE_BYTES // (pallas_raster.TRI_TABLE_WIDTH * 4)
     if tile_h == 0 or tile_w == 0:
@@ -179,21 +298,29 @@ def render_frame(
 
 def render(mesh, camera_uniform, lights, effect, width, height,
            tile_h: int = 0, tile_w: int = 0, pair_cap: int = 0,
-           tile_cap: int = 0, max_retries: int = 3):
+           tile_cap: int = 0, max_retries: int = 3, path: str = "auto",
+           window_rows: int = 0):
     """Host-level entry with automatic capacity retry: if the binning
     capacities overflow (detected, unlike the reference's silent OOB), double
     them and re-render."""
     light_world_pos, light_color, light_intensity = lights
     T = max(mesh.indices.shape[0] // 3, 1)
-    if tile_h == 0 or tile_w == 0:
-        tile_h, tile_w = choose_tile(T, width, height)
-    ntx = (width + tile_w - 1) // tile_w
-    nty = (height + tile_h - 1) // tile_h
-    pc = pair_cap or binning.default_pair_cap(T, ntx * nty)
-    tc = tile_cap or min(
-        binning.default_tile_cap(T, width, height, tile_h, tile_w),
-        MAX_TILE_CAP,
-    )
+    path = resolve_path(path, T)
+    if path == "micro":
+        ntx_t = (width + 127) // 128
+        nty_t = (height + 7) // 8
+        pc = pair_cap or binning.default_pair_cap(T, ntx_t * nty_t * 16)
+        wr = window_rows or binning.default_window_rows(T, width, height)
+    else:
+        if tile_h == 0 or tile_w == 0:
+            tile_h, tile_w = choose_tile(T, width, height)
+        ntx = (width + tile_w - 1) // tile_w
+        nty = (height + tile_h - 1) // tile_h
+        pc = pair_cap or binning.default_pair_cap(T, ntx * nty)
+        tc = tile_cap or min(
+            binning.default_tile_cap(T, width, height, tile_h, tile_w),
+            MAX_TILE_CAP,
+        )
 
     args = (
         jnp.asarray(mesh.positions),
@@ -208,16 +335,30 @@ def render(mesh, camera_uniform, lights, effect, width, height,
         jnp.asarray(effect),
     )
     for _ in range(max_retries):
-        rgba, _, overflow = render_frame(
-            *args, width=width, height=height, tile_h=tile_h, tile_w=tile_w,
-            pair_cap=pc, tile_cap=tc,
-        )
+        if path == "micro":
+            rgba, _, overflow = render_frame_micro(
+                *args, width=width, height=height, pair_cap=pc,
+                window_rows=wr,
+            )
+        else:
+            rgba, _, overflow = render_frame(
+                *args, width=width, height=height, tile_h=tile_h,
+                tile_w=tile_w, pair_cap=pc, tile_cap=tc, path="tile",
+            )
         flags = np.asarray(overflow)
         if not flags.any():
             return np.asarray(rgba)
         if flags[0]:
             pc *= 2
-        if flags[1]:
+        if flags[1] and path == "micro":
+            if wr >= binning.MAX_WINDOW_ROWS:
+                raise RuntimeError(
+                    f"per-tile coefficient window overflow at the "
+                    f"MAX_WINDOW_ROWS={binning.MAX_WINDOW_ROWS} ceiling "
+                    f"(scene too dense for the micro path's VMEM budget)"
+                )
+            wr = min(wr * 2, binning.MAX_WINDOW_ROWS)
+        elif flags[1]:
             if tc >= MAX_TILE_CAP:
                 # The SMEM triangle-list window is bounded; growing past it
                 # would fail Mosaic compilation obscurely. Fail clearly.
@@ -229,5 +370,5 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             tc = min(tc * 2, MAX_TILE_CAP)
     raise RuntimeError(
         f"binning capacity overflow after {max_retries} retries "
-        f"(pair_cap={pc}, tile_cap={tc})"
+        f"(path={path}, pair_cap={pc})"
     )

@@ -52,11 +52,26 @@ def render_frame(
     tile_h: int = 8,
     tile_w: int = 8,
     chunk: int = 8,
+    screen=None,
+    world=None,
+    tri_table=None,
 ):
-    """Render one frame; returns ((H, W, 4) uint8 RGBA, depth_key (H,W) u32)."""
+    """Render one frame; returns ((H, W, 4) uint8 RGBA, depth_key (H,W) u32).
+
+    ``screen``/``world``/``tri_table`` may be injected (normally they are
+    computed here). Injection exists for the cross-backend bitwise parity
+    tests: XLA:CPU contracts mul+add chains into FMAs unconditionally and
+    picks arrangements per fusion context, so the *same source expression*
+    can round 1 ULP apart in two different jit programs. Feeding both
+    backends one precomputed coefficient table removes that (untestable)
+    degree of freedom and pins the raster/shade logic bitwise; on TPU the
+    fully fused programs agree bitwise without injection (the VPU does not
+    contract)."""
     if tri.shape[0] == 0:
         return common.empty_frame(width, height)
-    world, screen = common.vertex_stage(positions, view_proj, effect, width, height)
+    if screen is None:
+        world, screen = common.vertex_stage(positions, view_proj, effect,
+                                            width, height)
     setup = common.triangle_setup(screen, tri, effect, width, height, tile_h, tile_w)
     px, py = common.pixel_grid(effect, width, height)
     threshold, melt_threshold = common.coverage_thresholds(effect)
@@ -84,33 +99,53 @@ def render_frame(
     y0_pad = pad_i32(setup["px_y0"])
     y1_pad = pad_i32(setup["px_y1"])
 
+    if tri_table is not None:
+        table_pad = jnp.concatenate(
+            [tri_table.astype(F32),
+             jnp.zeros((Tpad - tri_table.shape[0], tri_table.shape[1]), F32)]
+        )
+
     def body(c, carry):
         best_key, best_tri = carry
         s = c * chunk
-        idx = jax.lax.dynamic_slice(tri_pad, (s, 0), (chunk, 3))  # (C,3)
-        v1 = screen[idx[:, 0]]  # (C,4)
-        v2 = screen[idx[:, 1]]
-        v3 = screen[idx[:, 2]]
-
-        # Same affine coefficient form + evaluation order as the Pallas
-        # kernel (pallas_raster.build_tri_table / _raster_kernel), so the
-        # two backends agree bitwise.
-        co = common.barycentric_coefficients(
-            v1[:, 0], v1[:, 1], v2[:, 0], v2[:, 1], v3[:, 0], v3[:, 1]
-        )
-        za, zb, zc = common.affine_combine(co, v1[:, 2], v2[:, 2], v3[:, 2])
-
         bcast = lambda a: a[:, None, None]
-        dx = px[None] - bcast(co["ax"])
-        dy = py[None] - bcast(co["ay"])
-        bc1 = bcast(co["a1"]) + bcast(co["b1"]) * dx + bcast(co["c1"]) * dy
-        bc2 = bcast(co["a2"]) + bcast(co["b2"]) * dx + bcast(co["c2"]) * dy
-        bc3 = bcast(co["a3"]) + bcast(co["b3"]) * dx + bcast(co["c3"]) * dy
+        if tri_table is None:
+            idx = jax.lax.dynamic_slice(tri_pad, (s, 0), (chunk, 3))  # (C,3)
+            v1 = screen[idx[:, 0]]  # (C,4)
+            v2 = screen[idx[:, 1]]
+            v3 = screen[idx[:, 2]]
+
+            # Same affine coefficient form + evaluation order as the Pallas
+            # kernel (pallas_raster.build_tri_table / _raster_kernel), so
+            # the two backends agree bitwise.
+            co = common.barycentric_coefficients(
+                v1[:, 0], v1[:, 1], v2[:, 0], v2[:, 1], v3[:, 0], v3[:, 1]
+            )
+            za, zb, zc = common.affine_combine(co, v1[:, 2], v2[:, 2], v3[:, 2])
+            col = {
+                0: co["a1"], 1: co["b1"], 2: co["c1"],
+                3: co["a2"], 4: co["b2"], 5: co["c2"],
+                6: co["a3"], 7: co["b3"], 8: co["c3"],
+                9: za, 10: zb, 11: zc, 30: co["ax"], 31: co["ay"],
+            }
+            col = {k: bcast(v) for k, v in col.items()}
+        else:
+            rows = jax.lax.dynamic_slice(
+                table_pad, (s, 0), (chunk, table_pad.shape[1])
+            )
+            col = {k: bcast(rows[:, k]) for k in
+                   (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 30, 31)}
+
+        dx = px[None] - col[30]
+        dy = py[None] - col[31]
+        bc1 = col[0] + col[1] * dx + col[2] * dy
+        bc2 = col[3] + col[4] * dx + col[5] * dy
+        bc3 = col[6] + col[7] * dx + col[8] * dy
 
         mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
         min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
         mask &= min_bc >= melt_threshold
-        z = bcast(za) + bcast(zb) * dx + bcast(zc) * dy
+        z = col[9] + col[10] * dx + col[11] * dy
         mask &= jnp.isfinite(z)  # (C,H,W)
 
         sl = lambda a: jax.lax.dynamic_slice(a, (s,), (chunk,))[:, None, None]
@@ -135,10 +170,33 @@ def render_frame(
     )
     best_key, best_tri = jax.lax.fori_loop(0, Tpad // chunk, body, init)
 
-    gbuffer = common.resolve_attributes(
-        best_tri, tri.astype(jnp.int32), screen, world, normals.astype(F32),
-        uvs.astype(F32), effect, width, height,
-    )
+    if tri_table is None:
+        gbuffer = common.resolve_attributes(
+            best_tri, tri.astype(jnp.int32), screen, world,
+            normals.astype(F32), uvs.astype(F32), effect, width, height,
+        )
+    else:
+        # Table-driven resolve: interpolate the 6 attribute channels from
+        # the winner's precomputed affine rows (same values the Pallas
+        # kernels evaluate).
+        flag = best_tri != NO_TRI
+        row = tri_table[jnp.where(flag, best_tri, 0)]  # (H, W, 32)
+        dx = px - row[..., 30]
+        dy = py - row[..., 31]
+
+        def interp(ch):
+            return (row[..., 12 + ch * 3] + row[..., 13 + ch * 3] * dx
+                    + row[..., 14 + ch * 3] * dy)
+
+        zero = F32(0.0)
+        nrm = jnp.stack([interp(0), interp(1), interp(2)], axis=-1)
+        wpos = jnp.stack([interp(3), interp(4), interp(5)], axis=-1)
+        gbuffer = {
+            "flag": flag,
+            "uv": jnp.zeros(flag.shape + (2,), F32),
+            "normal": jnp.where(flag[..., None], nrm, zero),
+            "world_pos": jnp.where(flag[..., None], wpos, zero),
+        }
     rgba = common.shade(
         gbuffer, view_position, light_world_pos.astype(F32),
         light_color.astype(F32), light_intensity.astype(F32),

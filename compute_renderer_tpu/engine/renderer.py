@@ -127,9 +127,37 @@ class Renderer:
 
     def _grow_caps(self, grow_pair: bool = True, grow_tile: bool = True) -> None:
         from compute_renderer_tpu.backends import binning as binning_mod
-        from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP, choose_tile
+        from compute_renderer_tpu.backends.tpu import (
+            MAX_TILE_CAP,
+            choose_tile,
+            resolve_path,
+        )
 
         T = max(self.num_triangles, 1)
+        path = resolve_path(self.options.get("path", "auto"), T,
+                            self.options.get("tri_chunk", 0))
+        if path == "micro":
+            ntx_t = (self.width + 127) // 128
+            nty_t = (self.height + 7) // 8
+            pc = self.options.get("pair_cap") or binning_mod.default_pair_cap(
+                T, ntx_t * nty_t * 16
+            )
+            wr = self.options.get("window_rows") or (
+                binning_mod.default_window_rows(T, self.width, self.height)
+            )
+            self.options["pair_cap"] = pc * 2 if grow_pair else pc
+            if grow_tile:
+                if wr >= binning_mod.MAX_WINDOW_ROWS:
+                    raise RuntimeError(
+                        "per-tile coefficient window overflow at the "
+                        f"MAX_WINDOW_ROWS={binning_mod.MAX_WINDOW_ROWS} "
+                        "ceiling (scene too dense for the micro path)"
+                    )
+                wr = min(wr * 2, binning_mod.MAX_WINDOW_ROWS)
+            self.options["window_rows"] = wr
+            self._step_cache.clear()
+            return
+
         tile_h = self.options.get("tile_h", 0)
         tile_w = self.options.get("tile_w", 0)
         if not tile_h or not tile_w:
@@ -217,6 +245,15 @@ class Renderer:
             f"(options={self.options})"
         )
 
+    def fence_pending(self) -> None:
+        """Block until every dispatched batch has completed on device, via a
+        tiny device_get of the accumulated overflow flags.
+        ``jax.block_until_ready`` is NOT a reliable completion fence on
+        remote/tunneled backends (observed returning immediately for
+        still-running single-fusion programs); an actual transfer is."""
+        if self._pending_overflow is not None:
+            np.asarray(self._pending_overflow)
+
     def flush_overflow(self) -> bool:
         """Fetch and clear overflow flags accumulated by unchecked batch
         renders. True means at least one rendered frame silently dropped
@@ -238,6 +275,11 @@ class Renderer:
         """Render and block until the device finishes, returning the device
         framebuffer. Used by the benchmark harness to measure true per-frame
         latency (the reference's custom path never fences — BASELINE.md
-        documents why we do)."""
-        rgba = self._checked(uniforms)[0]
-        return jax.block_until_ready(rgba)
+        documents why we do). The fence is a tiny device_get:
+        ``block_until_ready`` is not reliable through a tunneled backend."""
+        out = self._checked(uniforms)
+        if len(out) < 3:
+            # xla backend: no overflow flags were fetched by _checked, so
+            # fetch one pixel to force completion.
+            np.asarray(out[0][0, 0])
+        return out[0]

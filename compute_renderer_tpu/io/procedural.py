@@ -174,16 +174,80 @@ def torus(major_segments: int = 48, minor_segments: int = 24,
     return Mesh(positions, normals, uvs, np.asarray(idx, dtype=np.uint32))
 
 
+def uv_sphere(nu: int = 64, nv: int = 32, radius: float = 1.0,
+              center=(0.0, 0.0, 0.0),
+              displace_fn=None) -> Mesh:
+    """Lat-long sphere, fully vectorized index generation — scales to
+    mega-scene (~1M tri) stand-ins where the dict-based icosphere subdivision
+    would take minutes. ``displace_fn(theta, phi) -> dr`` optionally perturbs
+    the radius (a 'scanned statue' look with subpixel triangles)."""
+    uu = np.linspace(0.0, 2 * np.pi, nu + 1, dtype=np.float64)
+    vv = np.linspace(-0.5 * np.pi, 0.5 * np.pi, nv + 1, dtype=np.float64)
+    theta, phi = np.meshgrid(uu, vv, indexing="ij")  # (nu+1, nv+1)
+    r = radius
+    if displace_fn is not None:
+        r = radius + displace_fn(theta, phi)
+    nx = np.cos(theta) * np.cos(phi)
+    ny = np.sin(phi)
+    nz = np.sin(theta) * np.cos(phi)
+    positions = np.stack(
+        [r * nx + center[0], r * ny + center[1], r * nz + center[2]], axis=-1
+    ).reshape(-1, 3).astype(F32)
+    normals = np.stack([nx, ny, nz], axis=-1).reshape(-1, 3).astype(F32)
+    uvs = np.stack(
+        [theta / (2 * np.pi), (phi / np.pi) + 0.5], axis=-1
+    ).reshape(-1, 2).astype(F32)
+
+    # Vectorized quad -> two-triangle fan (CCW when viewed from outside,
+    # matching grid_plane's winding convention).
+    i = np.arange(nu, dtype=np.uint32)[:, None]
+    j = np.arange(nv, dtype=np.uint32)[None, :]
+    a = i * (nv + 1) + j
+    b = (i + 1) * (nv + 1) + j
+    a1 = a + 1
+    b1 = b + 1
+    idx = np.stack([a, b, a1, a1, b, b1], axis=-1).reshape(-1)
+    return Mesh(positions, normals, uvs, idx.astype(np.uint32))
+
+
+def _san_miguel_mega() -> Mesh:
+    """~1.0M-tri San-Miguel-class stand-in (the reference's low-poly San
+    Miguel is ~1M tris, SURVEY §2.1 H6): a large displaced terrain around
+    the reference camera spawn plus a dense central 'statue' sphere —
+    mostly subpixel triangles from the benchmark viewpoint, which is the
+    workload class that forced the micro raster path."""
+    terrain = grid_plane(
+        600, 600, size=60.0,
+        height_fn=lambda x, z: 0.4 * np.sin(x * 0.7) * np.cos(z * 0.7),
+    )  # 720k tris
+    statue = uv_sphere(
+        528, 264, radius=3.0, center=(8.0, 2.5, 5.0),
+        displace_fn=lambda t, p: 0.15 * np.sin(7 * t) * np.cos(5 * p),
+    )  # ~279k tris
+    return Mesh.concatenate([terrain, statue])  # ~999k tris
+
+
+def _vokselia_mega() -> Mesh:
+    """~800k-tri Vokselia-class stand-in: blocky displaced terrain."""
+    steps = lambda x, z: 0.5 * np.floor(2.0 * np.sin(x * 0.9) * np.cos(z * 0.9))
+    return grid_plane(632, 632, size=30.0, height_fn=steps)  # ~799k tris
+
+
 # Named stand-ins for the reference benchmark models (matched triangle-count
 # classes; the real LFS assets are not distributable with the source).
+# The heavy scenes match the reference's real triangle classes (San Miguel
+# low-poly ~1M, SURVEY §2.1 H6); the round-1 42k/8k variants remain
+# available as explicit "_small" rows.
 PROCEDURAL_MODELS = {
     "suzanne.obj": lambda: icosphere(3, radius=1.0),  # ~1.3k tris
-    "vokselia_spawn/vokselia_spawn.obj": lambda: grid_plane(
+    "vokselia_spawn/vokselia_spawn.obj": _vokselia_mega,  # ~799k tris
+    "vokselia_spawn_small.obj": lambda: grid_plane(
         64, 64, size=20.0,
         height_fn=lambda x, z: 0.5 * np.sin(x * 0.8) * np.cos(z * 0.8),
     ),  # 8k tris
     "exterior/Exterior.obj": lambda: torus(128, 64, 100.0, 40.0),  # 16k tris
-    "San_Miguel/san-miguel-low-poly.obj": lambda: Mesh.concatenate(
+    "San_Miguel/san-miguel-low-poly.obj": _san_miguel_mega,  # ~1.0M tris
+    "san_miguel_small.obj": lambda: Mesh.concatenate(
         [grid_plane(128, 128, size=40.0,
                     height_fn=lambda x, z: 0.3 * np.sin(x) * np.cos(z)),
          torus(96, 48, 8.0, 3.0)]

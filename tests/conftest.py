@@ -3,42 +3,80 @@ devices, so multi-chip sharding tests work without TPU hardware and Pallas
 kernels run in interpret mode."""
 
 import os
+import sys
 
-# Force (not setdefault): the host environment pins JAX_PLATFORMS to the TPU
-# tunnel; tests must run on CPU with virtual devices.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The host sitecustomize initializes a TPU-tunnel PJRT plugin at interpreter
+# startup when JAX_PLATFORMS selects it; that initialization flips
+# process-global XLA codegen state (excess precision) that nothing in this
+# process can undo, and which breaks the suite's bitwise backend-parity
+# contracts by 1 ULP. If this interpreter started in that state, re-exec
+# pytest once with JAX_PLATFORMS=cpu so the plugin stays inert. The exec is
+# deferred to pytest_configure so pytest's fd capture can be suspended first
+# (otherwise the re-exec'd run's output lands in a discarded capture file).
+_NEEDS_REEXEC = (
+    os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
+    and os.environ.get("_GRAFT_PYTEST_REEXEC") != "1"
+)
 
-import jax  # noqa: E402
+
+def pytest_configure(config):
+    if not _NEEDS_REEXEC:
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+        capman.stop_global_capturing()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_GRAFT_PYTEST_REEXEC"] = "1"
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest", *sys.argv[1:]],
+        env,
+    )
+
+
+if not _NEEDS_REEXEC:
+    # Force (not setdefault): the host environment pins JAX_PLATFORMS to the
+    # TPU tunnel; tests must run on CPU with virtual devices.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    import jax
+
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.clear_backends()
+        except AttributeError:
+            import jax.extend.backend
+
+            jax.extend.backend.clear_backends()
+        assert jax.default_backend() == "cpu"
+
+    # Persistent compilation cache: this box has a single CPU core, so XLA
+    # compile time dominates test wall-clock. Cache compiled executables
+    # across runs. The directory is SEPARATE from the TPU/CLI cache
+    # (/tmp/jax_cache): the cache key captures neither the plugin's
+    # process-global codegen state nor CPU target features, so sharing a
+    # cache across regimes mixes 1-ULP-different executables and breaks the
+    # bitwise backend-parity tests.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update(
+        "jax_persistent_cache_enable_xla_caches",
+        "xla_gpu_per_fusion_autotune_cache_dir",
+    )
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
-
-if jax.default_backend() != "cpu":
-    # The host sitecustomize initializes the TPU-tunnel backend at
-    # interpreter startup, before this conftest runs; re-point JAX at CPU
-    # and drop the already-initialized backends.
-    jax.config.update("jax_platforms", "cpu")
-    try:
-        jax.clear_backends()
-    except AttributeError:
-        import jax.extend.backend
-
-        jax.extend.backend.clear_backends()
-    assert jax.default_backend() == "cpu"
-
-# Persistent compilation cache: this box has a single CPU core, so XLA
-# compile time dominates test wall-clock. Cache compiled executables across
-# runs (keyed by HLO, safe across code edits).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update(
-    "jax_persistent_cache_enable_xla_caches", "xla_gpu_per_fusion_autotune_cache_dir"
-)
 
 
 @pytest.fixture

@@ -76,7 +76,9 @@ def test_suite_configs_match_reference():
     from compute_renderer_tpu.bench.suite import benchmark_scene_configs
 
     scenes = benchmark_scene_configs(30.0)
-    assert len(scenes) == 8
+    # Reference's 8 rows (main.rs:150-232) + 4 extension rows (the round-1
+    # small stand-ins, kept for continuity).
+    assert len(scenes) == 12
     # Order: San Miguel, Exterior, Suzanne, Vokselia x (tpu, xla)
     assert "San_Miguel" in scenes[0].model_path
     assert scenes[0].normalized_backend() == "tpu"

@@ -1,0 +1,180 @@
+"""Micro-raster (mega-scene) path: lane-packed cell kernel + cell binning.
+
+Parity oracle: the xla brute-force backend with tile_h=tile_w=8 — the micro
+path bins at 8x8 cells, so its coverage-clip rectangle union matches the
+xla backend at exactly that tile shape (and the reference's own 8x8 tiles,
+raster_pass.rs:3). Comparisons are bitwise.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from compute_renderer_tpu.backends import binning, tpu, xla
+from compute_renderer_tpu.core.camera import Camera
+from compute_renderer_tpu.core.effects import Effect, EffectUniform, WaveDirection
+from compute_renderer_tpu.io import procedural
+
+W, H = 256, 192
+
+
+def frame_args(mesh, effect=None, eye=(0.0, 0.0, 3.0)):
+    cam = Camera.first_person(list(eye), aspect=W / H)
+    u = cam.uniform()
+    eff = (effect or EffectUniform()).as_array()
+    return (
+        jnp.asarray(mesh.positions),
+        jnp.asarray(mesh.normals),
+        jnp.asarray(mesh.uvs),
+        jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3),
+        jnp.asarray(u.view_proj),
+        jnp.asarray(u.view_position),
+        jnp.asarray(np.array([[0.0, 0.0, 5.0], [-5.0, 3.0, 0.0]], np.float32)),
+        jnp.asarray(np.array([[1.0, 0.9, 0.8], [0.3, 0.4, 0.5]], np.float32)),
+        jnp.asarray(np.array([1.0, 0.5], np.float32)),
+        jnp.asarray(eff),
+    )
+
+
+def precomputed_geometry(args):
+    """(screen, world, tri_table) computed once in a standalone program.
+
+    Injected into BOTH backends under comparison: XLA:CPU contracts mul+add
+    into FMA unconditionally, choosing arrangements per fusion context, so
+    the same coefficient formulas can round 1 ULP apart in two different
+    jit programs (observed as spurious depth splits at shared edges). On
+    TPU the fused programs agree without injection."""
+    import jax
+
+    from compute_renderer_tpu.backends import common, pallas_raster
+
+    @jax.jit
+    def prep(pos, nrm, uvs, tri, vp, eff):
+        world, screen = common.vertex_stage(pos, vp, eff, W, H)
+        table = pallas_raster.build_tri_table(
+            screen, tri, uvs.astype(jnp.float32), nrm.astype(jnp.float32),
+            world)
+        return screen, world, table
+
+    return prep(args[0], args[1], args[2], args[3], args[4], args[9])
+
+
+def assert_micro_matches_xla(args, pair_cap=65536, window_rows=2048,
+                             **micro_kw):
+    # Generous static caps: cell-granularity binning generates far more
+    # pairs than tile binning (a large triangle covers many 8x8 cells), and
+    # these tests assert no overflow rather than exercising the host retry.
+    screen, world, table = precomputed_geometry(args)
+    rgba_m, key_m, ovf = tpu.render_frame_micro(
+        *args, width=W, height=H, pair_cap=pair_cap,
+        window_rows=window_rows, screen=screen, world=world,
+        tri_table=table, **micro_kw)
+    assert not np.asarray(ovf).any(), "unexpected binning overflow"
+    rgba_x, key_x = xla.render_frame(*args, width=W, height=H,
+                                     tile_h=8, tile_w=8, screen=screen,
+                                     world=world, tri_table=table)
+    np.testing.assert_array_equal(np.asarray(key_m), np.asarray(key_x))
+    np.testing.assert_array_equal(np.asarray(rgba_m), np.asarray(rgba_x))
+    return np.asarray(key_m)
+
+
+def test_parity_icosphere():
+    key = assert_micro_matches_xla(frame_args(procedural.icosphere(3)))
+    assert (key != 0xFFFFFFFF).sum() > 1000  # actually covered something
+
+
+def test_parity_cube_large_triangles():
+    # Large triangles spanning many cells exercise multi-cell pair lists.
+    assert_micro_matches_xla(frame_args(procedural.cube(2.0)))
+
+
+def test_parity_grid_oblique():
+    mesh = procedural.grid_plane(
+        48, 48, size=20.0,
+        height_fn=lambda x, z: 0.5 * np.sin(x) * np.cos(z),
+    )
+    assert_micro_matches_xla(frame_args(mesh, eye=(0.0, 2.0, 10.0)))
+
+
+@pytest.mark.parametrize(
+    "effect",
+    [
+        Effect.wave(0.4, 3.0, 2.0, WaveDirection.VERTICAL),
+        Effect.edge_melt(0.2, 1.0),
+        Effect.voxelize(0.5, 1.0),
+        Effect.mirage(0.6, 0.7, 0.3),
+    ],
+    ids=["wave", "edge_melt", "voxelize", "mirage"],
+)
+def test_parity_effects(effect):
+    effect.update(0.35)
+    u = effect.uniform(scene_time=0.35)
+    assert_micro_matches_xla(frame_args(procedural.icosphere(2), effect=u))
+
+
+def test_parity_fuzz_random_soup(rng):
+    # Random triangle soup: degenerate/behind-camera/overlapping triangles.
+    n = 120
+    pos = rng.uniform(-2, 2, (3 * n, 3)).astype(np.float32)
+    pos[:, 2] -= 1.0
+    from compute_renderer_tpu.core.types import Mesh
+
+    mesh = Mesh(
+        positions=pos,
+        normals=rng.standard_normal((3 * n, 3)).astype(np.float32),
+        uvs=rng.uniform(0, 1, (3 * n, 2)).astype(np.float32),
+        indices=np.arange(3 * n, dtype=np.uint32),
+    )
+    assert_micro_matches_xla(frame_args(mesh))
+
+
+def test_determinism_two_runs():
+    args = frame_args(procedural.icosphere(3))
+    a = tpu.render_frame_micro(*args, width=W, height=H)
+    b = tpu.render_frame_micro(*args, width=W, height=H)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_overflow_detection_and_retry_parity():
+    mesh = procedural.icosphere(3)
+    args = frame_args(mesh)
+    # Deliberately tiny caps -> flags set; the clamped result must not crash
+    # or read out of its window.
+    _, _, ovf = tpu.render_frame_micro(*args, width=W, height=H,
+                                       pair_cap=256, window_rows=16)
+    ovf = np.asarray(ovf)
+    assert ovf.any()
+    # Doubling up to sufficient caps restores exact parity (the host retry
+    # loop's contract).
+    assert_micro_matches_xla(args)
+
+
+def test_bin_cells_sort_segments():
+    """Cell segments are contiguous per tile and consistent with win_start."""
+    from compute_renderer_tpu.backends import common
+
+    mesh = procedural.icosphere(2)
+    args = frame_args(mesh)
+    world, screen = common.vertex_stage(args[0], args[4], args[9], W, H)
+    setup = common.triangle_setup(screen, args[3], args[9], W, H, 8, 8)
+    ntx, nty = (W + 127) // 128, (H + 7) // 8
+    bins = binning.bin_cells_sort(setup, ntx, nty, 8192, 1024)
+    seg_start = np.asarray(bins["seg_start"])
+    seg_count = np.asarray(bins["seg_count"])
+    win_start = np.asarray(bins["win_start"])
+    tile_count = np.asarray(bins["tile_count"])
+    num_tiles = ntx * nty
+    assert seg_start.shape == (num_tiles * 16,)
+    # Segments are non-overlapping and ordered.
+    ends = seg_start + seg_count
+    assert (seg_start[1:] >= ends[:-1]).all()
+    # Window bases are 16-aligned and at/below the tile's first segment.
+    assert (win_start % 16 == 0).all()
+    first = seg_start.reshape(num_tiles, 16)[:, 0]
+    assert (win_start <= first).all()
+    assert (first - win_start < 16).all()
+    assert tile_count.sum() == int(np.asarray(bins["total_pairs"]))
+    # Sorted pair list really is cell-sorted: reconstruct cell of each pair.
+    pair_tri = np.asarray(bins["pair_tri"])[: int(tile_count.sum())]
+    assert (pair_tri >= 0).all()
