@@ -112,6 +112,7 @@ def bin_triangles_dense(setup, ntx: int, nty: int, pair_cap: int,
         )
 
     tile_overflow = jnp.any(counts > tile_cap)
+    max_count = jnp.max(counts) if num_tiles > 0 else jnp.int32(0)
     return {
         "bin_rows": tri_of_slot,
         "seg_start": seg_start,
@@ -120,6 +121,11 @@ def bin_triangles_dense(setup, ntx: int, nty: int, pair_cap: int,
         "overflow": tile_overflow,
         "pair_overflow": jnp.asarray(False),
         "tile_overflow": tile_overflow,
+        # Needed capacities (0 = within cap): lets the renderer's retry jump
+        # straight to a sufficient size in ONE recompile instead of doubling
+        # blindly (each retry recompiles — minutes at mega scale).
+        "pair_needed": jnp.int32(0),
+        "tile_needed": jnp.where(tile_overflow, max_count, 0).astype(jnp.int32),
         "layout": "dense",
     }
 
@@ -201,6 +207,7 @@ def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
 
     pair_overflow = total > pair_cap
     tile_overflow = jnp.any(count > tile_cap)
+    max_count = jnp.max(count) if num_tiles > 0 else jnp.int32(0)
     return {
         "pair_tri": pair_tri,
         "seg_start": seg_start,
@@ -209,12 +216,17 @@ def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
         "overflow": pair_overflow | tile_overflow,
         "pair_overflow": pair_overflow,
         "tile_overflow": tile_overflow,
+        # Needed capacities (0 = within cap). Note per-tile counts are
+        # derived from the pair_cap-bounded list, so tile_needed can
+        # under-report while pair_cap itself overflows; the retry loop
+        # converges in <= 2 recompiles.
+        "pair_needed": jnp.where(pair_overflow, total, 0).astype(jnp.int32),
+        "tile_needed": jnp.where(tile_overflow, max_count, 0).astype(jnp.int32),
         "layout": "flat",
     }
 
 
-def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
-                   window_rows: int):
+def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int):
     """Cell-granularity binning for the micro-raster (mega-scene) path.
 
     Cells are 8x8 px; a framebuffer tile (8, 128) holds 16 cells side by
@@ -226,11 +238,12 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
     and the raster kernel DMAs a single per-tile window.
 
     ``setup`` must come from ``common.triangle_setup(..., tile_h=8,
-    tile_w=8)`` (tile ranges are cell ranges). Unlike the tile path there is
-    no per-cell capacity: the only cap is ``window_rows`` — the per-tile
-    coefficient window the kernel stages into VMEM. One global sort,
-    histogram segments (no per-chunk re-sorts — the chunked tile path paid
-    ~11 sorts per frame at 1M triangles).
+    tile_w=8)`` (tile ranges are cell ranges). Unlike the tile path there
+    is no per-cell or per-tile capacity at all: the kernel streams each
+    tile's coefficient window from HBM in fixed-size chunks, so the only
+    cap is the global ``pair_cap`` (growable, overflow-detected). One
+    global sort, histogram segments (no per-chunk re-sorts — the chunked
+    tile path paid ~11 sorts per frame at 1M triangles).
 
     Returns dict:
       pair_tri:   (pair_cap,) i32 triangle ids sorted by cell
@@ -238,7 +251,9 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
       seg_count:  (num_cells,) i32
       win_start:  (num_tiles,) i32  16-aligned window base row per tile
       tile_count: (num_tiles,) i32  total pairs per tile
-      pair_overflow / tile_overflow: () bool
+      pair_overflow: () bool; pair_needed: () i32 (0 = within cap)
+      tile_overflow / tile_needed: always False/0 (kept for the shared
+      overflow-report contract)
     """
     i32 = jnp.int32
     num_tiles = ntx_t * nty_t
@@ -287,45 +302,22 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
     tile_count = counts.reshape(num_tiles, 16).sum(axis=1)
     first = seg_start.reshape(num_tiles, 16)[:, 0]
     win_start = (first // 16) * 16
-    tile_end = first + tile_count
-    tile_overflow = jnp.any(tile_end - win_start > window_rows)
-
-    # Safety clamp: on window overflow (detected above; the renderer
-    # retries with a bigger window) the kernel must still stay inside its
-    # staged window — truncate each cell's count to the window tail.
-    limit = (
-        jnp.broadcast_to(win_start[:, None], (num_tiles, 16)).reshape(-1)
-        + window_rows
-        - seg_start
-    )
-    counts_safe = jnp.clip(jnp.minimum(counts, limit), 0)
 
     return {
         "pair_tri": sorted_tri,
         "seg_start": seg_start,
-        "seg_count": counts_safe,
+        "seg_count": counts,
         "win_start": win_start,
         "tile_count": tile_count,
         "total_pairs": total,
         "pair_overflow": total > pair_cap,
-        "tile_overflow": tile_overflow,
+        "tile_overflow": jnp.asarray(False),
+        # Needed capacity (0 = within cap). No tile-side cap exists on this
+        # layout (window chunks stream from HBM).
+        "pair_needed": jnp.where(total > pair_cap, total, 0).astype(jnp.int32),
+        "tile_needed": jnp.int32(0),
         "layout": "micro",
     }
-
-
-def default_window_rows(num_triangles: int, width: int, height: int) -> int:
-    """Per-tile coefficient-window row cap for the micro path: the
-    reference's density heuristic (gpu_buffers.rs:53-63) at (8,128)-tile
-    granularity, 16-row aligned, bounded by the VMEM double-buffer budget."""
-    avg_tri_area = (width * height) / max(num_triangles, 1)
-    base = int(2.0 * (8 * 128) / max(avg_tri_area, 1e-6))
-    cap = min(max(base, 256), MAX_WINDOW_ROWS)
-    return (cap + 15) // 16 * 16
-
-
-# Two VMEM (rows, 128) f32 window buffers at 512 B/row: 8192 rows => 8 MiB,
-# leaving half of a v5e core's ~16 MiB VMEM for blocks and scratch.
-MAX_WINDOW_ROWS = 8192
 
 
 def pair_list_padding(pair_cap: int, tile_cap: int) -> int:

@@ -21,11 +21,15 @@ rasteriser.wgsl:192-243), the TPU way:
   reduces across groups with (key, pair)-lexicographic order — deterministic
   lowest-triangle-index tie-break, same contract as the tile kernel and the
   reference's intended (racy) CAS loop (rasteriser.wgsl:147-186);
-- triangle coefficients stream from HBM in per-tile windows (double-buffered
-  prefetch), so there is NO VMEM triangle-table budget and no chunked
-  multi-pass: one launch renders any scene size. The per-chunk re-sorts that
-  dominated mega-scene frames (~11 sorts/frame at 1M tris) collapse into
-  one global sort in binning.
+- triangle coefficients stream from HBM in fixed-size per-tile window
+  CHUNKS (double-buffered DMA inside the tile's walk), so there is NO VMEM
+  triangle-table budget, no chunked multi-pass, and — unlike the round-1
+  single-window design — no per-tile density ceiling: a tile needing 11k+
+  coefficient rows (San-Miguel-class densest tile at 1024x768) walks
+  ceil(rows/CHUNK_ROWS) chunks with a dynamic fori_loop instead of failing
+  at a MAX_WINDOW_ROWS VMEM bound. The per-chunk re-sorts that dominated
+  mega-scene frames (~11 sorts/frame at 1M tris) collapse into one global
+  sort in binning, and only pair_cap remains as a (growable) capacity.
 
 Effect semantics: identical formulas to the tile kernel; coverage outside
 the triangle bbox (voxelize inflation, mirage warp) clips to the 8x8 *cell*
@@ -76,7 +80,7 @@ def _micro_kernel(
     rgba_ref,  # (8, 128) u32
     key_ref,  # (8, 128) u32
     # scratch
-    win_a,  # (W, 128) f32 VMEM
+    win_a,  # (CHUNK_ROWS, 128) f32 VMEM
     win_b,
     sem_a,
     sem_b,
@@ -86,33 +90,18 @@ def _micro_kernel(
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     ntx = pl.num_programs(1)
-    num_tiles = pl.num_programs(0) * ntx
     tile_id = ti * ntx + tj
-    W = win_a.shape[0]
+    W = win_a.shape[0]  # chunk rows
 
     count = tile_count_ref[tile_id]
-
-    # -- double-buffered per-tile window prefetch (as pallas_raster flat) ----
-    slot = tile_id % 2
-
-    def issue(tid, buf, sem):
-        w0 = pl.multiple_of(win_start_ref[tid], 16)
-        pltpu.make_async_copy(coeffs_ref.at[pl.ds(w0, W), :], buf, sem).start()
-
-    @pl.when((tile_id == 0) & (count > 0))
-    def _():
-        issue(0, win_a, sem_a)
-
-    nxt = jnp.minimum(tile_id + 1, num_tiles - 1)
-    do_prefetch = (tile_id + 1 < num_tiles) & (tile_count_ref[nxt] > 0)
-
-    @pl.when(do_prefetch & (slot == 1))
-    def _():
-        issue(nxt, win_a, sem_a)
-
-    @pl.when(do_prefetch & (slot == 0))
-    def _():
-        issue(nxt, win_b, sem_b)
+    w0 = pl.multiple_of(win_start_ref[tile_id], 16)
+    # Cells are contiguous in the sorted pair list, so the tile's rows are
+    # [first, first + count) with first = seg_start of its cell 0; the
+    # chunk walk covers ceil(rows / W) chunks — dynamic trip count, NO
+    # static per-tile density ceiling.
+    first = seg_start_ref[tile_id * 16]
+    rows = first + count - w0
+    nchunks = (rows + W - 1) // W
 
     @pl.when(count == 0)
     def _():
@@ -121,28 +110,23 @@ def _micro_kernel(
 
     @pl.when(count > 0)
     def _():
-        @pl.when(slot == 0)
-        def _():
-            pltpu.make_async_copy(
-                coeffs_ref.at[pl.ds(0, W), :], win_a, sem_a
-            ).wait()
-
-        @pl.when(slot == 1)
-        def _():
-            pltpu.make_async_copy(
-                coeffs_ref.at[pl.ds(0, W), :], win_b, sem_b
-            ).wait()
-
+        # Chunk 0 in flight before the walk; the walk waits on it at the
+        # first block and double-buffers subsequent chunks (issue k+1 while
+        # evaluating k).
+        pltpu.make_async_copy(
+            coeffs_ref.at[pl.ds(w0, W), :], win_a, sem_a
+        ).start()
         _raster_tile_micro(
             params_ref, lights_ref, seg_start_ref, seg_count_ref,
-            win_start_ref, rgba_ref, key_ref, win_a, win_b, slot,
-            ti, tj, tile_id, num_lights=num_lights,
+            coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
+            w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
         )
 
 
 def _raster_tile_micro(
-    params_ref, lights_ref, seg_start_ref, seg_count_ref, win_start_ref,
-    rgba_ref, key_ref, win_a, win_b, slot, ti, tj, tile_id,
+    params_ref, lights_ref, seg_start_ref, seg_count_ref, coeffs_ref,
+    rgba_ref, key_ref, win_a, win_b, sem_a, sem_b, w0, nchunks,
+    ti, tj, tile_id,
     *, num_lights: int,
 ):
     threshold = params_ref[0, 0]
@@ -153,7 +137,7 @@ def _raster_tile_micro(
     phase = params_ref[0, 5]
     time = params_ref[0, 6]
 
-    w0 = win_start_ref[tile_id]
+    W = win_a.shape[0]
     sel = _selection_matrix()
 
     y0 = (ti * 8).astype(F32) + params_ref[0, 7]
@@ -166,6 +150,12 @@ def _raster_tile_micro(
     # Per-tile accumulated framebuffer state.
     acc_key = jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32)
     acc_attrs = tuple(jnp.zeros((8, 128), F32) for _ in range(6))
+    # Chunk currently resident (-1: chunk 0 issued but not yet waited on).
+    # Blocks walk rows in non-decreasing order across cells (segments are
+    # contiguous), each 16-row block lies inside ONE W-row chunk (both
+    # 16-aligned), and consecutive processed blocks are <= 16 rows apart,
+    # so the walk crosses chunk boundaries one at a time.
+    cur = jnp.int32(-1)
 
     for c in range(16):  # static unroll: one 8x8 cell per iteration
         s = seg_start_ref[tile_id * 16 + c]
@@ -183,11 +173,46 @@ def _raster_tile_micro(
         py = jnp.where(mirage > 0.5, ys_base + off_y, ys_base)
 
         def body(k, carry, s=s, n=n, base0=base0, px=px, py=py):
-            best_key, best_pair, attrs = carry
-            rel = base0 - w0 + k * 16
+            best_key, best_pair, attrs, cur = carry
+            row = base0 + k * 16  # absolute coefficient row of this block
+            ck = (row - w0) // W  # chunk holding the whole block
+            adv = ck != cur
+            even = (ck % 2) == 0
+
+            # Crossing into chunk ck: wait for its DMA, then put the next
+            # chunk in flight into the other buffer.
+            @pl.when(adv & even)
+            def _():
+                pltpu.make_async_copy(
+                    coeffs_ref.at[pl.ds(0, W), :], win_a, sem_a
+                ).wait()
+
+            @pl.when(adv & ~even)
+            def _():
+                pltpu.make_async_copy(
+                    coeffs_ref.at[pl.ds(0, W), :], win_b, sem_b
+                ).wait()
+
+            more = (ck + 1) < nchunks
+
+            @pl.when(adv & more & even)
+            def _():
+                pltpu.make_async_copy(
+                    coeffs_ref.at[pl.ds(w0 + (ck + 1) * W, W), :],
+                    win_b, sem_b,
+                ).start()
+
+            @pl.when(adv & more & ~even)
+            def _():
+                pltpu.make_async_copy(
+                    coeffs_ref.at[pl.ds(w0 + (ck + 1) * W, W), :],
+                    win_a, sem_a,
+                ).start()
+
+            rel = row - w0 - ck * W
             Ma = win_a[pl.ds(rel, 16), :]
             Mb = win_b[pl.ds(rel, 16), :]
-            M = jnp.where(slot == 0, Ma, Mb)
+            M = jnp.where(even, Ma, Mb)
             # Bit-exact f32 broadcast of pair g's row to lane group g.
             E = jax.lax.dot_general(
                 M, sel, (((0,), (0,)), ((), ())),
@@ -227,14 +252,15 @@ def _raster_tile_micro(
                 interp = (coef(12 + ch * 3) + coef(13 + ch * 3) * dx
                           + coef(14 + ch * 3) * dy)
                 new_attrs.append(jnp.where(win, interp, attrs[ch]))
-            return best_key, best_pair, tuple(new_attrs)
+            return best_key, best_pair, tuple(new_attrs), ck
 
         init = (
             jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32),
             jnp.full((8, 128), PAIR_IDX_CLEAR, jnp.int32),
             tuple(jnp.zeros((8, 128), F32) for _ in range(6)),
+            cur,
         )
-        ckey, cpair, cattrs = jax.lax.fori_loop(0, nblocks, body, init)
+        ckey, cpair, cattrs, cur = jax.lax.fori_loop(0, nblocks, body, init)
 
         # Cross-group butterfly: all 16 groups hold candidates for the SAME
         # 64 pixels; reduce to the lexicographic (key, pair) min per pixel.
@@ -325,22 +351,24 @@ def _raster_tile_micro(
     key_ref[:, :] = acc_key
 
 
-def build_pair_coeffs(tri_table, pair_tri, window_rows: int):
+CHUNK_ROWS = 512  # rows per streamed window chunk (2 x 256 KiB VMEM buffers)
+
+
+def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int = CHUNK_ROWS):
     """(P_pad, 128) f32 coefficient rows in sorted pair order.
 
     Gathers the (T, 32) affine table into pair order and pads lanes to the
-    128-wide f32 HBM tile so per-tile windows DMA cleanly; tail rows pad so
-    any 16-aligned window of ``window_rows`` starting at or before the last
-    segment stays in bounds."""
+    128-wide f32 HBM tile so window chunks DMA cleanly; tail rows pad so
+    the last 16-aligned chunk read of ``chunk_rows`` stays in bounds."""
     gathered = tri_table[pair_tri]  # (P, 32)
     P = gathered.shape[0]
-    P_pad = ((P + 15) // 16 * 16) + window_rows + 16
+    P_pad = ((P + 15) // 16 * 16) + chunk_rows + 16
     return jnp.pad(gathered, ((0, P_pad - P), (0, 128 - TRI_TABLE_WIDTH)))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height_padded", "width_padded", "window_rows",
+    static_argnames=("height_padded", "width_padded", "chunk_rows",
                      "interpret"),
 )
 def raster_shade_micro(
@@ -357,7 +385,7 @@ def raster_shade_micro(
     *,
     height_padded: int,
     width_padded: int,
-    window_rows: int,
+    chunk_rows: int = CHUNK_ROWS,
     interpret: bool = False,
     y_offset=0,
 ):
@@ -415,13 +443,14 @@ def raster_shade_micro(
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((window_rows, 128), F32),
-            pltpu.VMEM((window_rows, 128), F32),
+            pltpu.VMEM((chunk_rows, 128), F32),
+            pltpu.VMEM((chunk_rows, 128), F32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-        # Sequential: the double-buffered window prefetch depends on grid
-        # order (tile i prefetches tile i+1's window).
+        # Sequential: window-chunk DMA buffers are reused across grid steps
+        # (every issue is waited within its tile, so buffers are idle at
+        # each tile boundary).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),

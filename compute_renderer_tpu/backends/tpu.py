@@ -65,8 +65,7 @@ def choose_tile(num_triangles: int, width: int, height: int) -> tuple:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "pair_cap", "window_rows",
-                     "interpret"),
+    static_argnames=("width", "height", "pair_cap", "interpret"),
 )
 def render_frame_micro(
     positions,
@@ -83,7 +82,6 @@ def render_frame_micro(
     width: int,
     height: int,
     pair_cap: int = 0,  # 0 -> heuristic
-    window_rows: int = 0,  # 0 -> heuristic
     interpret: bool | None = None,
     screen=None,
     world=None,
@@ -104,7 +102,7 @@ def render_frame_micro(
     contraction)."""
     if tri.shape[0] == 0:
         rgba, key = common.empty_frame(width, height)
-        return rgba, key, jnp.zeros((2,), bool)
+        return rgba, key, jnp.zeros((2,), jnp.int32)
 
     if interpret is None:
         interpret = _use_interpret()
@@ -114,23 +112,19 @@ def render_frame_micro(
     nty = (height + 7) // 8
     if pair_cap == 0:
         pair_cap = binning.default_pair_cap(T, ntx * nty * 16)
-    if window_rows == 0:
-        window_rows = binning.default_window_rows(T, width, height)
 
     if screen is None:
         world, screen = common.vertex_stage(positions, view_proj, effect,
                                             width, height)
     # Cell-granularity setup: tile ranges ARE cell ranges at (8, 8).
     setup = common.triangle_setup(screen, tri, effect, width, height, 8, 8)
-    bins = binning.bin_cells_sort(setup, ntx, nty, pair_cap, window_rows)
+    bins = binning.bin_cells_sort(setup, ntx, nty, pair_cap)
 
     if tri_table is None:
         tri_table = pallas_raster.build_tri_table(
             screen, tri, uvs.astype(F32), normals.astype(F32), world
         )
-    pair_coeffs = pallas_micro.build_pair_coeffs(
-        tri_table, bins["pair_tri"], window_rows
-    )
+    pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
     rgba_packed, best_key_p = pallas_micro.raster_shade_micro(
         pair_coeffs,
         bins["seg_start"],
@@ -144,12 +138,11 @@ def render_frame_micro(
         light_intensity.astype(F32),
         height_padded=nty * 8,
         width_padded=ntx * 128,
-        window_rows=window_rows,
         interpret=interpret,
     )
     rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
     best_key = best_key_p[:height, :width]
-    overflow = jnp.stack([bins["pair_overflow"], bins["tile_overflow"]])
+    overflow = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
     return rgba, best_key, overflow
 
 
@@ -167,8 +160,7 @@ def resolve_path(path: str, num_triangles: int, tri_chunk: int = 0) -> str:
 @partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "pair_cap",
-                     "tile_cap", "interpret", "tri_chunk", "path",
-                     "window_rows"),
+                     "tile_cap", "interpret", "tri_chunk", "path"),
 )
 def render_frame(
     positions,
@@ -191,10 +183,12 @@ def render_frame(
     interpret: bool | None = None,
     tri_chunk: int = 0,  # 0 -> VMEM-budget heuristic
     path: str = "auto",  # "auto" | "tile" | "micro"
-    window_rows: int = 0,  # micro path's per-tile window cap
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
-    overflow (2,) bool = [pair_overflow, tile_or_window_overflow]).
+    overflow (2,) i32 = [pair_cap_needed, tile_cap_needed] where 0 means
+    "within capacity" — nonzero entries are the capacity a retry must
+    allocate (truthiness matches the old bool contract; the micro path has
+    no tile-side cap, so its second entry is always 0).
 
     Dispatch: scenes up to the VMEM triangle-table budget run the fused
     tile kernel; larger scenes take the lane-packed micro path
@@ -207,7 +201,7 @@ def render_frame(
     with the merge; strict < preserves the lowest-index tie-break)."""
     if tri.shape[0] == 0:
         rgba, key = common.empty_frame(width, height)
-        return rgba, key, jnp.zeros((2,), bool)
+        return rgba, key, jnp.zeros((2,), jnp.int32)
 
     if interpret is None:
         interpret = _use_interpret()
@@ -218,7 +212,7 @@ def render_frame(
             positions, normals, uvs, tri, view_proj, view_position,
             light_world_pos, light_color, light_intensity, effect,
             width=width, height=height, pair_cap=pair_cap,
-            window_rows=window_rows, interpret=interpret,
+            interpret=interpret,
         )
     if tri_chunk == 0:
         tri_chunk = MAX_TRI_TABLE_BYTES // (pallas_raster.TRI_TABLE_WIDTH * 4)
@@ -282,14 +276,14 @@ def render_frame(
             layout=bins["layout"],
             interpret=interpret,
         )
-        chunk_flags = jnp.stack([bins["pair_overflow"], bins["tile_overflow"]])
+        chunk_flags = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
         if rgba_packed is None:
             rgba_packed, best_key_p, overflow = rgba_c, key_c, chunk_flags
         else:
             win = key_c < best_key_p
             rgba_packed = jnp.where(win, rgba_c, rgba_packed)
             best_key_p = jnp.where(win, key_c, best_key_p)
-            overflow = overflow | chunk_flags
+            overflow = jnp.maximum(overflow, chunk_flags)
 
     rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
     best_key = best_key_p[:height, :width]
@@ -298,8 +292,7 @@ def render_frame(
 
 def render(mesh, camera_uniform, lights, effect, width, height,
            tile_h: int = 0, tile_w: int = 0, pair_cap: int = 0,
-           tile_cap: int = 0, max_retries: int = 3, path: str = "auto",
-           window_rows: int = 0):
+           tile_cap: int = 0, max_retries: int = 3, path: str = "auto"):
     """Host-level entry with automatic capacity retry: if the binning
     capacities overflow (detected, unlike the reference's silent OOB), double
     them and re-render."""
@@ -310,7 +303,6 @@ def render(mesh, camera_uniform, lights, effect, width, height,
         ntx_t = (width + 127) // 128
         nty_t = (height + 7) // 8
         pc = pair_cap or binning.default_pair_cap(T, ntx_t * nty_t * 16)
-        wr = window_rows or binning.default_window_rows(T, width, height)
     else:
         if tile_h == 0 or tile_w == 0:
             tile_h, tile_w = choose_tile(T, width, height)
@@ -338,7 +330,6 @@ def render(mesh, camera_uniform, lights, effect, width, height,
         if path == "micro":
             rgba, _, overflow = render_frame_micro(
                 *args, width=width, height=height, pair_cap=pc,
-                window_rows=wr,
             )
         else:
             rgba, _, overflow = render_frame(
@@ -348,27 +339,32 @@ def render(mesh, camera_uniform, lights, effect, width, height,
         flags = np.asarray(overflow)
         if not flags.any():
             return np.asarray(rgba)
+        # Flags carry NEEDED capacities — jump straight to a sufficient
+        # size (each retry is a recompile; minutes at mega scale).
         if flags[0]:
-            pc *= 2
-        if flags[1] and path == "micro":
-            if wr >= binning.MAX_WINDOW_ROWS:
-                raise RuntimeError(
-                    f"per-tile coefficient window overflow at the "
-                    f"MAX_WINDOW_ROWS={binning.MAX_WINDOW_ROWS} ceiling "
-                    f"(scene too dense for the micro path's VMEM budget)"
-                )
-            wr = min(wr * 2, binning.MAX_WINDOW_ROWS)
-        elif flags[1]:
-            if tc >= MAX_TILE_CAP:
-                # The SMEM triangle-list window is bounded; growing past it
-                # would fail Mosaic compilation obscurely. Fail clearly.
-                raise RuntimeError(
-                    f"per-tile triangle list overflow at the MAX_TILE_CAP="
-                    f"{MAX_TILE_CAP} ceiling (scene too dense for tile "
-                    f"{tile_h}x{tile_w}; try a smaller tile size)"
-                )
-            tc = min(tc * 2, MAX_TILE_CAP)
+            pc = grow_pair_cap(pc, int(flags[0]))
+        if flags[1] and path != "micro":
+            tc = grow_tile_cap(tc, int(flags[1]), tile_h, tile_w)
     raise RuntimeError(
         f"binning capacity overflow after {max_retries} retries "
         f"(path={path}, pair_cap={pc})"
     )
+
+
+def grow_pair_cap(cur: int, needed: int) -> int:
+    """Next pair_cap given the binning pass's reported need: the exact need
+    plus 12.5% motion slack, 1024-aligned, never shrinking."""
+    return max((needed + needed // 8 + 1023) // 1024 * 1024, cur)
+
+
+def grow_tile_cap(cur: int, needed: int, tile_h: int, tile_w: int) -> int:
+    """Next tile-path tile_cap for a reported need (8-aligned, 12.5% slack);
+    clear error at the SMEM window ceiling."""
+    if needed > MAX_TILE_CAP:
+        raise RuntimeError(
+            f"scene needs {needed} triangles in one {tile_h}x{tile_w} tile "
+            f"list; the SMEM window caps it at MAX_TILE_CAP={MAX_TILE_CAP} "
+            f"(try a smaller tile size or the micro path)"
+        )
+    grown = (needed + needed // 8 + 7) // 8 * 8
+    return max(min(grown, MAX_TILE_CAP), cur)

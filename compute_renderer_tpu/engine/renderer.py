@@ -110,8 +110,10 @@ class Renderer:
         return self._get_step(L)(jnp.asarray(packed))
 
     def _checked(self, uniforms: FrameUniforms, max_retries: int = 3):
-        """Render, blocking on the tpu backend's overflow flag; on overflow
-        double the binning capacities, rebuild the compiled step, retry."""
+        """Render, blocking on the tpu backend's overflow report; the report
+        carries the NEEDED capacities, so a retry recompiles once with a
+        sufficient size (doubling blindly cost minutes of recompiles per
+        step at mega scale)."""
         for _ in range(max_retries):
             out = self.render_device(uniforms)
             if len(out) < 3:
@@ -119,17 +121,22 @@ class Renderer:
             flags = np.asarray(out[2])
             if not flags.any():
                 return out
-            self._grow_caps(grow_pair=bool(flags[0]), grow_tile=bool(flags[1]))
+            self._grow_caps(pair_needed=int(flags[0]),
+                            tile_needed=int(flags[1]))
         raise RuntimeError(
             f"binning capacity overflow after {max_retries} retries "
             f"(options={self.options})"
         )
 
-    def _grow_caps(self, grow_pair: bool = True, grow_tile: bool = True) -> None:
+    def _grow_caps(self, pair_needed: int = 0, tile_needed: int = 0) -> None:
+        """Grow binning capacities to the backend-reported need (0 = leave
+        alone; see binning.bin_*'s pair_needed/tile_needed outputs)."""
         from compute_renderer_tpu.backends import binning as binning_mod
         from compute_renderer_tpu.backends.tpu import (
             MAX_TILE_CAP,
             choose_tile,
+            grow_pair_cap,
+            grow_tile_cap,
             resolve_path,
         )
 
@@ -142,19 +149,11 @@ class Renderer:
             pc = self.options.get("pair_cap") or binning_mod.default_pair_cap(
                 T, ntx_t * nty_t * 16
             )
-            wr = self.options.get("window_rows") or (
-                binning_mod.default_window_rows(T, self.width, self.height)
-            )
-            self.options["pair_cap"] = pc * 2 if grow_pair else pc
-            if grow_tile:
-                if wr >= binning_mod.MAX_WINDOW_ROWS:
-                    raise RuntimeError(
-                        "per-tile coefficient window overflow at the "
-                        f"MAX_WINDOW_ROWS={binning_mod.MAX_WINDOW_ROWS} "
-                        "ceiling (scene too dense for the micro path)"
-                    )
-                wr = min(wr * 2, binning_mod.MAX_WINDOW_ROWS)
-            self.options["window_rows"] = wr
+            if pair_needed:
+                pc = grow_pair_cap(pc, pair_needed)
+            # No tile-side cap on the micro path (window chunks stream from
+            # HBM with a dynamic trip count).
+            self.options["pair_cap"] = pc
             self._step_cache.clear()
             return
 
@@ -172,17 +171,11 @@ class Renderer:
                                          tile_h, tile_w),
             MAX_TILE_CAP,
         )
-        self.options["pair_cap"] = pc * 2 if grow_pair else pc
-        if grow_tile:
-            if tc >= MAX_TILE_CAP:
-                # SMEM window bound — growing further would fail Mosaic
-                # compilation with an obscure error; fail clearly instead.
-                raise RuntimeError(
-                    f"per-tile triangle list overflow at the MAX_TILE_CAP="
-                    f"{MAX_TILE_CAP} ceiling (scene too dense for tile "
-                    f"{tile_h}x{tile_w}; try a smaller tile size)"
-                )
-            tc = min(tc * 2, MAX_TILE_CAP)
+        if pair_needed:
+            pc = grow_pair_cap(pc, pair_needed)
+        if tile_needed:
+            tc = grow_tile_cap(tc, tile_needed, tile_h, tile_w)
+        self.options["pair_cap"] = pc
         self.options["tile_cap"] = tc
         self._step_cache.clear()
 
@@ -201,11 +194,11 @@ class Renderer:
             def body(overflow, packed):
                 out = frame(packed)
                 if len(out) > 2:
-                    overflow = overflow | out[2]
+                    overflow = jnp.maximum(overflow, out[2])
                 return overflow, out[0]
 
             overflow, frames = jax.lax.scan(
-                body, jnp.zeros((2,), bool), packed_stack
+                body, jnp.zeros((2,), jnp.int32), packed_stack
             )
             return frames, overflow
 
@@ -233,13 +226,14 @@ class Renderer:
                 self._pending_overflow = (
                     overflow
                     if self._pending_overflow is None
-                    else self._pending_overflow | overflow
+                    else jnp.maximum(self._pending_overflow, overflow)
                 )
                 return frames
             flags = np.asarray(overflow)
             if not flags.any():
                 return frames
-            self._grow_caps(grow_pair=bool(flags[0]), grow_tile=bool(flags[1]))
+            self._grow_caps(pair_needed=int(flags[0]),
+                            tile_needed=int(flags[1]))
         raise RuntimeError(
             f"binning capacity overflow after {max_retries} retries "
             f"(options={self.options})"

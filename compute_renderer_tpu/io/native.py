@@ -1,7 +1,9 @@
 """ctypes binding to the native C++ OBJ parser (compute_renderer_tpu/native).
 
 The parser implements the same contract as ``io/obj.py`` (tobj
-triangulate+single_index semantics) ~20x faster for San-Miguel-class models.
+triangulate+single_index semantics); measured ~9x faster than the Python
+loader on a San-Miguel-class 1M-tri / 115 MB OBJ (1.9 s vs 16.6 s — see
+scripts/bench_obj_parse.py and BASELINE.md "OBJ parse").
 Built on demand via ``make -C compute_renderer_tpu/native``; this module
 gracefully reports unavailability if the shared library hasn't been built.
 """

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from compute_renderer_tpu.backends import binning, common, pallas_raster
+from compute_renderer_tpu.backends import binning, common, pallas_micro, pallas_raster
 from compute_renderer_tpu.backends.common import F32
 
 
@@ -84,13 +84,70 @@ def _stripe_render(
         layout=bins["layout"], interpret=interpret, y_offset=y_offset,
     )
     rgba = pallas_raster.unpack_rgba(rgba_packed)
-    return rgba, best_key, bins["overflow"][None]
+    needed = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
+    return rgba, best_key, needed[None]
+
+
+def _stripe_render_micro(
+    positions, normals, uvs, tri,
+    view_proj, view_position,
+    light_world_pos, light_color, light_intensity,
+    effect,
+    *,
+    width: int, height: int, nty_total: int,
+    pair_cap: int, n_shards: int,
+    axis_name: str, interpret: bool,
+):
+    """Per-device micro-path body (lane-packed kernel, 8x8-cell binning).
+
+    Mega-scene analog of ``_stripe_render``: no VMEM triangle-table budget —
+    coefficients stream from HBM per stripe, so ANY scene size shards. The
+    front end (vertex/setup) is replicated; each device bins only the cell
+    rows of its own stripe (covered ranges clipped -> no communication)."""
+    shard = jax.lax.axis_index(axis_name)
+
+    ntx = (width + 127) // 128
+    nty_local = nty_total // n_shards  # (8, 128) tile rows per stripe
+    stripe_ty0 = shard * nty_local
+    y_offset = stripe_ty0 * 8
+
+    world, screen = common.vertex_stage(positions, view_proj, effect, width, height)
+    # Cell-granularity setup (8x8): tile ranges ARE cell ranges.
+    setup = common.triangle_setup(screen, tri, effect, width, height, 8, 8)
+
+    # Clip covered cell rows to this stripe (cell rows == pixel rows / 8 ==
+    # micro tile rows, since the (8,128) tile is one cell tall).
+    ly0 = jnp.clip(setup["tile_y0"] - stripe_ty0, 0, nty_local)
+    ly1 = jnp.clip(setup["tile_y1"] - stripe_ty0, 0, nty_local)
+    local_setup = dict(setup)
+    local_setup["tile_y0"] = ly0
+    local_setup["tile_y1"] = ly1
+    local_setup["alive"] = setup["alive"] & (ly1 > ly0)
+
+    bins = binning.bin_cells_sort(local_setup, ntx, nty_local, pair_cap)
+
+    tri_table = pallas_raster.build_tri_table(
+        screen, tri, uvs.astype(F32), normals.astype(F32), world
+    )
+    pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
+    rgba_packed, best_key = pallas_micro.raster_shade_micro(
+        pair_coeffs, bins["seg_start"], bins["seg_count"],
+        bins["win_start"], bins["tile_count"],
+        effect,
+        view_position.astype(F32), light_world_pos.astype(F32),
+        light_color.astype(F32), light_intensity.astype(F32),
+        height_padded=nty_local * 8, width_padded=ntx * 128,
+        interpret=interpret, y_offset=y_offset,
+    )
+    rgba = pallas_raster.unpack_rgba(rgba_packed)
+    needed = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
+    return rgba, best_key, needed[None]
 
 
 @partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "tile_h", "tile_w",
-                     "pair_cap", "tile_cap", "interpret"),
+                     "pair_cap", "tile_cap", "interpret", "path"),
 )
 def render_frame_sharded(
     positions, normals, uvs, tri,
@@ -106,10 +163,20 @@ def render_frame_sharded(
     pair_cap: int = 0,
     tile_cap: int = 0,
     interpret: bool | None = None,
+    path: str = "auto",
 ):
     """Sharded render step. Returns ((H,W,4) u8 sharded over H, depth keys,
-    overflow flags (one per shard)). H/W are padded internally to the tile
-    and shard grid and cropped on return."""
+    overflow report (n_shards, 2) i32 of NEEDED [pair_cap, tile_cap]
+    capacities, 0 = within cap; the micro path has no tile-side cap). H/W
+    are padded internally to the tile and shard grid and cropped on
+    return.
+
+    ``path``: "auto" picks the lane-packed micro path (no VMEM triangle-
+    table budget — any scene size shards) exactly where the single-device
+    dispatcher does; "tile"/"micro" force. Use ``render_sharded`` for the
+    retrying host-level entry (the sharded analog of Renderer._checked)."""
+    from compute_renderer_tpu.backends.tpu import resolve_path
+
     axis_name = mesh.axis_names[0]
     n_shards = mesh.devices.size
 
@@ -117,37 +184,48 @@ def render_frame_sharded(
         interpret = jax.default_backend() != "tpu"
 
     T = int(tri.shape[0])
-    ntx = (width + tile_w - 1) // tile_w
-    nty = (height + tile_h - 1) // tile_h
-    nty = (nty + n_shards - 1) // n_shards * n_shards  # equal stripes
-    padded_h = nty * tile_h
-    padded_w = ntx * tile_w
-    if pair_cap == 0:
-        pair_cap = binning.default_pair_cap(T, ntx * nty)
-    if tile_cap == 0:
-        from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
+    path = resolve_path(path, T)
 
-        tile_cap = min(
-            binning.default_tile_cap(T, width, height, tile_h, tile_w),
-            MAX_TILE_CAP,
+    if path == "micro":
+        ntx = (width + 127) // 128
+        nty = (height + 7) // 8
+        nty = (nty + n_shards - 1) // n_shards * n_shards  # equal stripes
+        if pair_cap == 0:
+            pair_cap = binning.default_pair_cap(T, ntx * nty * 16)
+        body = partial(
+            _stripe_render_micro,
+            width=width, height=height, nty_total=nty, pair_cap=pair_cap,
+            n_shards=n_shards, axis_name=axis_name, interpret=interpret,
         )
-    from compute_renderer_tpu.backends.tpu import MAX_TRI_TABLE_BYTES
+    else:
+        ntx = (width + tile_w - 1) // tile_w
+        nty = (height + tile_h - 1) // tile_h
+        nty = (nty + n_shards - 1) // n_shards * n_shards  # equal stripes
+        if pair_cap == 0:
+            pair_cap = binning.default_pair_cap(T, ntx * nty)
+        if tile_cap == 0:
+            from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
 
-    table_bytes = T * pallas_raster.TRI_TABLE_WIDTH * 4
-    if table_bytes > MAX_TRI_TABLE_BYTES:
-        raise ValueError(
-            f"Sharded rendering of {T} triangles needs a "
-            f"{table_bytes / 2**20:.0f} MiB VMEM triangle table; chunked "
-            "multi-pass is not wired into the sharded path yet — render "
-            "single-device (backends.tpu chunks automatically)."
+            tile_cap = min(
+                binning.default_tile_cap(T, width, height, tile_h, tile_w),
+                MAX_TILE_CAP,
+            )
+        from compute_renderer_tpu.backends.tpu import MAX_TRI_TABLE_BYTES
+
+        table_bytes = T * pallas_raster.TRI_TABLE_WIDTH * 4
+        if table_bytes > MAX_TRI_TABLE_BYTES:
+            raise ValueError(
+                f"Sharded tile-path rendering of {T} triangles needs a "
+                f"{table_bytes / 2**20:.0f} MiB VMEM triangle table; use "
+                "path='micro' (or 'auto'), which streams coefficients from "
+                "HBM and has no table budget."
+            )
+        body = partial(
+            _stripe_render,
+            width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+            nty_total=nty, pair_cap=pair_cap, tile_cap=tile_cap,
+            n_shards=n_shards, axis_name=axis_name, interpret=interpret,
         )
-
-    body = partial(
-        _stripe_render,
-        width=width, height=height, tile_h=tile_h, tile_w=tile_w,
-        nty_total=nty, pair_cap=pair_cap, tile_cap=tile_cap,
-        n_shards=n_shards, axis_name=axis_name, interpret=interpret,
-    )
 
     rgba, keys, overflow = jax.shard_map(
         body,
@@ -160,5 +238,65 @@ def render_frame_sharded(
         light_world_pos, light_color, light_intensity, effect,
     )
     # rgba: (padded_h, padded_w, 4) sharded over dim 0.
-    del padded_h, padded_w
     return rgba[:height, :width], keys[:height, :width], overflow
+
+
+def render_sharded(
+    positions, normals, uvs, tri,
+    view_proj, view_position,
+    light_world_pos, light_color, light_intensity,
+    effect,
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    max_retries: int = 3,
+    **options,
+):
+    """Host-level sharded entry with per-stripe overflow retry — the
+    sharded analog of Renderer._checked: any stripe reporting a needed
+    capacity grows the (shared) caps to the max reported need and re-jits
+    once, instead of asserting (the round-1 dryrun's behavior).
+
+    Returns (rgba, keys) with every stripe within capacity."""
+    from compute_renderer_tpu.backends.tpu import (
+        grow_pair_cap,
+        grow_tile_cap,
+        resolve_path,
+    )
+
+    T = int(tri.shape[0])
+    path = resolve_path(options.get("path", "auto"), T)
+    options["path"] = path
+    for _ in range(max_retries):
+        rgba, keys, overflow = render_frame_sharded(
+            positions, normals, uvs, tri, view_proj, view_position,
+            light_world_pos, light_color, light_intensity, effect,
+            mesh=mesh, width=width, height=height, **options,
+        )
+        needed = np.asarray(overflow).max(axis=0)  # max over stripes
+        if not needed.any():
+            return rgba, keys
+        if needed[0]:
+            if path == "micro":
+                ncells = ((width + 127) // 128) * ((height + 7) // 8) * 16
+            else:
+                th = options.get("tile_h", 16)
+                tw = options.get("tile_w", 256)
+                ncells = ((width + tw - 1) // tw) * ((height + th - 1) // th)
+            cur = options.get("pair_cap") or binning.default_pair_cap(T, ncells)
+            options["pair_cap"] = grow_pair_cap(cur, int(needed[0]))
+        if needed[1] and path != "micro":
+            from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
+
+            th = options.get("tile_h", 16)
+            tw = options.get("tile_w", 256)
+            cur = options.get("tile_cap") or min(
+                binning.default_tile_cap(T, width, height, th, tw),
+                MAX_TILE_CAP,
+            )
+            options["tile_cap"] = grow_tile_cap(cur, int(needed[1]), th, tw)
+    raise RuntimeError(
+        f"sharded binning capacity overflow after {max_retries} retries "
+        f"(options={options})"
+    )

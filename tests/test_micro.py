@@ -59,7 +59,7 @@ def precomputed_geometry(args):
     return prep(args[0], args[1], args[2], args[3], args[4], args[9])
 
 
-def assert_micro_matches_xla(args, pair_cap=65536, window_rows=2048,
+def assert_micro_matches_xla(args, pair_cap=65536,
                              **micro_kw):
     # Generous static caps: cell-granularity binning generates far more
     # pairs than tile binning (a large triangle covers many 8x8 cells), and
@@ -67,7 +67,7 @@ def assert_micro_matches_xla(args, pair_cap=65536, window_rows=2048,
     screen, world, table = precomputed_geometry(args)
     rgba_m, key_m, ovf = tpu.render_frame_micro(
         *args, width=W, height=H, pair_cap=pair_cap,
-        window_rows=window_rows, screen=screen, world=world,
+        screen=screen, world=world,
         tri_table=table, **micro_kw)
     assert not np.asarray(ovf).any(), "unexpected binning overflow"
     rgba_x, key_x = xla.render_frame(*args, width=W, height=H,
@@ -142,7 +142,7 @@ def test_overflow_detection_and_retry_parity():
     # Deliberately tiny caps -> flags set; the clamped result must not crash
     # or read out of its window.
     _, _, ovf = tpu.render_frame_micro(*args, width=W, height=H,
-                                       pair_cap=256, window_rows=16)
+                                       pair_cap=256)
     ovf = np.asarray(ovf)
     assert ovf.any()
     # Doubling up to sufficient caps restores exact parity (the host retry
@@ -159,7 +159,7 @@ def test_bin_cells_sort_segments():
     world, screen = common.vertex_stage(args[0], args[4], args[9], W, H)
     setup = common.triangle_setup(screen, args[3], args[9], W, H, 8, 8)
     ntx, nty = (W + 127) // 128, (H + 7) // 8
-    bins = binning.bin_cells_sort(setup, ntx, nty, 8192, 1024)
+    bins = binning.bin_cells_sort(setup, ntx, nty, 8192)
     seg_start = np.asarray(bins["seg_start"])
     seg_count = np.asarray(bins["seg_count"])
     win_start = np.asarray(bins["win_start"])

@@ -129,6 +129,33 @@ def test_native_matches_python_large(tmp_path):
     np.testing.assert_allclose(py.uvs, nat.uvs)
 
 
+def test_native_matches_python_at_scale(tmp_path):
+    """San-Miguel-class parity at reduced size (the full 1M-tri / 115 MB
+    run lives in scripts/bench_obj_parse.py; measured bit-identical there).
+
+    Uses the same vectorized OBJ writer as the benchmark so the text format
+    (%.9g floats, v/vt/vn/f i/i/i) matches what the timing numbers in
+    BASELINE.md were recorded on.
+    """
+    import sys
+
+    sys.path.insert(0, str(NATIVE_DIR.parent.parent / "scripts"))
+    from bench_obj_parse import write_obj
+    from compute_renderer_tpu.io import procedural
+
+    m = procedural.uv_sphere(nu=256, nv=128)  # 65k tris, ~7 MB of text
+    p = tmp_path / "big.obj"
+    mb = write_obj(m, p)
+    assert mb > 5.0
+    py = load_obj(p)
+    nat = native.load_obj(p)
+    assert py.num_triangles == m.num_triangles
+    np.testing.assert_array_equal(py.indices, nat.indices)
+    np.testing.assert_array_equal(py.positions, nat.positions)
+    np.testing.assert_array_equal(py.normals, nat.normals)
+    np.testing.assert_array_equal(py.uvs, nat.uvs)
+
+
 def test_loaders_tolerate_trailing_comments_and_oor_indices(tmp_path):
     # Both loaders must accept what the other accepts (oracle contract).
     p = tmp_path / "messy.obj"

@@ -80,6 +80,62 @@ def test_sharded_two_device_mesh():
     assert covered > 0
 
 
+def test_sharded_micro_matches_single_device(mesh8):
+    # The lane-packed micro path sharded over 8 stripes must be bitwise
+    # equal to the single-device micro render (same kernel semantics; pair
+    # order within a cell is triangle order in both, so the deterministic
+    # (key, pair) tie-break picks the same winner).
+    m = procedural.icosphere(2)
+    args = args_for(m)
+    rgba_sharded, keys_sharded, overflow = render_frame_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="micro"
+    )
+    rgba_single, keys_single, _ = tpu.render_frame(
+        *args, width=W, height=H, path="micro"
+    )
+    assert not bool(np.asarray(overflow).any())
+    np.testing.assert_array_equal(np.asarray(rgba_sharded), np.asarray(rgba_single))
+    np.testing.assert_array_equal(np.asarray(keys_sharded), np.asarray(keys_single))
+
+
+def test_sharded_micro_mega_mesh(mesh8):
+    # VERDICT r1 item 3: a 200k+-triangle mesh through the sharded path —
+    # far beyond the old VMEM-table ValueError threshold (~98k) — bitwise
+    # equal to the single-device micro render.
+    m = procedural.uv_sphere(nu=800, nv=128)  # 203,200 tris
+    assert m.num_triangles > 200_000
+    args = args_for(m)
+    rgba_sharded, keys_sharded, overflow = render_frame_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="micro"
+    )
+    rgba_single, keys_single, single_flags = tpu.render_frame(
+        *args, width=W, height=H
+    )  # auto-dispatches to micro at this scale
+    assert not bool(np.asarray(overflow).any())
+    assert not bool(np.asarray(single_flags).any())
+    np.testing.assert_array_equal(np.asarray(rgba_sharded), np.asarray(rgba_single))
+    np.testing.assert_array_equal(np.asarray(keys_sharded), np.asarray(keys_single))
+
+
+def test_sharded_overflow_retry(mesh8):
+    # Per-stripe overflow retry parity with Renderer._checked: deliberately
+    # tiny caps must be grown (from the per-stripe NEEDED report) by
+    # render_sharded instead of asserting.
+    from compute_renderer_tpu.parallel.sharding import render_sharded
+
+    m = procedural.icosphere(2)
+    args = args_for(m)
+    rgba, keys = render_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="micro",
+        pair_cap=1024,
+    )
+    rgba_single, keys_single, _ = tpu.render_frame(
+        *args, width=W, height=H, path="micro"
+    )
+    np.testing.assert_array_equal(np.asarray(rgba), np.asarray(rgba_single))
+    np.testing.assert_array_equal(np.asarray(keys), np.asarray(keys_single))
+
+
 def test_graft_entry_contract():
     import __graft_entry__ as ge
 

@@ -161,8 +161,8 @@ def test_flat_layout_parity(monkeypatch):
 
 def test_renderer_overflow_retry():
     # 200 coincident triangles in one tile with a deliberately small
-    # tile_cap: the engine must detect the overflow and retry with doubled
-    # capacities instead of silently dropping geometry.
+    # tile_cap: the engine must detect the overflow and retry with the
+    # reported needed capacity instead of silently dropping geometry.
     from compute_renderer_tpu import Renderer
     from compute_renderer_tpu.core.types import Mesh as MeshT
     from compute_renderer_tpu.engine.scene import FrameUniforms
@@ -185,8 +185,10 @@ def test_renderer_overflow_retry():
     )
     r = Renderer(mesh, W, H, backend="tpu", tile_cap=96)
     img = r.render(uniforms)
-    # Retry happened (caps doubled) and the frame has geometry.
-    assert r.options["tile_cap"] == 192
+    # Retry happened: the binning pass reported 200 triangles needed in one
+    # tile, so the cap jumped straight past it (one recompile) with the
+    # 12.5% slack + 8-alignment of tpu.grow_tile_cap.
+    assert r.options["tile_cap"] >= n
     assert (img[..., 0] > 0).any()
     # Result matches a render with ample caps from the start.
     r2 = Renderer(mesh, W, H, backend="tpu", tile_cap=1024)
