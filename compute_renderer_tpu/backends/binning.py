@@ -130,6 +130,25 @@ def bin_triangles_dense(setup, ntx: int, nty: int, pair_cap: int,
     }
 
 
+def expand_pair_owners(starts, counts, pair_cap: int):
+    """tri_of_pair: the triangle owning each pair slot p (the rightmost t
+    with starts[t] <= p among triangles with counts > 0).
+
+    Seed-scatter + cummax — O(P) instead of a searchsorted whose "sort"
+    method pays an extra O((P+T) log) sort at mega scale: triangles with
+    counts > 0 have strictly increasing starts, so scattering t at
+    starts[t] and forward-propagating with a running max reconstructs the
+    ownership exactly. Slots past the last seed inherit the last live
+    triangle (they are masked invalid downstream)."""
+    i32 = jnp.int32
+    T = starts.shape[0]
+    tpos = jnp.where(counts > 0, starts, pair_cap)  # out of range -> dropped
+    seed = jnp.zeros((pair_cap,), i32).at[tpos].max(
+        jnp.arange(T, dtype=i32), mode="drop"
+    )
+    return jax.lax.cummax(seed)
+
+
 def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
     """Build the sorted (tile, triangle) pair list + per-tile segments.
 
@@ -158,14 +177,7 @@ def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
 
     p = jnp.arange(pair_cap, dtype=i32)
     # Rightmost triangle with start <= p owns pair p (empty ranges skipped).
-    # compare_all is a dense (P x T) VPU matrix — unbeatable at small sizes
-    # but quadratic; past ~100M ops the sort-based method wins.
-    method = "compare_all" if pair_cap * max(starts.shape[0], 1) <= 100_000_000 else "sort"
-    tri_of_pair = (
-        jnp.searchsorted(starts, p, side="right", method=method).astype(i32)
-        - 1
-    )
-    tri_of_pair = jnp.clip(tri_of_pair, 0, starts.shape[0] - 1)
+    tri_of_pair = expand_pair_owners(starts, c, pair_cap)
     valid = p < total
 
     # One packed row-gather instead of four element gathers.
@@ -267,13 +279,7 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int):
     total = starts[-1] + c[-1]
 
     p = jnp.arange(pair_cap, dtype=i32)
-    T = starts.shape[0]
-    method = "compare_all" if pair_cap * max(T, 1) <= 100_000_000 else "sort"
-    tri_of_pair = (
-        jnp.searchsorted(starts, p, side="right", method=method).astype(i32)
-        - 1
-    )
-    tri_of_pair = jnp.clip(tri_of_pair, 0, T - 1)
+    tri_of_pair = expand_pair_owners(starts, c, pair_cap)
     valid = p < total
 
     meta = jnp.stack(
@@ -326,6 +332,18 @@ def pair_list_padding(pair_cap: int, tile_cap: int) -> int:
     or before any seg_start <= pair_cap."""
     up = lambda x: (x + 1023) // 1024 * 1024
     return up(pair_cap) - pair_cap + up(tile_cap) + 1024
+
+
+def default_pair_cap_micro(num_triangles: int, num_cells: int) -> int:
+    """Micro-path (mega-scene) pair capacity. Mega scenes cull well over
+    half their triangles (backface + offscreen + near-plane) and survivors
+    are near-subpixel (~1 covered cell each) — measured San-Miguel-class
+    coverage is ~0.33 pairs/triangle — so T/2 leaves ~50% slack without
+    paying pair-sized sort/gather cost for dead capacity (the 2T default
+    made capacity-proportional stages ~6x slower than needed at 1M tris).
+    Underestimates are detected and retried at the exact reported need
+    (tpu.grow_pair_cap)."""
+    return max(num_triangles // 2, num_cells, 32768)
 
 
 def default_pair_cap(num_triangles: int, num_tiles: int) -> int:

@@ -130,7 +130,19 @@ def triangle_setup(screen, tri, effect, width: int, height: int,
       px_x0/y0/x1/y1 int32  covered pixel rectangle (union of covered tiles,
                             clipped to screen) — the raster region
     """
-    v = screen[tri]  # (T, 3, 4)
+    return triangle_setup_corners(screen[tri], effect, width, height,
+                                  tile_h, tile_w)
+
+
+def triangle_setup_corners(v, effect, width: int, height: int,
+                           tile_h: int, tile_w: int):
+    """``triangle_setup`` on pre-gathered corner vertices ``v`` (T, 3, 4).
+
+    The mega-scene path keeps geometry corner-major (one screen row per
+    triangle corner, like the reference's per-corner transform,
+    binning.wgsl:216-219) so setup is pure streaming elementwise work — at
+    ~1M triangles the ``screen[tri]`` row-gather dominated the whole
+    front-end on TPU."""
     vx, vy, vw = v[:, :, 0], v[:, :, 1], v[:, :, 3]
 
     w_ok = ~jnp.any(vw < F32(0.0), axis=1)

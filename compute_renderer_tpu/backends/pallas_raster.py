@@ -64,10 +64,17 @@ TRI_TABLE_WIDTH = 32
 
 def build_tri_table(screen, tri, uvs, normals, world):
     """(T, 32) f32 per-triangle affine-coefficient table."""
+    del uvs  # dead in shading (see layout comment)
+    return build_tri_table_corners(screen[tri], normals[tri], world[tri])
+
+
+def build_tri_table_corners(v, nrm, wld):
+    """``build_tri_table`` on pre-gathered corner data: v (T, 3, 4) screen
+    vertices, nrm/wld (T, 3, 3). The mega path holds geometry corner-major
+    so the table build is gather-free streaming math (three T-row gathers
+    cost more than everything else in the front-end at ~1M triangles)."""
     from compute_renderer_tpu.backends import common
 
-    del uvs  # dead in shading (see layout comment)
-    v = screen[tri]  # (T, 3, 4)
     v1, v2, v3 = v[:, 0], v[:, 1], v[:, 2]
     co = common.barycentric_coefficients(
         v1[:, 0], v1[:, 1], v2[:, 0], v2[:, 1], v3[:, 0], v3[:, 1]
@@ -78,8 +85,6 @@ def build_tri_table(screen, tri, uvs, normals, world):
             co["a3"], co["b3"], co["c3"]]
     cols += list(common.affine_combine(co, v1[:, 2], v2[:, 2], v3[:, 2]))
 
-    nrm = normals[tri]  # (T, 3, 3)
-    wld = world[tri]
     for src in (nrm, wld):
         for ch in range(3):
             cols += list(

@@ -86,11 +86,24 @@ def render_frame_micro(
     screen=None,
     world=None,
     tri_table=None,
+    pos_c=None,
+    nrm_c=None,
 ):
     """Mega-scene path: 8x8-cell binning (ONE global sort) + the lane-packed
     micro kernel (pallas_micro). Coefficients stream from HBM, so there is
     no VMEM triangle-table budget and no chunked multi-pass — one launch
     renders any scene size. Returns the same contract as ``render_frame``.
+
+    Geometry is processed *corner-major*: ``pos_c``/``nrm_c`` are (3T, 3)
+    per-corner arrays (precomputed once per mesh by the engine; derived
+    here from ``tri`` when absent, e.g. in direct test calls). Transforming
+    each corner independently — like the reference's per-corner
+    geometry_pipeline (binning.wgsl:216-219) — makes the whole front-end
+    (vertex stage, setup, coefficient table) streaming elementwise work;
+    the per-vertex form needed three T-row gathers that dominated the
+    frame at ~1M triangles (TPU gathers are serial-ish; streams are not).
+    The per-corner arithmetic is bit-identical to the per-vertex form
+    (same elementwise op chain on the same values).
 
     Coverage outside a triangle's bbox (voxelize inflation / mirage warp)
     clips to the 8x8 cell-rectangle union — the reference's own tile
@@ -111,18 +124,28 @@ def render_frame_micro(
     ntx = (width + 127) // 128
     nty = (height + 7) // 8
     if pair_cap == 0:
-        pair_cap = binning.default_pair_cap(T, ntx * nty * 16)
+        pair_cap = binning.default_pair_cap_micro(T, ntx * nty * 16)
 
-    if screen is None:
-        world, screen = common.vertex_stage(positions, view_proj, effect,
-                                            width, height)
+    corners = tri.reshape(-1)
+    if screen is not None:
+        screen_c = screen[corners]
+        world_c = world[corners]
+    else:
+        if pos_c is None:
+            pos_c = positions[corners]
+        world_c, screen_c = common.vertex_stage(pos_c, view_proj, effect,
+                                                width, height)
+    v = screen_c.reshape(T, 3, 4)
     # Cell-granularity setup: tile ranges ARE cell ranges at (8, 8).
-    setup = common.triangle_setup(screen, tri, effect, width, height, 8, 8)
+    setup = common.triangle_setup_corners(v, effect, width, height, 8, 8)
     bins = binning.bin_cells_sort(setup, ntx, nty, pair_cap)
 
     if tri_table is None:
-        tri_table = pallas_raster.build_tri_table(
-            screen, tri, uvs.astype(F32), normals.astype(F32), world
+        if nrm_c is None:
+            nrm_c = normals[corners]
+        tri_table = pallas_raster.build_tri_table_corners(
+            v, nrm_c.astype(F32).reshape(T, 3, 3),
+            world_c.astype(F32).reshape(T, 3, 3),
         )
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
     rgba_packed, best_key_p = pallas_micro.raster_shade_micro(
@@ -183,6 +206,8 @@ def render_frame(
     interpret: bool | None = None,
     tri_chunk: int = 0,  # 0 -> VMEM-budget heuristic
     path: str = "auto",  # "auto" | "tile" | "micro"
+    pos_c=None,  # (3T, 3) corner-major positions (micro path; optional)
+    nrm_c=None,  # (3T, 3) corner-major normals (micro path; optional)
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
     overflow (2,) i32 = [pair_cap_needed, tile_cap_needed] where 0 means
@@ -212,7 +237,7 @@ def render_frame(
             positions, normals, uvs, tri, view_proj, view_position,
             light_world_pos, light_color, light_intensity, effect,
             width=width, height=height, pair_cap=pair_cap,
-            interpret=interpret,
+            interpret=interpret, pos_c=pos_c, nrm_c=nrm_c,
         )
     if tri_chunk == 0:
         tri_chunk = MAX_TRI_TABLE_BYTES // (pallas_raster.TRI_TABLE_WIDTH * 4)
@@ -302,7 +327,7 @@ def render(mesh, camera_uniform, lights, effect, width, height,
     if path == "micro":
         ntx_t = (width + 127) // 128
         nty_t = (height + 7) // 8
-        pc = pair_cap or binning.default_pair_cap(T, ntx_t * nty_t * 16)
+        pc = pair_cap or binning.default_pair_cap_micro(T, ntx_t * nty_t * 16)
     else:
         if tile_h == 0 or tile_w == 0:
             tile_h, tile_w = choose_tile(T, width, height)
@@ -326,10 +351,18 @@ def render(mesh, camera_uniform, lights, effect, width, height,
         jnp.asarray(light_intensity),
         jnp.asarray(effect),
     )
+    micro_kwargs = {}
+    if path == "micro":
+        corners = args[3].reshape(-1)
+        micro_kwargs = {
+            "pos_c": jnp.take(args[0], corners, axis=0),
+            "nrm_c": jnp.take(args[1], corners, axis=0),
+        }
     for _ in range(max_retries):
         if path == "micro":
             rgba, _, overflow = render_frame_micro(
                 *args, width=width, height=height, pair_cap=pc,
+                **micro_kwargs,
             )
         else:
             rgba, _, overflow = render_frame(

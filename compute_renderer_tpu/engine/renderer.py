@@ -37,6 +37,14 @@ class Renderer:
         self.uvs = jnp.asarray(mesh.uvs)
         self.tri = jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3)
         self.num_triangles = int(self.tri.shape[0])
+        # Corner-major geometry for the tpu backend's micro (mega-scene)
+        # path: gathered ONCE at upload (indices are static per mesh) so the
+        # per-frame front-end is gather-free streaming work. ~72 MB/1M tris.
+        self.pos_c = self.nrm_c = None
+        if self.backend_name == "tpu" and self.num_triangles > 0:
+            corners = self.tri.reshape(-1)
+            self.pos_c = jnp.take(self.positions, corners, axis=0)
+            self.nrm_c = jnp.take(self.normals, corners, axis=0)
         self._step_cache.clear()
 
     def resize(self, width: int, height: int) -> None:
@@ -80,6 +88,8 @@ class Renderer:
         )
         width, height, options = self.width, self.height, self.options
         backend = self.backend
+        if self.pos_c is not None:
+            options = dict(options, pos_c=self.pos_c, nrm_c=self.nrm_c)
 
         @jax.jit
         def step(packed):
@@ -146,8 +156,8 @@ class Renderer:
         if path == "micro":
             ntx_t = (self.width + 127) // 128
             nty_t = (self.height + 7) // 8
-            pc = self.options.get("pair_cap") or binning_mod.default_pair_cap(
-                T, ntx_t * nty_t * 16
+            pc = self.options.get("pair_cap") or (
+                binning_mod.default_pair_cap_micro(T, ntx_t * nty_t * 16)
             )
             if pair_needed:
                 pc = grow_pair_cap(pc, pair_needed)

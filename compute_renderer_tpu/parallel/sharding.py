@@ -111,9 +111,16 @@ def _stripe_render_micro(
     stripe_ty0 = shard * nty_local
     y_offset = stripe_ty0 * 8
 
-    world, screen = common.vertex_stage(positions, view_proj, effect, width, height)
+    # Corner-major front end — the exact op structure of the single-device
+    # micro path (tpu.render_frame_micro), so stripes match it bitwise.
+    T = tri.shape[0]
+    corners = tri.reshape(-1)
+    pos_c = positions[corners]
+    world_c, screen_c = common.vertex_stage(pos_c, view_proj, effect,
+                                            width, height)
+    v = screen_c.reshape(T, 3, 4)
     # Cell-granularity setup (8x8): tile ranges ARE cell ranges.
-    setup = common.triangle_setup(screen, tri, effect, width, height, 8, 8)
+    setup = common.triangle_setup_corners(v, effect, width, height, 8, 8)
 
     # Clip covered cell rows to this stripe (cell rows == pixel rows / 8 ==
     # micro tile rows, since the (8,128) tile is one cell tall).
@@ -126,8 +133,9 @@ def _stripe_render_micro(
 
     bins = binning.bin_cells_sort(local_setup, ntx, nty_local, pair_cap)
 
-    tri_table = pallas_raster.build_tri_table(
-        screen, tri, uvs.astype(F32), normals.astype(F32), world
+    tri_table = pallas_raster.build_tri_table_corners(
+        v, normals[corners].astype(F32).reshape(T, 3, 3),
+        world_c.astype(F32).reshape(T, 3, 3),
     )
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
     rgba_packed, best_key = pallas_micro.raster_shade_micro(
@@ -191,7 +199,7 @@ def render_frame_sharded(
         nty = (height + 7) // 8
         nty = (nty + n_shards - 1) // n_shards * n_shards  # equal stripes
         if pair_cap == 0:
-            pair_cap = binning.default_pair_cap(T, ntx * nty * 16)
+            pair_cap = binning.default_pair_cap_micro(T, ntx * nty * 16)
         body = partial(
             _stripe_render_micro,
             width=width, height=height, nty_total=nty, pair_cap=pair_cap,
@@ -280,11 +288,16 @@ def render_sharded(
         if needed[0]:
             if path == "micro":
                 ncells = ((width + 127) // 128) * ((height + 7) // 8) * 16
+                cur = options.get("pair_cap") or (
+                    binning.default_pair_cap_micro(T, ncells)
+                )
             else:
                 th = options.get("tile_h", 16)
                 tw = options.get("tile_w", 256)
-                ncells = ((width + tw - 1) // tw) * ((height + th - 1) // th)
-            cur = options.get("pair_cap") or binning.default_pair_cap(T, ncells)
+                ntiles = ((width + tw - 1) // tw) * ((height + th - 1) // th)
+                cur = options.get("pair_cap") or binning.default_pair_cap(
+                    T, ntiles
+                )
             options["pair_cap"] = grow_pair_cap(cur, int(needed[0]))
         if needed[1] and path != "micro":
             from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP

@@ -105,11 +105,15 @@ def test_sharded_micro_mega_mesh(mesh8):
     m = procedural.uv_sphere(nu=800, nv=128)  # 203,200 tris
     assert m.num_triangles > 200_000
     args = args_for(m)
+    # Explicit pair_cap: this sphere fills the whole (small) framebuffer, so
+    # its pairs/triangle density (~0.75) sits above the mega-scene default
+    # (default_pair_cap_micro ~ T/2); capacity heuristics + retry are
+    # covered by test_sharded_overflow_retry / test_micro overflow tests.
     rgba_sharded, keys_sharded, overflow = render_frame_sharded(
-        *args, mesh=mesh8, width=W, height=H, path="micro"
+        *args, mesh=mesh8, width=W, height=H, path="micro", pair_cap=180_224
     )
     rgba_single, keys_single, single_flags = tpu.render_frame(
-        *args, width=W, height=H
+        *args, width=W, height=H, pair_cap=180_224
     )  # auto-dispatches to micro at this scale
     assert not bool(np.asarray(overflow).any())
     assert not bool(np.asarray(single_flags).any())
