@@ -6,16 +6,23 @@ Feature map from the reference's winit ApplicationHandler:
 - first-person WASD/Space/C + Shift sprint + [ ] speed trim ('P' prints the
   pose) (camera.rs:97-150) and mouse-drag look (camera.rs:152-173)
 - Escape cycles to the next scene config (window.rs:274-342)
+- benchmark-end auto-cycling: when a scene's benchmark duration elapses the
+  collector finalises and the next SceneConfig loads; after the last one the
+  app exits (window.rs:203-209, 274-281)
 - window resize rebuilds the render step (window.rs:137-169)
 
 tkinter is used because it ships with CPython — no extra GUI dependency.
-Requires a display; the CLI falls back to headless rendering otherwise.
+Requires a display; the CLI falls back to headless rendering otherwise. The
+``tk_module`` hook exists so the frame loop, input handling, and scene
+cycling are testable on displayless CI boxes (tests/test_window.py drives a
+fake Tk through ticks, keys, mouse, resize, and benchmark cycling).
 """
 
 from __future__ import annotations
 
 import time
 
+from compute_renderer_tpu.bench.collector import PerformanceCollector
 from compute_renderer_tpu.engine.renderer import Renderer
 from compute_renderer_tpu.engine.scene import Scene, SceneConfig
 
@@ -29,10 +36,12 @@ _KEYMAP = {
 
 
 class InteractiveApp:
-    def __init__(self, scene_configs: list, width: int, height: int):
-        import tkinter as tk
+    def __init__(self, scene_configs: list, width: int, height: int,
+                 tk_module=None):
+        if tk_module is None:
+            import tkinter as tk_module
 
-        self.tk = tk
+        self.tk = tk_module
         self.scene_configs = scene_configs
         self.scene_index = 0
         self.width = width
@@ -40,11 +49,12 @@ class InteractiveApp:
         self.keys_down: set = set()
         self.mouse_down = False
         self.last_mouse = (0, 0)
+        self.running = True
 
-        self.root = tk.Tk()
+        self.root = self.tk.Tk()
         self.root.title("compute-renderer-tpu")
-        self.canvas = tk.Canvas(self.root, width=width, height=height,
-                                highlightthickness=0)
+        self.canvas = self.tk.Canvas(self.root, width=width, height=height,
+                                     highlightthickness=0)
         self.canvas.pack()
         self.photo = None
 
@@ -66,6 +76,24 @@ class InteractiveApp:
         self.scene = Scene.from_config(config, self.width, self.height)
         self.renderer = Renderer(self.scene.mesh, self.width, self.height,
                                  backend=config.normalized_backend())
+        # Fresh collector per scene (window.rs:295-300); duration None means
+        # endless interactive use (scene.rs:232 u64::MAX default).
+        self.collector = PerformanceCollector(
+            config.scene_name(), self.scene_index,
+            config.benchmark_duration_secs,
+            num_triangles=self.scene.mesh.num_triangles,
+            num_pixels=self.width * self.height,
+        )
+
+    def _next_scene_or_exit(self) -> None:
+        """Benchmark-end handling (window.rs:203-209, 274-281): finalise the
+        collector; advance to the next config, or exit after the last one."""
+        self.collector.finalise()
+        if self.scene_index + 1 >= len(self.scene_configs):
+            self.running = False
+            self.root.destroy()
+            return
+        self._load_scene(self.scene_index + 1)
 
     # -- input ----------------------------------------------------------------
 
@@ -115,6 +143,8 @@ class InteractiveApp:
     # -- frame loop (window.rs:194-221) ---------------------------------------
 
     def _tick(self) -> None:
+        if not self.running:
+            return
         now = time.perf_counter()
         dt = now - self.last_frame
         self.last_frame = now
@@ -132,6 +162,13 @@ class InteractiveApp:
             data=header + rgba[:, :, :3].tobytes(), format="PPM"
         )
         self.canvas.create_image(0, 0, image=self.photo, anchor="nw")
+
+        # Scene-done check (reference window.rs:203-209): update() returns
+        # True once the benchmark duration + warm-up has elapsed.
+        if self.collector.update():
+            self._next_scene_or_exit()
+            if not self.running:
+                return
         self.root.after(1, self._tick)
 
     def run(self) -> None:
