@@ -114,6 +114,58 @@ def vertex_stage(positions, view_proj, effect, width: int, height: int):
     return world, screen
 
 
+def vertex_stage_soa(pos_soa, view_proj, effect, width: int, height: int):
+    """``vertex_stage`` on corner-SoA geometry.
+
+    ``pos_soa`` is (3 corners, 3 components, T): ``pos_soa[k, c, t]`` is
+    component c of corner k of triangle t, so every per-corner quantity is
+    a *contiguous* (T,) row — the whole stage is streaming elementwise work
+    with no strided slices (the (N, 3)-row form made XLA:TPU interleave /
+    de-interleave lanes at every step, which dominated the mega-scene
+    front-end). Per-element arithmetic is identical to ``vertex_stage``.
+
+    Returns (world_soa, screen_soa): tuples over corners of tuples of (T,)
+    arrays — world (x, y, z), screen (x_px, y_px_flipped, ndc_z, clip_w)."""
+    m = view_proj.astype(F32)
+    amplitude, frequency, phase, direction = (
+        effect[1], effect[2], effect[3], effect[4],
+    )
+    is_wave = effect[0] == EFFECT_WAVE
+    vertical = direction < 0.5
+    horizontal = (direction >= 0.5) & (direction < 1.5)
+
+    world_soa = []
+    screen_soa = []
+    for k in range(3):
+        x = pos_soa[k, 0].astype(F32)
+        y = pos_soa[k, 1].astype(F32)
+        z = pos_soa[k, 2].astype(F32)
+        # Wave displacement (apply_wave_effect, binning.wgsl:144-161).
+        dy = amplitude * jnp.sin(frequency * x + phase)
+        dx = amplitude * jnp.sin(frequency * y + phase)
+        dist = jnp.sqrt(x * x + y * y)
+        dz = amplitude * jnp.sin(frequency * dist + phase)
+        wx = jnp.where(is_wave & horizontal, x + dx, x)
+        wy = jnp.where(is_wave & vertical, y + dy, y)
+        wz = jnp.where(is_wave & ~(vertical | horizontal), z + dz, z)
+
+        clip = [
+            ((m[r, 0] * wx + m[r, 1] * wy) + (m[r, 2] * wz + m[r, 3]))
+            for r in range(4)
+        ]
+        cx, cy, cz, cw = clip
+        ndc_x = cx / cw
+        ndc_y = cy / cw
+        world_soa.append((wx, wy, wz))
+        screen_soa.append((
+            (ndc_x + F32(1.0)) * F32(0.5) * F32(width),
+            (F32(1.0) - ndc_y) * F32(0.5) * F32(height),
+            cz / cw,
+            cw,
+        ))
+    return tuple(world_soa), tuple(screen_soa)
+
+
 # ---------------------------------------------------------------------------
 # Stage 2: triangle setup / culling / tile ranges
 # ---------------------------------------------------------------------------
@@ -143,29 +195,43 @@ def triangle_setup_corners(v, effect, width: int, height: int,
     binning.wgsl:216-219) so setup is pure streaming elementwise work — at
     ~1M triangles the ``screen[tri]`` row-gather dominated the whole
     front-end on TPU."""
-    vx, vy, vw = v[:, :, 0], v[:, :, 1], v[:, :, 3]
+    screen_soa = tuple(
+        tuple(v[:, k, c] for c in range(4)) for k in range(3)
+    )
+    return triangle_setup_soa(screen_soa, effect, width, height,
+                              tile_h, tile_w)
 
-    w_ok = ~jnp.any(vw < F32(0.0), axis=1)
 
-    min_x = vx.min(axis=1)
-    max_x = vx.max(axis=1)
-    min_y = vy.min(axis=1)
-    max_y = vy.max(axis=1)
+def triangle_setup_soa(screen_soa, effect, width: int, height: int,
+                       tile_h: int, tile_w: int):
+    """``triangle_setup`` on corner-SoA screen vertices (see
+    ``vertex_stage_soa``): all-contiguous (T,) rows, no strided slices."""
+    (v1x, v1y, _, v1w), (v2x, v2y, _, v2w), (v3x, v3y, _, v3w) = screen_soa
+
+    w_ok = ~((v1w < F32(0.0)) | (v2w < F32(0.0)) | (v3w < F32(0.0)))
+
+    min_x = jnp.minimum(jnp.minimum(v1x, v2x), v3x)
+    max_x = jnp.maximum(jnp.maximum(v1x, v2x), v3x)
+    min_y = jnp.minimum(jnp.minimum(v1y, v2y), v3y)
+    max_y = jnp.maximum(jnp.maximum(v1y, v2y), v3y)
 
     on_screen = ~(
         (max_x < F32(0.0)) | (min_x >= F32(width))
         | (max_y < F32(0.0)) | (min_y >= F32(height))
     )
 
-    ax = vx[:, 1] - vx[:, 0]
-    ay = vy[:, 1] - vy[:, 0]
-    bx = vx[:, 2] - vx[:, 0]
-    by = vy[:, 2] - vy[:, 0]
+    ax = v2x - v1x
+    ay = v2y - v1y
+    bx = v3x - v1x
+    by = v3y - v1y
     cross_z = ax * by - ay * bx
     is_voxelize = effect[0] == EFFECT_VOXELIZE
     facing = jnp.where(is_voxelize, jnp.ones_like(cross_z, bool), cross_z < F32(0.0))
 
-    finite = jnp.isfinite(vx).all(axis=1) & jnp.isfinite(vy).all(axis=1)
+    finite = (
+        jnp.isfinite(v1x) & jnp.isfinite(v2x) & jnp.isfinite(v3x)
+        & jnp.isfinite(v1y) & jnp.isfinite(v2y) & jnp.isfinite(v3y)
+    )
 
     alive = w_ok & on_screen & facing & finite
 

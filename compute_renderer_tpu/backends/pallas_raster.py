@@ -73,23 +73,35 @@ def build_tri_table_corners(v, nrm, wld):
     vertices, nrm/wld (T, 3, 3). The mega path holds geometry corner-major
     so the table build is gather-free streaming math (three T-row gathers
     cost more than everything else in the front-end at ~1M triangles)."""
+    screen_soa = tuple(tuple(v[:, k, c] for c in range(4)) for k in range(3))
+    nrm_soa = tuple(tuple(nrm[:, k, c] for c in range(3)) for k in range(3))
+    wld_soa = tuple(tuple(wld[:, k, c] for c in range(3)) for k in range(3))
+    return build_tri_table_soa(screen_soa, nrm_soa, wld_soa)
+
+
+def build_tri_table_soa(screen_soa, nrm_soa, wld_soa):
+    """``build_tri_table`` on corner-SoA inputs (tuples over corners of
+    tuples of contiguous (T,) component rows — see
+    ``common.vertex_stage_soa``). All coefficient math runs on contiguous
+    rows; the only layout change is the final (T, 32) stack, one interleave
+    instead of the strided reads everywhere that the (T, 3, c) form paid."""
     from compute_renderer_tpu.backends import common
 
-    v1, v2, v3 = v[:, 0], v[:, 1], v[:, 2]
+    v1, v2, v3 = screen_soa
     co = common.barycentric_coefficients(
-        v1[:, 0], v1[:, 1], v2[:, 0], v2[:, 1], v3[:, 0], v3[:, 1]
+        v1[0], v1[1], v2[0], v2[1], v3[0], v3[1]
     )
 
     cols = [co["a1"], co["b1"], co["c1"],
             co["a2"], co["b2"], co["c2"],
             co["a3"], co["b3"], co["c3"]]
-    cols += list(common.affine_combine(co, v1[:, 2], v2[:, 2], v3[:, 2]))
+    cols += list(common.affine_combine(co, v1[2], v2[2], v3[2]))
 
-    for src in (nrm, wld):
+    for src in (nrm_soa, wld_soa):
         for ch in range(3):
             cols += list(
-                common.affine_combine(co, src[:, 0, ch], src[:, 1, ch],
-                                      src[:, 2, ch])
+                common.affine_combine(co, src[0][ch], src[1][ch],
+                                      src[2][ch])
             )
 
     cols += [co["ax"], co["ay"]]
@@ -376,10 +388,136 @@ def _raster_tile(
     key_ref[:, :] = best_key
 
 
+def _raster_kernel_wl(
+    # scalar-prefetch
+    wl_ref,  # (num_tiles,) i32 ascending occupied-tile ids (first k valid)
+    # SMEM inputs (full)
+    params_ref,
+    lights_ref,
+    start_ref,
+    count_ref,
+    # VMEM / HBM inputs (full)
+    tri_table_ref,
+    pair_tri_ref,
+    rgba_clear_ref,  # aliased into rgba_ref; never read
+    key_clear_ref,  # aliased into key_ref; never read
+    # outputs (blocked per *visited* tile)
+    rgba_ref,
+    key_ref,
+    # scratch
+    *scratch,
+    tile_h: int,
+    tile_w: int,
+    ntx: int,
+    num_lights: int,
+    dense_rows: bool,
+):
+    """Work-list variant of ``_raster_kernel``: the grid is the (dynamic)
+    number of OCCUPIED tiles; step i renders tile ``wl[i]``. Empty tiles —
+    most of the screen for typical scenes — never become grid steps: their
+    pixels come from the pre-cleared framebuffer aliased into the outputs.
+    The reference dispatches every tile and early-outs per thread
+    (raster_pass.rs:139-142); here the hardware never sees them at all."""
+    del rgba_clear_ref, key_clear_ref
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    tile_id = wl_ref[i]
+    ti = tile_id // ntx
+    tj = tile_id - ti * ntx
+    count = count_ref[tile_id]  # > 0 by construction
+
+    if dense_rows:
+        # Ascending work list preserves the 8-row block reuse: re-DMA only
+        # when this step's block differs from the previous step's.
+        idx_smem, dma_sem = scratch
+        j0 = pl.multiple_of((tile_id // 8) * 8, 8)
+        prev_block = wl_ref[jnp.maximum(i - 1, 0)] // 8
+
+        @pl.when((i == 0) | (prev_block != tile_id // 8))
+        def _():
+            cp = pltpu.make_async_copy(
+                pair_tri_ref.at[pl.ds(j0, 8), :], idx_smem, dma_sem
+            )
+            cp.start()
+            cp.wait()
+
+        def wait_list():
+            pass
+
+        row_in_block = tile_id - j0
+        read_slot = lambda k: idx_smem[row_in_block, k]
+    else:
+        idx_a, idx_b, sem_a, sem_b = scratch
+        W = idx_a.shape[0]
+        slot = i % 2
+
+        def issue(tid, buf, sem):
+            seg_start = start_ref[tid]
+            aligned = pl.multiple_of((seg_start // 1024) * 1024, 1024)
+            pltpu.make_async_copy(
+                pair_tri_ref.at[pl.ds(aligned, W)], buf, sem
+            ).start()
+
+        @pl.when(i == 0)
+        def _():
+            issue(tile_id, idx_a, sem_a)
+
+        nxt = wl_ref[jnp.minimum(i + 1, n - 1)]
+
+        @pl.when((i + 1 < n) & (slot == 1))  # next slot is 0
+        def _():
+            issue(nxt, idx_a, sem_a)
+
+        @pl.when((i + 1 < n) & (slot == 0))  # next slot is 1
+        def _():
+            issue(nxt, idx_b, sem_b)
+
+        def wait_list():
+            @pl.when(slot == 0)
+            def _():
+                pltpu.make_async_copy(
+                    pair_tri_ref.at[pl.ds(0, W)], idx_a, sem_a
+                ).wait()
+
+            @pl.when(slot == 1)
+            def _():
+                pltpu.make_async_copy(
+                    pair_tri_ref.at[pl.ds(0, W)], idx_b, sem_b
+                ).wait()
+
+        seg_offset = start_ref[tile_id] - (start_ref[tile_id] // 1024) * 1024
+
+        def read_slot(k):
+            idx = seg_offset + k
+            return jnp.where(slot == 0, idx_a[idx], idx_b[idx])
+
+    _raster_tile(
+        params_ref, lights_ref, tri_table_ref,
+        rgba_ref, key_ref,
+        wait_list, read_slot, ti, tj, count,
+        tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
+    )
+
+
+def occupied_worklist(seg_count):
+    """(ascending occupied-tile ids padded with 0, occupied count). The
+    compaction is a cumsum + scatter — O(num_tiles) streaming work."""
+    i32 = jnp.int32
+    num_tiles = seg_count.shape[0]
+    occ = seg_count > 0
+    incl = jnp.cumsum(occ.astype(i32))
+    k = incl[-1] if num_tiles > 0 else jnp.int32(0)
+    pos = jnp.where(occ, incl - 1, num_tiles)  # out of range -> dropped
+    wl = jnp.zeros((num_tiles,), i32).at[pos].set(
+        jnp.arange(num_tiles, dtype=i32), mode="drop"
+    )
+    return wl, k
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height_padded", "width_padded", "tile_h", "tile_w",
-                     "tile_cap", "layout", "interpret"),
+                     "tile_cap", "layout", "interpret", "worklist"),
 )
 def raster_shade_tiles(
     tri_table,  # (T, 32) f32
@@ -399,12 +537,18 @@ def raster_shade_tiles(
     tile_cap: int,
     layout: str = "flat",
     interpret: bool = False,
+    worklist: bool = False,
     y_offset=0,
 ):
     """Run the fused raster+shade kernel over the padded framebuffer.
 
     ``y_offset`` (traced scalar ok) is the global pixel row of this window —
     nonzero when rendering one stripe of a sharded framebuffer.
+
+    ``worklist=True`` uses the occupied-tile work-list kernel: the Pallas
+    grid is the dynamic count of non-empty tiles and empty-tile pixels come
+    from a pre-cleared framebuffer aliased into the outputs (bitwise the
+    same image; see ``_raster_kernel_wl``).
 
     Returns (rgba_packed (Hp,Wp) u32, best_key (Hp,Wp) u32)."""
     nty = height_padded // tile_h
@@ -453,6 +597,63 @@ def raster_shade_tiles(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
+
+    if worklist:
+        wl, k = occupied_worklist(seg_count.astype(jnp.int32))
+        wl_kernel = functools.partial(
+            _raster_kernel_wl, tile_h=tile_h, tile_w=tile_w, ntx=ntx,
+            num_lights=num_lights, dense_rows=dense_rows,
+        )
+        rgba_clear = jnp.full((height_padded, width_padded), 0xFFFF0000,
+                              jnp.uint32)
+        key_clear = jnp.full((height_padded, width_padded), DEPTH_CLEAR_BITS,
+                             jnp.uint32)
+        hbm = pl.ANY if interpret else pltpu.HBM
+        rgba, best_key = pl.pallas_call(
+            wl_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(k,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # starts
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # tri table
+                    pl.BlockSpec(memory_space=hbm),  # pair list
+                    pl.BlockSpec(memory_space=pl.ANY),  # aliased rgba clear
+                    pl.BlockSpec(memory_space=pl.ANY),  # aliased key clear
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (tile_h, tile_w),
+                        lambda i, wl: (wl[i] // ntx, wl[i] % ntx),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (tile_h, tile_w),
+                        lambda i, wl: (wl[i] // ntx, wl[i] % ntx),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((height_padded, width_padded),
+                                     jnp.uint32),
+                jax.ShapeDtypeStruct((height_padded, width_padded),
+                                     jnp.uint32),
+            ],
+            # Operand indices include the scalar-prefetch arg (0).
+            input_output_aliases={7: 0, 8: 1},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(wl, params, lights, seg_start.astype(jnp.int32),
+          seg_count.astype(jnp.int32), tri_table, pair_tri,
+          rgba_clear, key_clear)
+        return rgba, best_key
 
     rgba, best_key = pl.pallas_call(
         kernel,

@@ -86,24 +86,24 @@ def render_frame_micro(
     screen=None,
     world=None,
     tri_table=None,
-    pos_c=None,
-    nrm_c=None,
+    pos_soa=None,
+    nrm_soa=None,
 ):
     """Mega-scene path: 8x8-cell binning (ONE global sort) + the lane-packed
     micro kernel (pallas_micro). Coefficients stream from HBM, so there is
     no VMEM triangle-table budget and no chunked multi-pass — one launch
     renders any scene size. Returns the same contract as ``render_frame``.
 
-    Geometry is processed *corner-major*: ``pos_c``/``nrm_c`` are (3T, 3)
-    per-corner arrays (precomputed once per mesh by the engine; derived
-    here from ``tri`` when absent, e.g. in direct test calls). Transforming
-    each corner independently — like the reference's per-corner
-    geometry_pipeline (binning.wgsl:216-219) — makes the whole front-end
-    (vertex stage, setup, coefficient table) streaming elementwise work;
-    the per-vertex form needed three T-row gathers that dominated the
-    frame at ~1M triangles (TPU gathers are serial-ish; streams are not).
-    The per-corner arithmetic is bit-identical to the per-vertex form
-    (same elementwise op chain on the same values).
+    Geometry is processed as *corner SoA*: ``pos_soa``/``nrm_soa`` are
+    (3 corners, 3 components, T) arrays (precomputed once per mesh by the
+    engine; derived from ``tri`` when absent, e.g. in direct test calls).
+    Transforming each corner independently — like the reference's
+    per-corner geometry_pipeline (binning.wgsl:216-219) — and keeping
+    every component a contiguous (T,) row makes the whole front-end
+    (vertex stage, setup, coefficient table) streaming elementwise work
+    with no gathers and no strided slices; both dominated the frame at
+    ~1M triangles. The per-corner arithmetic is bit-identical to the
+    per-vertex form (same elementwise op chain on the same values).
 
     Coverage outside a triangle's bbox (voxelize inflation / mirage warp)
     clips to the 8x8 cell-rectangle union — the reference's own tile
@@ -126,26 +126,34 @@ def render_frame_micro(
     if pair_cap == 0:
         pair_cap = binning.default_pair_cap_micro(T, ntx * nty * 16)
 
-    corners = tri.reshape(-1)
     if screen is not None:
-        screen_c = screen[corners]
-        world_c = world[corners]
+        sc = screen[tri]  # (T, 3, 4)
+        wc = world[tri].astype(F32)
+        screen_soa = tuple(
+            tuple(sc[:, k, c] for c in range(4)) for k in range(3)
+        )
+        world_soa = tuple(
+            tuple(wc[:, k, c] for c in range(3)) for k in range(3)
+        )
     else:
-        if pos_c is None:
-            pos_c = positions[corners]
-        world_c, screen_c = common.vertex_stage(pos_c, view_proj, effect,
-                                                width, height)
-    v = screen_c.reshape(T, 3, 4)
+        if pos_soa is None:
+            pos_soa = positions[tri].transpose(1, 2, 0)
+        world_soa, screen_soa = common.vertex_stage_soa(
+            pos_soa, view_proj, effect, width, height
+        )
     # Cell-granularity setup: tile ranges ARE cell ranges at (8, 8).
-    setup = common.triangle_setup_corners(v, effect, width, height, 8, 8)
+    setup = common.triangle_setup_soa(screen_soa, effect, width, height, 8, 8)
     bins = binning.bin_cells_sort(setup, ntx, nty, pair_cap)
 
     if tri_table is None:
-        if nrm_c is None:
-            nrm_c = normals[corners]
-        tri_table = pallas_raster.build_tri_table_corners(
-            v, nrm_c.astype(F32).reshape(T, 3, 3),
-            world_c.astype(F32).reshape(T, 3, 3),
+        if nrm_soa is None:
+            nrm_soa = normals[tri].transpose(1, 2, 0)
+        nrm_tuples = tuple(
+            tuple(nrm_soa[k, c].astype(F32) for c in range(3))
+            for k in range(3)
+        )
+        tri_table = pallas_raster.build_tri_table_soa(
+            screen_soa, nrm_tuples, world_soa
         )
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
     rgba_packed, best_key_p = pallas_micro.raster_shade_micro(
@@ -183,7 +191,8 @@ def resolve_path(path: str, num_triangles: int, tri_chunk: int = 0) -> str:
 @partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "pair_cap",
-                     "tile_cap", "interpret", "tri_chunk", "path"),
+                     "tile_cap", "interpret", "tri_chunk", "path",
+                     "worklist"),
 )
 def render_frame(
     positions,
@@ -206,8 +215,9 @@ def render_frame(
     interpret: bool | None = None,
     tri_chunk: int = 0,  # 0 -> VMEM-budget heuristic
     path: str = "auto",  # "auto" | "tile" | "micro"
-    pos_c=None,  # (3T, 3) corner-major positions (micro path; optional)
-    nrm_c=None,  # (3T, 3) corner-major normals (micro path; optional)
+    pos_soa=None,  # (3, 3, T) corner-SoA positions (micro path; optional)
+    nrm_soa=None,  # (3, 3, T) corner-SoA normals (micro path; optional)
+    worklist: bool = False,  # occupied-tile work-list kernel (tile path)
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
     overflow (2,) i32 = [pair_cap_needed, tile_cap_needed] where 0 means
@@ -237,7 +247,7 @@ def render_frame(
             positions, normals, uvs, tri, view_proj, view_position,
             light_world_pos, light_color, light_intensity, effect,
             width=width, height=height, pair_cap=pair_cap,
-            interpret=interpret, pos_c=pos_c, nrm_c=nrm_c,
+            interpret=interpret, pos_soa=pos_soa, nrm_soa=nrm_soa,
         )
     if tri_chunk == 0:
         tri_chunk = MAX_TRI_TABLE_BYTES // (pallas_raster.TRI_TABLE_WIDTH * 4)
@@ -300,6 +310,7 @@ def render_frame(
             tile_cap=tc,
             layout=bins["layout"],
             interpret=interpret,
+            worklist=worklist,
         )
         chunk_flags = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
         if rgba_packed is None:
@@ -317,7 +328,8 @@ def render_frame(
 
 def render(mesh, camera_uniform, lights, effect, width, height,
            tile_h: int = 0, tile_w: int = 0, pair_cap: int = 0,
-           tile_cap: int = 0, max_retries: int = 3, path: str = "auto"):
+           tile_cap: int = 0, max_retries: int = 3, path: str = "auto",
+           worklist: bool = False):
     """Host-level entry with automatic capacity retry: if the binning
     capacities overflow (detected, unlike the reference's silent OOB), double
     them and re-render."""
@@ -353,10 +365,9 @@ def render(mesh, camera_uniform, lights, effect, width, height,
     )
     micro_kwargs = {}
     if path == "micro":
-        corners = args[3].reshape(-1)
         micro_kwargs = {
-            "pos_c": jnp.take(args[0], corners, axis=0),
-            "nrm_c": jnp.take(args[1], corners, axis=0),
+            "pos_soa": args[0][args[3]].transpose(1, 2, 0),
+            "nrm_soa": args[1][args[3]].transpose(1, 2, 0),
         }
     for _ in range(max_retries):
         if path == "micro":
@@ -368,6 +379,7 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             rgba, _, overflow = render_frame(
                 *args, width=width, height=height, tile_h=tile_h,
                 tile_w=tile_w, pair_cap=pc, tile_cap=tc, path="tile",
+                worklist=worklist,
             )
         flags = np.asarray(overflow)
         if not flags.any():

@@ -37,14 +37,14 @@ class Renderer:
         self.uvs = jnp.asarray(mesh.uvs)
         self.tri = jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3)
         self.num_triangles = int(self.tri.shape[0])
-        # Corner-major geometry for the tpu backend's micro (mega-scene)
-        # path: gathered ONCE at upload (indices are static per mesh) so the
-        # per-frame front-end is gather-free streaming work. ~72 MB/1M tris.
-        self.pos_c = self.nrm_c = None
+        # Corner-SoA geometry (3 corners, 3 comps, T) for the tpu backend's
+        # micro (mega-scene) path: gathered + transposed ONCE at upload
+        # (indices are static per mesh) so the per-frame front-end is
+        # gather-free contiguous streaming work. ~72 MB/1M tris.
+        self.pos_soa = self.nrm_soa = None
         if self.backend_name == "tpu" and self.num_triangles > 0:
-            corners = self.tri.reshape(-1)
-            self.pos_c = jnp.take(self.positions, corners, axis=0)
-            self.nrm_c = jnp.take(self.normals, corners, axis=0)
+            self.pos_soa = self.positions[self.tri].transpose(1, 2, 0)
+            self.nrm_soa = self.normals[self.tri].transpose(1, 2, 0)
         self._step_cache.clear()
 
     def resize(self, width: int, height: int) -> None:
@@ -88,8 +88,9 @@ class Renderer:
         )
         width, height, options = self.width, self.height, self.options
         backend = self.backend
-        if self.pos_c is not None:
-            options = dict(options, pos_c=self.pos_c, nrm_c=self.nrm_c)
+        if self.pos_soa is not None:
+            options = dict(options, pos_soa=self.pos_soa,
+                           nrm_soa=self.nrm_soa)
 
         @jax.jit
         def step(packed):

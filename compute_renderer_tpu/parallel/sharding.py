@@ -111,16 +111,14 @@ def _stripe_render_micro(
     stripe_ty0 = shard * nty_local
     y_offset = stripe_ty0 * 8
 
-    # Corner-major front end — the exact op structure of the single-device
+    # Corner-SoA front end — the exact op structure of the single-device
     # micro path (tpu.render_frame_micro), so stripes match it bitwise.
     T = tri.shape[0]
-    corners = tri.reshape(-1)
-    pos_c = positions[corners]
-    world_c, screen_c = common.vertex_stage(pos_c, view_proj, effect,
-                                            width, height)
-    v = screen_c.reshape(T, 3, 4)
+    pos_soa = positions[tri].transpose(1, 2, 0)
+    world_soa, screen_soa = common.vertex_stage_soa(pos_soa, view_proj,
+                                                    effect, width, height)
     # Cell-granularity setup (8x8): tile ranges ARE cell ranges.
-    setup = common.triangle_setup_corners(v, effect, width, height, 8, 8)
+    setup = common.triangle_setup_soa(screen_soa, effect, width, height, 8, 8)
 
     # Clip covered cell rows to this stripe (cell rows == pixel rows / 8 ==
     # micro tile rows, since the (8,128) tile is one cell tall).
@@ -133,9 +131,12 @@ def _stripe_render_micro(
 
     bins = binning.bin_cells_sort(local_setup, ntx, nty_local, pair_cap)
 
-    tri_table = pallas_raster.build_tri_table_corners(
-        v, normals[corners].astype(F32).reshape(T, 3, 3),
-        world_c.astype(F32).reshape(T, 3, 3),
+    nrm_soa = normals[tri].astype(F32).transpose(1, 2, 0)
+    nrm_tuples = tuple(
+        tuple(nrm_soa[k, c] for c in range(3)) for k in range(3)
+    )
+    tri_table = pallas_raster.build_tri_table_soa(
+        screen_soa, nrm_tuples, world_soa
     )
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
     rgba_packed, best_key = pallas_micro.raster_shade_micro(
