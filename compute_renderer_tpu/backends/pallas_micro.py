@@ -10,12 +10,15 @@ rasteriser.wgsl:192-243), the TPU way:
 - binning is at 8x8 *cell* granularity (= the reference's tile size), cells
   ordered cell-major within each (8, 128) framebuffer tile
   (``binning.bin_cells_sort``);
-- per walk step, ONE dynamic 16-row read pulls 16 consecutive pairs of one
-  cell from the tile's VMEM-staged coefficient window, and a bit-exact
-  selection matmul (f32 via ``Precision.HIGHEST``; the selection matrix is
-  0/1 so the 3-pass f32 emulation is exact) broadcasts pair g's
-  coefficients to lane group g — 16 triangles x 64 pixels = all 1024 lanes
-  busy per op;
+- pair coefficients are stored *coefficient-major* and dense: superblock
+  sb is a (32, 128) block whose row r, lane l holds coefficient r of pair
+  128*sb + l — 32 B/pair in the HBM stream (the round-1 row-per-pair form
+  padded 32 lanes to 128 and streamed 512 B/pair, 4x the bytes);
+- per walk step, a dynamic lane-roll aligns the block's 16 pairs to lane 0
+  and a bit-exact selection matmul (f32 via ``Precision.HIGHEST``; the
+  selection matrix is 0/1 so each output is a single exact product)
+  broadcasts pair g's coefficients to lane group g — 16 triangles x 64
+  pixels = all 1024 lanes busy per op;
 - each lane group carries its own running (depth key, pair index,
   attributes) min; after a cell's walk, a 4-round lane-roll butterfly
   reduces across groups with (key, pair)-lexicographic order — deterministic
@@ -60,9 +63,15 @@ PAIR_IDX_CLEAR = np.int32(2**31 - 1)
 
 
 def _selection_matrix():
-    """(16, 128) f32 0/1: S[g, j] = 1 iff lane j belongs to group g."""
-    gj = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1) // 8
-    gg = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    """(128, 128) f32 0/1: S[q, j] = 1 iff lane j belongs to group q.
+
+    For a lane-aligned coefficient block M (32, 128) (row r = coefficient
+    r, lane q = pair q), ``M @ S`` is (32, 128) with E[r, j] = M[r, j//8] —
+    pair g's coefficients broadcast to lane group g. Each output element
+    has exactly one nonzero term, so the matmul is bit-exact under
+    ``Precision.HIGHEST`` f32."""
+    gj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // 8
+    gg = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     return (gj == gg).astype(F32)
 
 
@@ -94,14 +103,18 @@ def _micro_kernel(
     W = win_a.shape[0]  # chunk rows
 
     count = tile_count_ref[tile_id]
-    w0 = pl.multiple_of(win_start_ref[tile_id], 16)
-    # Cells are contiguous in the sorted pair list, so the tile's rows are
+    # Window base: the superblock (128-pair group) containing the tile's
+    # first pair. All window arithmetic is in PAIR units; rows = pairs / 4
+    # (each (32, 128) superblock holds 128 pairs' 32 coefficients).
+    w0 = pl.multiple_of((win_start_ref[tile_id] // 128) * 128, 128)
+    # Cells are contiguous in the sorted pair list, so the tile's pairs are
     # [first, first + count) with first = seg_start of its cell 0; the
-    # chunk walk covers ceil(rows / W) chunks — dynamic trip count, NO
-    # static per-tile density ceiling.
+    # chunk walk covers ceil(span / chunk_pairs) chunks — dynamic trip
+    # count, NO static per-tile density ceiling.
     first = seg_start_ref[tile_id * 16]
-    rows = first + count - w0
-    nchunks = (rows + W - 1) // W
+    chunk_pairs = W * 4
+    span = first + count - w0
+    nchunks = (span + chunk_pairs - 1) // chunk_pairs
 
     @pl.when(count == 0)
     def _():
@@ -114,7 +127,7 @@ def _micro_kernel(
         # first block and double-buffers subsequent chunks (issue k+1 while
         # evaluating k).
         pltpu.make_async_copy(
-            coeffs_ref.at[pl.ds(w0, W), :], win_a, sem_a
+            coeffs_ref.at[pl.ds(w0 // 4, W), :], win_a, sem_a
         ).start()
         _raster_tile_micro(
             params_ref, lights_ref, seg_start_ref, seg_count_ref,
@@ -138,6 +151,7 @@ def _raster_tile_micro(
     time = params_ref[0, 6]
 
     W = win_a.shape[0]
+    CP = W * 4  # pairs per chunk
     sel = _selection_matrix()
 
     y0 = (ti * 8).astype(F32) + params_ref[0, 7]
@@ -151,9 +165,9 @@ def _raster_tile_micro(
     acc_key = jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32)
     acc_attrs = tuple(jnp.zeros((8, 128), F32) for _ in range(6))
     # Chunk currently resident (-1: chunk 0 issued but not yet waited on).
-    # Blocks walk rows in non-decreasing order across cells (segments are
-    # contiguous), each 16-row block lies inside ONE W-row chunk (both
-    # 16-aligned), and consecutive processed blocks are <= 16 rows apart,
+    # Blocks walk pairs in non-decreasing order across cells (segments are
+    # contiguous), each 16-pair block lies inside ONE chunk (16 | 128 | CP
+    # alignment), and consecutive processed blocks are <= 16 pairs apart,
     # so the walk crosses chunk boundaries one at a time.
     cur = jnp.int32(-1)
 
@@ -174,8 +188,8 @@ def _raster_tile_micro(
 
         def body(k, carry, s=s, n=n, base0=base0, px=px, py=py):
             best_key, best_pair, attrs, cur = carry
-            row = base0 + k * 16  # absolute coefficient row of this block
-            ck = (row - w0) // W  # chunk holding the whole block
+            ap = base0 + k * 16  # absolute pair index of this block
+            ck = (ap - w0) // CP  # chunk holding the whole block
             adv = ck != cur
             even = (ck % 2) == 0
 
@@ -198,32 +212,37 @@ def _raster_tile_micro(
             @pl.when(adv & more & even)
             def _():
                 pltpu.make_async_copy(
-                    coeffs_ref.at[pl.ds(w0 + (ck + 1) * W, W), :],
+                    coeffs_ref.at[pl.ds((w0 + (ck + 1) * CP) // 4, W), :],
                     win_b, sem_b,
                 ).start()
 
             @pl.when(adv & more & ~even)
             def _():
                 pltpu.make_async_copy(
-                    coeffs_ref.at[pl.ds(w0 + (ck + 1) * W, W), :],
+                    coeffs_ref.at[pl.ds((w0 + (ck + 1) * CP) // 4, W), :],
                     win_a, sem_a,
                 ).start()
 
-            rel = row - w0 - ck * W
-            Ma = win_a[pl.ds(rel, 16), :]
-            Mb = win_b[pl.ds(rel, 16), :]
-            M = jnp.where(even, Ma, Mb)
-            # Bit-exact f32 broadcast of pair g's row to lane group g.
+            rel = ap - w0 - ck * CP  # pair offset within the chunk
+            row = (rel // 128) * 32  # superblock row (32-row aligned)
+            lo = rel - (rel // 128) * 128  # lane of the block's first pair
+            SBa = win_a[pl.ds(row, 32), :]
+            SBb = win_b[pl.ds(row, 32), :]
+            SB = jnp.where(even, SBa, SBb)
+            # Rotate the block's 16 pairs to lanes 0..15, then bit-exact
+            # f32 selection matmul: E[r, j] = coefficient r of pair
+            # (ap + j // 8).
+            Mt = pltpu.roll(SB, (128 - lo) % 128, 1)
             E = jax.lax.dot_general(
-                M, sel, (((0,), (0,)), ((), ())),
+                Mt, sel, (((1,), (0,)), ((), ())),
                 preferred_element_type=F32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # (128, 128); row r = coefficient r per lane
+            )  # (32, 128); row r = coefficient r per lane
 
             def coef(r):
                 return jnp.broadcast_to(E[r : r + 1, :], (8, 128))
 
-            pair_idx = base0 + k * 16 + group  # (8, 128) i32, abs pair id
+            pair_idx = ap + group  # (8, 128) i32, abs pair id
             valid = (pair_idx >= s) & (pair_idx < s + n)
 
             dx = px - coef(30)
@@ -351,19 +370,27 @@ def _raster_tile_micro(
     key_ref[:, :] = acc_key
 
 
-CHUNK_ROWS = 512  # rows per streamed window chunk (2 x 256 KiB VMEM buffers)
+CHUNK_ROWS = 512  # rows per streamed window chunk (2 x 256 KiB VMEM
+#                   buffers); 1 row = 4 pairs, so a chunk spans 2048 pairs
 
 
 def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int = CHUNK_ROWS):
-    """(P_pad, 128) f32 coefficient rows in sorted pair order.
+    """Coefficient-major packed pair stream: (R, 128) f32 where superblock
+    sb (rows 32*sb .. 32*sb+31) holds pairs 128*sb .. 128*sb+127 —
+    ``out[32*sb + r, l]`` is coefficient r of pair 128*sb + l.
 
-    Gathers the (T, 32) affine table into pair order and pads lanes to the
-    128-wide f32 HBM tile so window chunks DMA cleanly; tail rows pad so
-    the last 16-aligned chunk read of ``chunk_rows`` stays in bounds."""
+    Gathers the (T, 32) affine table into sorted-pair order and transposes
+    per 128-pair superblock: 32 B/pair in the stream, dense (the
+    row-per-pair form padded 32 lanes to 128 — a 4x pad write and 4x the
+    kernel DMA bytes). Tail pairs pad so the last chunk read of
+    ``chunk_rows`` rows stays in bounds."""
     gathered = tri_table[pair_tri]  # (P, 32)
     P = gathered.shape[0]
-    P_pad = ((P + 15) // 16 * 16) + chunk_rows + 16
-    return jnp.pad(gathered, ((0, P_pad - P), (0, 128 - TRI_TABLE_WIDTH)))
+    P_pad = ((P + 127) // 128) * 128 + chunk_rows * 4 + 128
+    g = jnp.pad(gathered, ((0, P_pad - P), (0, 0)))
+    return g.reshape(-1, 128, TRI_TABLE_WIDTH).transpose(0, 2, 1).reshape(
+        -1, 128
+    )
 
 
 @functools.partial(

@@ -156,6 +156,26 @@ def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0
     return result
 
 
+def measure_dispatch_overhead_ms(samples: int = 12) -> float:
+    """Median round-trip of a trivial dispatch + 1-element fetch — the fixed
+    per-dispatch cost of the host<->device link (a tunneled TPU adds tens of
+    ms). Reported alongside every suite row so batched numbers can be read
+    as engine time + overhead/batch with one methodology (VERDICT r1 items
+    4 suite / 7)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    np.asarray(f(x)[0])  # compile + warm
+    times = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        np.asarray(f(x)[0])
+        times.append((time.perf_counter() - t0) * 1000)
+    return float(np.median(times))
+
+
 def run_suite(width: int = 1024, height: int = 768, offset: int = 0,
               duration_secs: float = 30.0, json_path: Optional[str] = None,
               max_frames: Optional[int] = None, batch: int = 1) -> list:
@@ -166,10 +186,15 @@ def run_suite(width: int = 1024, height: int = 768, offset: int = 0,
         raise ValueError(
             f"Invalid offset: {offset}. There are only {len(scenes)} scenes."
         )
+    overhead_ms = measure_dispatch_overhead_ms()
     results = []
     for i in range(offset, len(scenes)):
-        results.append(run_scene(scenes[i], width, height, scene_index=i,
-                                 max_frames=max_frames, batch=batch))
+        r = run_scene(scenes[i], width, height, scene_index=i,
+                      max_frames=max_frames, batch=batch)
+        r["batch"] = batch
+        r["dispatch_overhead_ms"] = overhead_ms
+        r["dispatch_overhead_ms_per_frame"] = overhead_ms / max(batch, 1)
+        results.append(r)
     if json_path:
         with open(json_path, "w") as f:
             json.dump(results, f, indent=2)
