@@ -282,16 +282,26 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int):
     tri_of_pair = expand_pair_owners(starts, c, pair_cap)
     valid = p < total
 
-    meta = jnp.stack(
-        [starts.astype(i32), rx, setup["tile_x0"].astype(i32),
-         setup["tile_y0"].astype(i32)],
+    # Per-triangle metadata packed as complex64 (two i32 bit patterns per
+    # element): the pair-order gather costs ~1.6 ns/element on TPU
+    # regardless of width, so halving the element count halves the gather.
+    # Bitcast round-trips are exact for all values below the f32 inf/NaN
+    # bit range (>= 0x7F800000 ~ 2.1e9) — capacities and tile coordinates
+    # are orders of magnitude smaller.
+    as_f = lambda a: jax.lax.bitcast_convert_type(a.astype(i32), jnp.float32)
+    meta_c = jnp.stack(
+        [
+            jax.lax.complex(as_f(starts), as_f(rx)),
+            jax.lax.complex(as_f(setup["tile_x0"]), as_f(setup["tile_y0"])),
+        ],
         axis=1,
-    )  # (T, 4)
-    m = meta[tri_of_pair]
-    local = p - m[:, 0]
-    trx = jnp.maximum(m[:, 1], 1)
-    cx = m[:, 2] + local % trx
-    cy = m[:, 3] + local // trx
+    )  # (T, 2) c64
+    m = meta_c[tri_of_pair]  # (P, 2)
+    as_i = lambda a: jax.lax.bitcast_convert_type(a, i32)
+    local = p - as_i(jnp.real(m[:, 0]))
+    trx = jnp.maximum(as_i(jnp.imag(m[:, 0])), 1)
+    cx = as_i(jnp.real(m[:, 1])) + local % trx
+    cy = as_i(jnp.imag(m[:, 1])) + local // trx
     cell_of_pair = (cy * ntx_t + cx // 16) * 16 + cx % 16
     cell_of_pair = jnp.where(valid, cell_of_pair, num_cells)
 
@@ -342,12 +352,12 @@ def default_pair_cap_micro(num_triangles: int, num_cells: int) -> int:
     """Micro-path (mega-scene) pair capacity. Mega scenes cull well over
     half their triangles (backface + offscreen + near-plane) and survivors
     are near-subpixel (~1 covered cell each) — measured San-Miguel-class
-    coverage is ~0.33 pairs/triangle — so T/2 leaves ~50% slack without
-    paying pair-sized sort/gather cost for dead capacity (the 2T default
-    made capacity-proportional stages ~6x slower than needed at 1M tris).
-    Underestimates are detected and retried at the exact reported need
-    (tpu.grow_pair_cap)."""
-    return max(num_triangles // 2, num_cells, 32768)
+    coverage is ~0.33 pairs/triangle — so 3T/8 keeps ~15% slack while
+    every capacity-proportional stage (expansion, sort, histogram,
+    coefficient gather) stays tight (the round-1 2T default made them ~6x
+    slower than needed at 1M tris). Underestimates are detected and
+    retried at the exact reported need (tpu.grow_pair_cap)."""
+    return max(num_triangles * 3 // 8, num_cells, 32768)
 
 
 def default_pair_cap(num_triangles: int, num_tiles: int) -> int:

@@ -374,17 +374,43 @@ CHUNK_ROWS = 512  # rows per streamed window chunk (2 x 256 KiB VMEM
 #                   buffers); 1 row = 4 pairs, so a chunk spans 2048 pairs
 
 
+def build_tri_table_c64(screen_soa, nrm_soa, wld_soa):
+    """(T, 16) complex64 coefficient table: element k of row t packs
+    coefficients (2k, 2k+1) as (real, imag).
+
+    XLA:TPU gather cost is ~1.6 ns per *element* regardless of element
+    width (measured), so packing f32 pairs into complex64 halves the
+    pair-order gather — the single most expensive op of the mega-scene
+    frame. Bit-exact: complex pack/unpack moves the f32 payloads verbatim
+    (no arithmetic; the table's only non-finite values are qNaNs from
+    degenerate triangles, which quieting maps to themselves)."""
+    from compute_renderer_tpu.backends import pallas_raster
+
+    cols = pallas_raster.tri_table_columns(screen_soa, nrm_soa, wld_soa)
+    packed = [
+        jax.lax.complex(cols[2 * k], cols[2 * k + 1])
+        for k in range(TRI_TABLE_WIDTH // 2)
+    ]
+    return jnp.stack(packed, axis=1)
+
+
 def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int = CHUNK_ROWS):
     """Coefficient-major packed pair stream: (R, 128) f32 where superblock
     sb (rows 32*sb .. 32*sb+31) holds pairs 128*sb .. 128*sb+127 —
     ``out[32*sb + r, l]`` is coefficient r of pair 128*sb + l.
 
-    Gathers the (T, 32) affine table into sorted-pair order and transposes
-    per 128-pair superblock: 32 B/pair in the stream, dense (the
-    row-per-pair form padded 32 lanes to 128 — a 4x pad write and 4x the
-    kernel DMA bytes). Tail pairs pad so the last chunk read of
-    ``chunk_rows`` rows stays in bounds."""
-    gathered = tri_table[pair_tri]  # (P, 32)
+    Gathers the affine table into sorted-pair order and transposes per
+    128-pair superblock: 32 B/pair in the stream, dense (the row-per-pair
+    form padded 32 lanes to 128 — a 4x pad write and 4x the kernel DMA
+    bytes). ``tri_table`` may be the (T, 32) f32 table or the (T, 16)
+    complex64 packed form (``build_tri_table_c64``) — the latter halves
+    the gather's element count, 2x on TPU. Tail pairs pad so the last
+    chunk read of ``chunk_rows`` rows stays in bounds."""
+    gathered = tri_table[pair_tri]  # (P, 32) f32 | (P, 16) c64
+    if jnp.iscomplexobj(gathered):
+        gathered = jnp.stack(
+            [jnp.real(gathered), jnp.imag(gathered)], axis=2
+        ).reshape(-1, TRI_TABLE_WIDTH)
     P = gathered.shape[0]
     P_pad = ((P + 127) // 128) * 128 + chunk_rows * 4 + 128
     g = jnp.pad(gathered, ((0, P_pad - P), (0, 0)))

@@ -79,12 +79,10 @@ def build_tri_table_corners(v, nrm, wld):
     return build_tri_table_soa(screen_soa, nrm_soa, wld_soa)
 
 
-def build_tri_table_soa(screen_soa, nrm_soa, wld_soa):
-    """``build_tri_table`` on corner-SoA inputs (tuples over corners of
-    tuples of contiguous (T,) component rows — see
-    ``common.vertex_stage_soa``). All coefficient math runs on contiguous
-    rows; the only layout change is the final (T, 32) stack, one interleave
-    instead of the strided reads everywhere that the (T, 3, c) form paid."""
+def tri_table_columns(screen_soa, nrm_soa, wld_soa):
+    """The 32 per-triangle affine-coefficient columns as a list of
+    contiguous (T,) arrays (corner-SoA inputs — see
+    ``common.vertex_stage_soa``). Layout = ``TRI_TABLE_WIDTH`` order."""
     from compute_renderer_tpu.backends import common
 
     v1, v2, v3 = screen_soa
@@ -105,9 +103,16 @@ def build_tri_table_soa(screen_soa, nrm_soa, wld_soa):
             )
 
     cols += [co["ax"], co["ay"]]
-    out = jnp.stack(cols, axis=1)
-    assert out.shape[1] == TRI_TABLE_WIDTH
-    return out
+    assert len(cols) == TRI_TABLE_WIDTH
+    return cols
+
+
+def build_tri_table_soa(screen_soa, nrm_soa, wld_soa):
+    """``build_tri_table`` on corner-SoA inputs: all coefficient math runs
+    on contiguous rows; the only layout change is the final (T, 32) stack,
+    one interleave instead of the strided reads everywhere that the
+    (T, 3, c) form paid."""
+    return jnp.stack(tri_table_columns(screen_soa, nrm_soa, wld_soa), axis=1)
 
 
 def window_elems(tile_cap: int) -> int:

@@ -152,7 +152,9 @@ def render_frame_micro(
             tuple(nrm_soa[k, c].astype(F32) for c in range(3))
             for k in range(3)
         )
-        tri_table = pallas_raster.build_tri_table_soa(
+        # complex64-packed table: halves the pair-order gather's element
+        # count (the frame's most expensive op at mega scale) — bit-exact.
+        tri_table = pallas_micro.build_tri_table_c64(
             screen_soa, nrm_tuples, world_soa
         )
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])

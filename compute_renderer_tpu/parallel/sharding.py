@@ -135,7 +135,7 @@ def _stripe_render_micro(
     nrm_tuples = tuple(
         tuple(nrm_soa[k, c] for c in range(3)) for k in range(3)
     )
-    tri_table = pallas_raster.build_tri_table_soa(
+    tri_table = pallas_micro.build_tri_table_c64(
         screen_soa, nrm_tuples, world_soa
     )
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
