@@ -285,10 +285,16 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int):
     # Per-triangle metadata packed as complex64 (two i32 bit patterns per
     # element): the pair-order gather costs ~1.6 ns/element on TPU
     # regardless of width, so halving the element count halves the gather.
-    # Bitcast round-trips are exact for all values below the f32 inf/NaN
-    # bit range (>= 0x7F800000 ~ 2.1e9) — capacities and tile coordinates
-    # are orders of magnitude smaller.
-    as_f = lambda a: jax.lax.bitcast_convert_type(a.astype(i32), jnp.float32)
+    # The raw bit patterns of small ints are f32 *denormals*, which the TPU
+    # flushes to zero somewhere in the complex path (observed on hardware);
+    # OR-ing bit 30 moves every pattern into the normal-float exponent
+    # range, which survives any data movement, and XORs back out exactly —
+    # valid for all values < 2^30 (capacities and tile coordinates are
+    # orders of magnitude smaller).
+    bias = i32(0x40000000)
+    as_f = lambda a: jax.lax.bitcast_convert_type(
+        a.astype(i32) | bias, jnp.float32
+    )
     meta_c = jnp.stack(
         [
             jax.lax.complex(as_f(starts), as_f(rx)),
@@ -297,7 +303,7 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int):
         axis=1,
     )  # (T, 2) c64
     m = meta_c[tri_of_pair]  # (P, 2)
-    as_i = lambda a: jax.lax.bitcast_convert_type(a, i32)
+    as_i = lambda a: jax.lax.bitcast_convert_type(a, i32) ^ bias
     local = p - as_i(jnp.real(m[:, 0]))
     trx = jnp.maximum(as_i(jnp.imag(m[:, 0])), 1)
     cx = as_i(jnp.real(m[:, 1])) + local % trx
