@@ -250,3 +250,15 @@ def test_worklist_effects():
     a = tpu.render(mesh, u, lights, eff, W, H, worklist=True)
     b = tpu.render(mesh, u, lights, eff, W, H, worklist=False)
     np.testing.assert_array_equal(a, b)
+
+
+def test_worklist_zero_occupied_tiles():
+    # Every triangle behind the camera: the dynamic work-list grid is
+    # empty; the frame must be pure background from the aliased clear.
+    mesh = procedural.icosphere(1)
+    camera = Camera.first_person([0, 0, -50.0], aspect=W / H)
+    u = camera.uniform()
+    lights = lights_default()
+    effect = EffectUniform().as_array()
+    img = tpu.render(mesh, u, lights, effect, W, H, worklist=True)
+    assert (img[:, :, :3] == np.array([0, 0, 255], np.uint8)).all()
