@@ -189,11 +189,17 @@ def run_suite(width: int = 1024, height: int = 768, offset: int = 0,
     overhead_ms = measure_dispatch_overhead_ms()
     results = []
     for i in range(offset, len(scenes)):
+        # Batched dispatch amortizes the fixed link overhead — it matters
+        # when engine frames are sub-millisecond (tpu backend). The xla
+        # brute-force baseline's frames run 0.1-20 s, where per-dispatch
+        # overhead is <1% — batching those would only multiply wall-clock
+        # (a 64-frame dispatch of a 17 s/frame mega scene is 18 minutes).
+        row_batch = batch if scenes[i].normalized_backend() == "tpu" else 1
         r = run_scene(scenes[i], width, height, scene_index=i,
-                      max_frames=max_frames, batch=batch)
-        r["batch"] = batch
+                      max_frames=max_frames, batch=row_batch)
+        r["batch"] = row_batch
         r["dispatch_overhead_ms"] = overhead_ms
-        r["dispatch_overhead_ms_per_frame"] = overhead_ms / max(batch, 1)
+        r["dispatch_overhead_ms_per_frame"] = overhead_ms / max(row_batch, 1)
         results.append(r)
     if json_path:
         with open(json_path, "w") as f:
