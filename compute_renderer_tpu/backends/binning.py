@@ -241,7 +241,14 @@ def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
     }
 
 
-def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int):
+# VMEM bound for the Pallas expansion kernel's resident (pair_cap,)
+# outputs (2 x 4 B x cap <= ~12 MB); larger caps fall back to XLA.
+PALLAS_EXPAND_MAX_CAP = 1_500_000
+
+
+def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
+                   interpret: bool | None = None,
+                   use_pallas_expand: bool = False):
     """Cell-granularity binning for the micro-raster (mega-scene) path.
 
     Cells are 8x8 px; a framebuffer tile (8, 128) holds 16 cells side by
@@ -278,41 +285,61 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int):
     ry = (setup["tile_y1"] - setup["tile_y0"]).astype(i32)
     c = jnp.where(setup["alive"], rx * ry, 0)
 
-    starts = jnp.cumsum(c) - c
-    total = starts[-1] + c[-1]
+    if use_pallas_expand and pair_cap <= PALLAS_EXPAND_MAX_CAP:
+        # Experimental: one sequential Pallas pass (interval-membership
+        # matmul + rect walk, see pallas_expand) replacing the XLA
+        # scatter/cummax/gather chain below. Outputs verified bit-identical
+        # on TPU and CPU-interpret, but the current Mosaic lowering runs
+        # ~100x slower than projected (something scalarizes; needs MLIR
+        # inspection), so it is OFF by default until that is fixed.
+        from compute_renderer_tpu.backends import pallas_expand
 
-    p = jnp.arange(pair_cap, dtype=i32)
-    tri_of_pair = expand_pair_owners(starts, c, pair_cap)
-    valid = p < total
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        cell_of_pair, tri_of_pair, total = pallas_expand.expand_cells(
+            c, rx, setup["tile_x0"].astype(i32),
+            setup["tile_y0"].astype(i32),
+            pair_cap=pair_cap, ntx_t=ntx_t, num_cells=num_cells,
+            interpret=interpret,
+        )
+    else:
+        starts = jnp.cumsum(c) - c
+        total = starts[-1] + c[-1]
 
-    # Per-triangle metadata packed as complex64 (two i32 bit patterns per
-    # element): the pair-order gather costs ~1.6 ns/element on TPU
-    # regardless of width, so halving the element count halves the gather.
-    # The raw bit patterns of small ints are f32 *denormals*, which the TPU
-    # flushes to zero somewhere in the complex path (observed on hardware);
-    # OR-ing bit 30 moves every pattern into the normal-float exponent
-    # range, which survives any data movement, and XORs back out exactly —
-    # valid for all values < 2^30 (capacities and tile coordinates are
-    # orders of magnitude smaller).
-    bias = i32(0x40000000)
-    as_f = lambda a: jax.lax.bitcast_convert_type(
-        a.astype(i32) | bias, jnp.float32
-    )
-    meta_c = jnp.stack(
-        [
-            jax.lax.complex(as_f(starts), as_f(rx)),
-            jax.lax.complex(as_f(setup["tile_x0"]), as_f(setup["tile_y0"])),
-        ],
-        axis=1,
-    )  # (T, 2) c64
-    m = meta_c[tri_of_pair]  # (P, 2)
-    as_i = lambda a: jax.lax.bitcast_convert_type(a, i32) ^ bias
-    local = p - as_i(jnp.real(m[:, 0]))
-    trx = jnp.maximum(as_i(jnp.imag(m[:, 0])), 1)
-    cx = as_i(jnp.real(m[:, 1])) + local % trx
-    cy = as_i(jnp.imag(m[:, 1])) + local // trx
-    cell_of_pair = (cy * ntx_t + cx // 16) * 16 + cx % 16
-    cell_of_pair = jnp.where(valid, cell_of_pair, num_cells)
+        p = jnp.arange(pair_cap, dtype=i32)
+        tri_of_pair = expand_pair_owners(starts, c, pair_cap)
+        valid = p < total
+
+        # Per-triangle metadata packed as complex64 (two i32 bit patterns
+        # per element): the pair-order gather costs ~1.6 ns/element on TPU
+        # regardless of width, so halving the element count halves the
+        # gather. The raw bit patterns of small ints are f32 *denormals*,
+        # which the TPU flushes to zero somewhere in the complex path
+        # (observed on hardware); OR-ing bit 30 moves every pattern into
+        # the normal-float exponent range, which survives any data
+        # movement, and XORs back out exactly — valid for all values
+        # < 2^30 (capacities and tile coordinates are orders of magnitude
+        # smaller).
+        bias = i32(0x40000000)
+        as_f = lambda a: jax.lax.bitcast_convert_type(
+            a.astype(i32) | bias, jnp.float32
+        )
+        meta_c = jnp.stack(
+            [
+                jax.lax.complex(as_f(starts), as_f(rx)),
+                jax.lax.complex(as_f(setup["tile_x0"]),
+                                as_f(setup["tile_y0"])),
+            ],
+            axis=1,
+        )  # (T, 2) c64
+        m = meta_c[tri_of_pair]  # (P, 2)
+        as_i = lambda a: jax.lax.bitcast_convert_type(a, i32) ^ bias
+        local = p - as_i(jnp.real(m[:, 0]))
+        trx = jnp.maximum(as_i(jnp.imag(m[:, 0])), 1)
+        cx = as_i(jnp.real(m[:, 1])) + local % trx
+        cy = as_i(jnp.imag(m[:, 1])) + local // trx
+        cell_of_pair = (cy * ntx_t + cx // 16) * 16 + cx % 16
+        cell_of_pair = jnp.where(valid, cell_of_pair, num_cells)
 
     # Stable sort by cell id carrying the triangle payload (measured faster
     # on TPU than the unstable two-key lexicographic form, 5.0 vs 6.1 ms at

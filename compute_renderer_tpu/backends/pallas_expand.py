@@ -1,0 +1,241 @@
+"""Pallas pair-expansion kernel for the mega-scene (micro) path.
+
+Replaces the XLA chain that turned per-triangle covered-cell counts into the
+(cell, triangle) pair list fed to the binning sort:
+
+    scatter seed -> cummax -> meta gather -> cell math
+
+Each of those is an O(T)- or O(P)-sized gather/scatter that XLA executes at
+~2-20 GB/s on TPU (measured ~10 ms/frame at 1M triangles). This kernel
+streams the same work at VPU/MXU rates in ONE sequential pass over triangle
+blocks:
+
+- the per-triangle pair offsets (``starts`` = exclusive cumsum of counts)
+  come from XLA — they are global, so no carry chain is needed;
+- each block emits its pair range in CH-sized chunks (dynamic trip count):
+  an interval-membership matrix Gt[j, t] = (start_t <= q_j < start_t + c_t)
+  — exactly one nonzero per valid row — turns "which triangle owns pair
+  q_j" into one exact f32 matmul that broadcasts all per-triangle fields
+  (start, rect width, rect origin, triangle id) to their pairs. All values
+  are < 2^24, so f32 is exact. Every operand keeps the triangle/pair axis
+  on *lanes* (Mosaic rejects lane<->sublane shape casts on real TPU; the
+  (CH, B) x (F, B) dim1-dim1 contraction needs no relayout);
+- cell ids are computed in-block (rect walk via exact f32 floor-division
+  with a one-step correction — TPU has no vector integer divide);
+- chunk results merge into the (1, pair_cap) outputs with an aligned
+  lane-roll read-modify-write, because pair offsets are not tile-aligned;
+  the sequential grid makes the RMW race-free.
+
+Outputs match ``binning.bin_cells_sort``'s pre-sort arrays bitwise in the
+valid region: ``cell_of_pair`` (invalid tail = num_cells sentinel) and
+``tri_of_pair`` (tail zeros). Capacity overflow is reported via
+``total_pairs`` exactly as before.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+B = 1024  # triangles per grid step
+CH = 512  # pairs per emission chunk (bounds the (CH, B) VMEM temporaries)
+PAD = 3072  # output slack so aligned RMW windows never go out of bounds
+
+
+def _expand_kernel(
+    # SMEM scalars
+    dims_ref,  # (4,) i32: [T, ntx_t, num_cells, pair_cap]
+    # blocked inputs (1, B) i32 per grid step
+    starts_ref,
+    c_ref,
+    rx_ref,
+    x0_ref,
+    y0_ref,
+    # outputs (full, VMEM)
+    cell_ref,  # (1, cap_pad) i32
+    tri_ref,  # (1, cap_pad) i32
+    total_ref,  # (1,) i32 SMEM
+    # scratch
+    ident_ref,  # (CH, CH) f32 identity (for the MXU transpose)
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    ntx_t = dims_ref[1]
+    num_cells = dims_ref[2]
+    pair_cap = dims_ref[3]
+    cap_pad = cell_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        # Sentinel-fill the outputs (the sort relies on the invalid tail
+        # sorting past every real cell id) and build the transpose identity.
+        def body(k, _):
+            o = pl.multiple_of(k * 1024, 1024)
+            cell_ref[0:1, pl.ds(o, 1024)] = jnp.full(
+                (1, 1024), num_cells, I32
+            )
+            tri_ref[0:1, pl.ds(o, 1024)] = jnp.zeros((1, 1024), I32)
+            return 0
+
+        jax.lax.fori_loop(0, cap_pad // 1024, body, 0)
+        r = jax.lax.broadcasted_iota(I32, (CH, CH), 0)
+        l = jax.lax.broadcasted_iota(I32, (CH, CH), 1)
+        ident_ref[:, :] = (r == l).astype(F32)
+
+    # Block pair range via reductions (starts and starts+c are both
+    # non-decreasing; Mosaic has no cheap single-lane extract).
+    first = jnp.min(starts_ref[0:1, :])
+    last_end = jnp.max(starts_ref[0:1, :] + c_ref[0:1, :])
+
+    # f32-exact per-triangle fields (all < 2^24), lane-major (F, B).
+    lane_t = jax.lax.broadcasted_iota(I32, (1, B), 1)
+    F = jnp.concatenate(
+        [
+            starts_ref[0:1, :].astype(F32),
+            jnp.maximum(rx_ref[0:1, :], 1).astype(F32),
+            x0_ref[0:1, :].astype(F32),
+            y0_ref[0:1, :].astype(F32),
+            (i * B + lane_t).astype(F32),
+        ],
+        axis=0,
+    )  # (5, B)
+
+    starts_b = jnp.broadcast_to(starts_ref[0:1, :].astype(F32), (CH, B))
+    ends_b = starts_b + jnp.broadcast_to(c_ref[0:1, :].astype(F32), (CH, B))
+    sub_j = jax.lax.broadcasted_iota(I32, (CH, B), 0).astype(F32)
+
+    # The chunk walk is CH-aligned in GLOBAL pair space, so every output
+    # window is an aligned direct load/store (no lane rolls, no unaligned
+    # slices — Mosaic requires provable 128-multiples on the lane dim).
+    # Rows of an aligned chunk before ``first`` belong to earlier blocks:
+    # their owner is outside this block's window, the membership matrix
+    # row is all-zero, and the store mask excludes them; the sequential
+    # grid makes the boundary read-modify-writes race-free.
+    qbase = (first // CH) * CH
+    nchunks = (last_end - qbase + CH - 1) // CH
+    # Skip chunks wholly past capacity (their pairs are dropped anyway).
+    max_chunks = jnp.maximum(
+        jnp.minimum(nchunks, (pair_cap - qbase + CH - 1) // CH), 0
+    )
+
+    def chunk(k, _):
+        qg = qbase + k * CH  # global pair index of this chunk's row 0
+        qj = sub_j + qg.astype(F32)  # (CH, B): pair id per row
+
+        # Interval membership: exactly one nonzero per valid row.
+        Gt = ((starts_b <= qj) & (qj < ends_b)).astype(F32)  # (CH, B)
+        vals_t = jax.lax.dot_general(
+            Gt, F, (((1,), (1,)), ((), ())),
+            preferred_element_type=F32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (CH, 5): start, rx, x0, y0, tri per pair row
+        # MXU transpose to lane-major rows: (5, CH).
+        vals = jax.lax.dot_general(
+            vals_t, ident_ref[:, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=F32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (5, CH)
+
+        lane_q = jax.lax.broadcasted_iota(I32, (1, CH), 1).astype(F32)
+        qrow = lane_q + qg.astype(F32)  # (1, CH) global pair ids
+        owner_start = vals[0:1, :]
+        rxv = jnp.maximum(vals[1:2, :], F32(1.0))
+        local = qrow - owner_start
+        # floor(local / rx) with one-step correction (exact for ints <2^24).
+        qd = jnp.floor(local / rxv)
+        rem = local - qd * rxv
+        qd = jnp.where(rem < F32(0.0), qd - F32(1.0), qd)
+        rem = jnp.where(rem < F32(0.0), rem + rxv, rem)
+        over = rem >= rxv
+        qd = jnp.where(over, qd + F32(1.0), qd)
+        rem = jnp.where(over, rem - rxv, rem)
+
+        cx = vals[2:3, :] + rem
+        cy = vals[3:4, :] + qd
+        cell16 = jnp.floor(cx / F32(16.0))
+        cxm = cx - cell16 * F32(16.0)
+        cellv = (cy * ntx_t.astype(F32) + cell16) * F32(16.0) + cxm
+        cell_i = cellv.astype(I32)  # (1, CH)
+        tri_i = vals[4:5, :].astype(I32)
+
+        # Aligned RMW merge into the (1, cap_pad) outputs.
+        w0 = pl.multiple_of(qg, CH)
+        gidx = qg + jax.lax.broadcasted_iota(I32, (1, CH), 1)
+        mask = (gidx >= first) & (gidx < last_end) & (gidx < pair_cap)
+
+        cw = cell_ref[0:1, pl.ds(w0, CH)]
+        cell_ref[0:1, pl.ds(w0, CH)] = jnp.where(mask, cell_i, cw)
+        tw = tri_ref[0:1, pl.ds(w0, CH)]
+        tri_ref[0:1, pl.ds(w0, CH)] = jnp.where(mask, tri_i, tw)
+        return 0
+
+    jax.lax.fori_loop(0, max_chunks, chunk, 0)
+
+    @pl.when(i == n - 1)
+    def _():
+        total_ref[0] = last_end
+
+
+@functools.partial(jax.jit, static_argnames=("pair_cap", "ntx_t", "num_cells",
+                                             "interpret"))
+def expand_cells(c, rx, x0, y0, *, pair_cap: int, ntx_t: int,
+                 num_cells: int, interpret: bool = False):
+    """Pair expansion + cell computation (see module docstring).
+
+    Args: per-triangle (T,) i32 arrays — covered-cell count ``c`` (0 for
+    culled), rect width ``rx``, rect origin ``x0``/``y0`` in cell coords.
+
+    Returns (cell_of_pair (pair_cap,), tri_of_pair (pair_cap,),
+    total_pairs ()) matching ``bin_cells_sort``'s pre-sort arrays."""
+    T = c.shape[0]
+    starts = jnp.cumsum(c.astype(I32)) - c.astype(I32)
+    Tpad = (T + B - 1) // B * B
+    if Tpad != T:
+        z = jnp.zeros((Tpad - T,), I32)
+        total = starts[-1] + c[-1]
+        starts = jnp.concatenate([starts, jnp.full((Tpad - T,), total, I32)])
+        c = jnp.concatenate([c.astype(I32), z])
+        rx = jnp.concatenate([rx.astype(I32), z])
+        x0 = jnp.concatenate([x0.astype(I32), z])
+        y0 = jnp.concatenate([y0.astype(I32), z])
+    cap_pad = (pair_cap + PAD + 1023) // 1024 * 1024
+
+    dims = jnp.array([T, ntx_t, num_cells, pair_cap], I32)
+    as_row = lambda a: a.astype(I32).reshape(1, -1)
+    grid = (Tpad // B,)
+    cell, tri, total = pl.pallas_call(
+        _expand_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dims
+            pl.BlockSpec((1, B), lambda i: (0, i)),
+            pl.BlockSpec((1, B), lambda i: (0, i)),
+            pl.BlockSpec((1, B), lambda i: (0, i)),
+            pl.BlockSpec((1, B), lambda i: (0, i)),
+            pl.BlockSpec((1, B), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, cap_pad), I32),
+            jax.ShapeDtypeStruct((1, cap_pad), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+        ],
+        scratch_shapes=[pltpu.VMEM((CH, CH), F32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(dims, as_row(starts), as_row(c), as_row(rx), as_row(x0), as_row(y0))
+    return cell[0, :pair_cap], tri[0, :pair_cap], total[0]

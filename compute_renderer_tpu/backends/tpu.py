@@ -143,7 +143,8 @@ def render_frame_micro(
         )
     # Cell-granularity setup: tile ranges ARE cell ranges at (8, 8).
     setup = common.triangle_setup_soa(screen_soa, effect, width, height, 8, 8)
-    bins = binning.bin_cells_sort(setup, ntx, nty, pair_cap)
+    bins = binning.bin_cells_sort(setup, ntx, nty, pair_cap,
+                                   interpret=interpret)
 
     if tri_table is None:
         if nrm_soa is None:

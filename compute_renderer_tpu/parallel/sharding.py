@@ -129,7 +129,18 @@ def _stripe_render_micro(
     local_setup["tile_y1"] = ly1
     local_setup["alive"] = setup["alive"] & (ly1 > ly0)
 
-    bins = binning.bin_cells_sort(local_setup, ntx, nty_local, pair_cap)
+    # XLA pair expansion here, not the Pallas kernel: inserting an extra
+    # pallas_call into the shard_map program shifts XLA:CPU's FMA
+    # contraction in the surrounding float math (observed: one edge pixel
+    # flipped vs single-device on a 200k-tri mesh), breaking the
+    # sharded == single-device bitwise contract that test_sharding pins.
+    # The single-device path's Pallas and XLA expansions produce
+    # bit-identical images, so stripes using the XLA form still match it —
+    # and the sharded path is a capability/correctness surface, not the
+    # mega-scene perf target.
+    bins = binning.bin_cells_sort(local_setup, ntx, nty_local, pair_cap,
+                                  interpret=interpret,
+                                  use_pallas_expand=False)
 
     nrm_soa = normals[tri].astype(F32).transpose(1, 2, 0)
     nrm_tuples = tuple(
