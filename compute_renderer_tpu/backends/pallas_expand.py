@@ -22,9 +22,10 @@ blocks:
   (CH, B) x (F, B) dim1-dim1 contraction needs no relayout);
 - cell ids are computed in-block (rect walk via exact f32 floor-division
   with a one-step correction — TPU has no vector integer divide);
-- chunk results merge into the (1, pair_cap) outputs with an aligned
-  lane-roll read-modify-write, because pair offsets are not tile-aligned;
-  the sequential grid makes the RMW race-free.
+- the chunk walk is CH-aligned in global pair space, so chunk results
+  merge into the (1, pair_cap) outputs with plain aligned read-modify-
+  writes (masked where a boundary chunk overlaps a neighbor block's
+  pairs); the sequential grid makes the RMWs race-free.
 
 Outputs match ``binning.bin_cells_sort``'s pre-sort arrays bitwise in the
 valid region: ``cell_of_pair`` (invalid tail = num_cells sentinel) and
@@ -38,7 +39,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
