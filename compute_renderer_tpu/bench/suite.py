@@ -1,4 +1,5 @@
-"""The 8-scene benchmark suite (reference src/main.rs:150-232):
+"""The benchmark suite (reference src/main.rs:150-232, 8 scenes; +4
+small-stand-in continuity rows):
 
 4 models x {custom(tpu), baseline(xla)} backends, 30 s each, fixed
 first-person camera spawns. Camera spawn positions match the reference
