@@ -133,3 +133,24 @@ def test_run_scene_batched_smoke():
                        max_frames=4, batch=2)
     assert result["frames"] >= 2
     assert result["ms_per_frame"] > 0
+
+
+def test_measure_dispatch_overhead():
+    from compute_renderer_tpu.bench.suite import measure_dispatch_overhead_ms
+
+    ms = measure_dispatch_overhead_ms(samples=3)
+    assert 0.0 < ms < 10_000.0
+
+
+def test_suite_batches_tpu_rows_only():
+    # The one-methodology rule: batched dispatch for sub-ms tpu frames,
+    # batch 1 for the seconds-long xla baseline rows (overhead there <1%).
+    from compute_renderer_tpu.bench.suite import run_suite
+
+    rows = run_suite(width=64, height=48, offset=4, duration_secs=0.05,
+                     max_frames=2, batch=4)
+    by_backend = {r["backend"]: r for r in rows[:2]}
+    assert by_backend["tpu"]["batch"] == 4
+    assert by_backend["xla"]["batch"] == 1
+    for r in rows[:2]:
+        assert "dispatch_overhead_ms" in r
