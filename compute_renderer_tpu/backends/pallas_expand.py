@@ -63,8 +63,6 @@ def _expand_kernel(
     cell_ref,  # (1, cap_pad) i32
     tri_ref,  # (1, cap_pad) i32
     total_ref,  # (1,) i32 SMEM
-    # scratch
-    ident_ref,  # (CH, CH) f32 identity (for the MXU transpose)
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -76,7 +74,7 @@ def _expand_kernel(
     @pl.when(i == 0)
     def _():
         # Sentinel-fill the outputs (the sort relies on the invalid tail
-        # sorting past every real cell id) and build the transpose identity.
+        # sorting past every real cell id).
         def body(k, _):
             o = pl.multiple_of(k * 1024, 1024)
             cell_ref[0:1, pl.ds(o, 1024)] = jnp.full(
@@ -86,9 +84,6 @@ def _expand_kernel(
             return 0
 
         jax.lax.fori_loop(0, cap_pad // 1024, body, 0)
-        r = jax.lax.broadcasted_iota(I32, (CH, CH), 0)
-        l = jax.lax.broadcasted_iota(I32, (CH, CH), 1)
-        ident_ref[:, :] = (r == l).astype(F32)
 
     # Block pair range via reductions (starts and starts+c are both
     # non-decreasing; Mosaic has no cheap single-lane extract).
@@ -130,19 +125,16 @@ def _expand_kernel(
         qg = qbase + k * CH  # global pair index of this chunk's row 0
         qj = sub_j + qg.astype(F32)  # (CH, B): pair id per row
 
-        # Interval membership: exactly one nonzero per valid row.
+        # Interval membership: exactly one nonzero per valid column of the
+        # contraction, so the dot is a bit-exact broadcast of each field to
+        # its pairs. Contracting both dim-1 (the triangle lanes) lands the
+        # result directly in lane-major (5, CH) — no transpose needed.
         Gt = ((starts_b <= qj) & (qj < ends_b)).astype(F32)  # (CH, B)
-        vals_t = jax.lax.dot_general(
-            Gt, F, (((1,), (1,)), ((), ())),
-            preferred_element_type=F32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (CH, 5): start, rx, x0, y0, tri per pair row
-        # MXU transpose to lane-major rows: (5, CH).
         vals = jax.lax.dot_general(
-            vals_t, ident_ref[:, :], (((0,), (0,)), ((), ())),
+            F, Gt, (((1,), (1,)), ((), ())),
             preferred_element_type=F32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (5, CH)
+        )  # (5, CH): start, rx, x0, y0, tri per pair
 
         lane_q = jax.lax.broadcasted_iota(I32, (1, CH), 1).astype(F32)
         qrow = lane_q + qg.astype(F32)  # (1, CH) global pair ids
@@ -232,7 +224,6 @@ def expand_cells(c, rx, x0, y0, *, pair_cap: int, ntx_t: int,
             jax.ShapeDtypeStruct((1, cap_pad), I32),
             jax.ShapeDtypeStruct((1,), I32),
         ],
-        scratch_shapes=[pltpu.VMEM((CH, CH), F32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
