@@ -125,3 +125,97 @@ def stage_timings(mesh, uniforms, width: int, height: int,
         "raster_shade_ms": t_raster,
         "total_fused_ms": t_full,
     }
+
+
+def stage_timings_micro(mesh, uniforms, width: int, height: int,
+                        iters: int = 8) -> dict:
+    """Fenced per-stage timings (ms) of the mega-scene (micro) pipeline —
+    the breakdown that drove the round-2 optimization work (corner-SoA
+    front end, c64 gathers, cmajor pair stream). Stages are measured as
+    separate jits, so the sum exceeds the fused frame (stages fuse and
+    overlap in the real program; 'total_fused_ms' is the honest number)."""
+    from functools import partial
+
+    from compute_renderer_tpu.backends import (
+        binning, common, pallas_micro, tpu,
+    )
+    from compute_renderer_tpu.core.maths import F32
+
+    pos = jnp.asarray(mesh.positions)
+    nrm = jnp.asarray(mesh.normals)
+    uvs = jnp.asarray(mesh.uvs)
+    tri = jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3)
+    vp = jnp.asarray(uniforms.view_proj)
+    vpos = jnp.asarray(uniforms.view_position).astype(F32)
+    lwp = jnp.asarray(uniforms.light_world_pos).astype(F32)
+    lc = jnp.asarray(uniforms.light_color).astype(F32)
+    li = jnp.asarray(uniforms.light_intensity).astype(F32)
+    eff = jnp.asarray(uniforms.effect)
+
+    T = int(tri.shape[0])
+    ntx = (width + 127) // 128
+    nty = (height + 7) // 8
+    pair_cap = binning.default_pair_cap_micro(T, ntx * nty * 16)
+    interpret = jax.default_backend() != "tpu"
+
+    pos_soa = pos[tri].transpose(1, 2, 0)
+    nrm_soa = nrm[tri].transpose(1, 2, 0)
+    jax.block_until_ready((pos_soa, nrm_soa))
+
+    @jax.jit
+    def f_front(pos_soa, vp, eff):
+        world_soa, screen_soa = common.vertex_stage_soa(
+            pos_soa, vp, eff, width, height)
+        setup = common.triangle_setup_soa(screen_soa, eff, width, height,
+                                          8, 8)
+        return world_soa, screen_soa, setup
+
+    t_front, (world_soa, screen_soa, setup) = _timeit(
+        f_front, pos_soa, vp, eff, iters=iters)
+
+    @jax.jit
+    def f_bin(setup):
+        out = dict(binning.bin_cells_sort(setup, ntx, nty, pair_cap,
+                                          interpret=interpret))
+        out.pop("layout")
+        return out
+
+    t_bin, bins = _timeit(f_bin, setup, iters=iters)
+
+    @jax.jit
+    def f_table(pos_soa, nrm_soa, vp, eff):
+        world_soa, screen_soa = common.vertex_stage_soa(
+            pos_soa, vp, eff, width, height)
+        nrm_t = tuple(tuple(nrm_soa[k, c].astype(F32) for c in range(3))
+                      for k in range(3))
+        return pallas_micro.build_tri_table_c64(screen_soa, nrm_t, world_soa)
+
+    t_table, table = _timeit(f_table, pos_soa, nrm_soa, vp, eff, iters=iters)
+
+    f_coeffs = jax.jit(lambda t, pt: pallas_micro.build_pair_coeffs(t, pt))
+    t_coeffs, coeffs = _timeit(f_coeffs, table, bins["pair_tri"], iters=iters)
+
+    f_kernel = partial(pallas_micro.raster_shade_micro,
+                       height_padded=nty * 8, width_padded=ntx * 128,
+                       interpret=interpret)
+    t_kernel, _ = _timeit(
+        f_kernel, coeffs, bins["seg_start"], bins["seg_count"],
+        bins["win_start"], bins["tile_count"], eff, vpos, lwp, lc, li,
+        iters=iters)
+
+    def f_full():
+        return tpu.render_frame_micro(
+            pos, nrm, uvs, tri, vp, vpos, lwp, lc, li, eff,
+            width=width, height=height, pos_soa=pos_soa, nrm_soa=nrm_soa,
+        )
+
+    t_full, _ = _timeit(f_full, iters=iters)
+
+    return {
+        "vertex_setup_ms": t_front,
+        "binning_ms": t_bin,
+        "tri_table_ms": t_table,
+        "pair_coeffs_ms": t_coeffs,
+        "raster_shade_ms": t_kernel,
+        "total_fused_ms": t_full,
+    }

@@ -25,3 +25,15 @@ def test_trace_context_manager(tmp_path):
         (jnp.arange(8) * 2).block_until_ready()
     # Trace files land under plugins/profile/<timestamp>/
     assert any(tmp_path.rglob("*.pb")) or any(tmp_path.rglob("*.json.gz"))
+
+
+def test_stage_timings_micro_smoke():
+    from compute_renderer_tpu.bench.profiling import stage_timings_micro
+    from compute_renderer_tpu.engine.scene import Scene, SceneConfig
+
+    scene = Scene.from_config(SceneConfig(), 64, 48)
+    uniforms = scene.update(0.016)
+    t = stage_timings_micro(scene.mesh, uniforms, 64, 48, iters=2)
+    for k in ("vertex_setup_ms", "binning_ms", "tri_table_ms",
+              "pair_coeffs_ms", "raster_shade_ms", "total_fused_ms"):
+        assert t[k] > 0.0
