@@ -143,3 +143,21 @@ def test_no_pinholes_on_symmetric_silhouette():
 
     assert interior_background(gold) == 0
     assert interior_background(ours) == 0
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_fuzz_micro_path_agrees_exactly(seed):
+    # Mega-scene (micro) path on random soups, vs the xla baseline with the
+    # micro path's 8x8 effect-coverage granularity. Hits slivers, backface,
+    # near-plane straddlers through the corner-SoA front end, c64-packed
+    # coefficient stream, and lane-packed kernel.
+    rng = np.random.default_rng(seed)
+    mesh = random_soup(rng, int(rng.integers(5, 40)))
+    cam = random_camera(rng)
+    u = cam.uniform()
+    lights = random_lights(rng, int(rng.integers(1, 4)))
+    effect = random_effect(rng)
+
+    ref = xla.render(mesh, u, lights, effect, W, H, tile_h=8, tile_w=8)
+    ours = tpu.render(mesh, u, lights, effect, W, H, path="micro")
+    np.testing.assert_array_equal(ours, ref)
