@@ -277,9 +277,50 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
       tile_overflow / tile_needed: always False/0 (kept for the shared
       overflow-report contract)
     """
-    i32 = jnp.int32
     num_tiles = ntx_t * nty_t
     num_cells = num_tiles * 16
+
+    cell_of_pair, tri_of_pair, total = expand_cells_xla(
+        setup, ntx_t, num_cells, pair_cap,
+        interpret=interpret, use_pallas_expand=use_pallas_expand,
+    )
+
+    # Stable sort by cell id carrying the triangle payload (measured faster
+    # on TPU than the unstable two-key lexicographic form, 5.0 vs 6.1 ms at
+    # 500k pairs). Pairs are generated in triangle order, so stability
+    # keeps ascending-triangle order per cell.
+    sorted_cell, sorted_tri = jax.lax.sort(
+        (cell_of_pair, tri_of_pair), num_keys=1, is_stable=True
+    )
+
+    seg_start, counts, tile_count, win_start = segments_from_cells(
+        cell_of_pair, num_cells, num_tiles
+    )
+
+    return {
+        "pair_tri": sorted_tri,
+        "seg_start": seg_start,
+        "seg_count": counts,
+        "win_start": win_start,
+        "tile_count": tile_count,
+        "total_pairs": total,
+        "pair_overflow": total > pair_cap,
+        "tile_overflow": jnp.asarray(False),
+        # Needed capacity (0 = within cap). No tile-side cap exists on this
+        # layout (window chunks stream from HBM).
+        "pair_needed": jnp.where(total > pair_cap, total, 0).astype(jnp.int32),
+        "tile_needed": jnp.int32(0),
+        "layout": "micro",
+    }
+
+
+def expand_cells_xla(setup, ntx_t: int, num_cells: int, pair_cap: int,
+                     interpret: bool | None = None,
+                     use_pallas_expand: bool = False):
+    """(cell_of_pair, tri_of_pair, total_pairs) for the 8x8-cell layout —
+    the pre-sort arrays of ``bin_cells_sort`` (invalid tail: cell =
+    num_cells sentinel)."""
+    i32 = jnp.int32
 
     rx = (setup["tile_x1"] - setup["tile_x0"]).astype(i32)
     ry = (setup["tile_y1"] - setup["tile_y0"]).astype(i32)
@@ -341,16 +382,16 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
         cell_of_pair = (cy * ntx_t + cx // 16) * 16 + cx % 16
         cell_of_pair = jnp.where(valid, cell_of_pair, num_cells)
 
-    # Stable sort by cell id carrying the triangle payload (measured faster
-    # on TPU than the unstable two-key lexicographic form, 5.0 vs 6.1 ms at
-    # 500k pairs). Pairs are generated in triangle order, so stability
-    # keeps ascending-triangle order per cell.
-    sorted_cell, sorted_tri = jax.lax.sort(
-        (cell_of_pair, tri_of_pair), num_keys=1, is_stable=True
-    )
+    return cell_of_pair, tri_of_pair, total
 
-    # Segments via histogram + cumsum (cheaper than two searchsorted->sort
-    # passes at mega scale). One extra bin collects the invalid tail.
+
+def segments_from_cells(cell_of_pair, num_cells: int, num_tiles: int):
+    """Per-cell segments of the cell-sorted pair list: (seg_start,
+    seg_count, tile_count, win_start). Computed from the UNSORTED cell ids
+    via histogram + cumsum (order-independent; cheaper than two
+    searchsorted->sort passes at mega scale). One extra bin collects the
+    invalid sentinel tail."""
+    i32 = jnp.int32
     counts = jnp.zeros((num_cells + 1,), i32).at[cell_of_pair].add(1)
     counts = counts[:num_cells]
     seg_start = jnp.cumsum(counts) - counts
@@ -358,22 +399,7 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
     tile_count = counts.reshape(num_tiles, 16).sum(axis=1)
     first = seg_start.reshape(num_tiles, 16)[:, 0]
     win_start = (first // 16) * 16
-
-    return {
-        "pair_tri": sorted_tri,
-        "seg_start": seg_start,
-        "seg_count": counts,
-        "win_start": win_start,
-        "tile_count": tile_count,
-        "total_pairs": total,
-        "pair_overflow": total > pair_cap,
-        "tile_overflow": jnp.asarray(False),
-        # Needed capacity (0 = within cap). No tile-side cap exists on this
-        # layout (window chunks stream from HBM).
-        "pair_needed": jnp.where(total > pair_cap, total, 0).astype(jnp.int32),
-        "tile_needed": jnp.int32(0),
-        "layout": "micro",
-    }
+    return seg_start, counts, tile_count, win_start
 
 
 def pair_list_padding(pair_cap: int, tile_cap: int) -> int:

@@ -164,10 +164,156 @@ def _stripe_render_micro(
     return rgba, best_key, needed[None]
 
 
+def _stripe_render_sortmiddle(
+    positions, normals, uvs, tri,
+    view_proj, view_position,
+    light_world_pos, light_color, light_intensity,
+    effect,
+    *,
+    width: int, height: int, nty_total: int,
+    pair_cap: int, bucket_cap: int, n_shards: int,
+    axis_name: str, interpret: bool,
+):
+    """Sort-middle micro-path stripe (SURVEY §2.3 multi-device stretch).
+
+    Unlike ``_stripe_render_micro`` (which replicates setup + expansion +
+    sort per stripe), each device here owns a 1/n SLICE OF TRIANGLES:
+    it runs setup, pair expansion, and the cell sort only for its slice,
+    then exchanges (cell, triangle) pairs with ONE ``all_to_all`` so each
+    device receives exactly the pairs of its framebuffer stripe — the
+    classic sort-middle decomposition (triangle-parallel front end,
+    screen-parallel back end), with the exchange riding ICI. The
+    elementwise vertex stage + coefficient table stay replicated: on TPU
+    they are cheap streaming work, while the sharded stages are the
+    scatter/sort/gather-heavy ones.
+
+    Per-device sorted pairs are stripe-contiguous (stripes own contiguous
+    cell-id ranges), so bucketing is n+1 searchsorted boundaries + n
+    static-size slices. After the exchange the receiver re-sorts by
+    (cell, tri) lexicographically — restoring ascending-triangle order per
+    cell, so depth-tie winners match the single-device path exactly.
+
+    Overflow report per stripe: [local expansion pairs needed, max
+    send-bucket needed] — both grown by ``render_sharded``."""
+    i32 = jnp.int32
+    shard = jax.lax.axis_index(axis_name)
+
+    ntx = (width + 127) // 128
+    nty_local = nty_total // n_shards
+    y_offset = shard * nty_local * 8
+    num_cells_total = ntx * nty_total * 16
+    cells_per_stripe = ntx * nty_local * 16
+
+    # --- triangle-parallel front end on this device's slice --------------
+    T = tri.shape[0]
+    Tl = (T + n_shards - 1) // n_shards
+    tri_local = jax.lax.dynamic_slice(
+        jnp.concatenate([tri, jnp.zeros((n_shards * Tl - T, 3), tri.dtype)]),
+        (shard * Tl, 0), (Tl, 3),
+    )
+    tri_base = shard * Tl
+
+    pos_soa = positions[tri_local].transpose(1, 2, 0)
+    _, screen_soa = common.vertex_stage_soa(pos_soa, view_proj, effect,
+                                            width, height)
+    setup = common.triangle_setup_soa(screen_soa, effect, width, height,
+                                      8, 8)
+    # Padding rows index vertex 0 (degenerate) but under voxelize they can
+    # still pass the facing test: kill them explicitly.
+    local_ids = jnp.arange(Tl, dtype=i32)
+    setup = dict(setup)
+    setup["alive"] = setup["alive"] & (tri_base + local_ids < T)
+
+    cell, tri_loc, total_local = binning.expand_cells_xla(
+        setup, ntx, num_cells_total, pair_cap, interpret=interpret,
+    )
+    tri_glob = tri_base + tri_loc
+    sorted_cell, sorted_tri = jax.lax.sort(
+        (cell, tri_glob), num_keys=1, is_stable=True
+    )
+
+    # --- bucket by destination stripe + exchange -------------------------
+    stripe_bounds = jnp.searchsorted(
+        sorted_cell,
+        jnp.arange(n_shards + 1, dtype=i32) * cells_per_stripe,
+        side="left",
+    ).astype(i32)
+    send_counts = stripe_bounds[1:] - stripe_bounds[:-1]
+    bucket_needed = jnp.max(send_counts)
+
+    pad = jnp.full((bucket_cap,), num_cells_total, i32)
+    cell_padded = jnp.concatenate([sorted_cell, pad])
+    tri_padded = jnp.concatenate([sorted_tri, jnp.zeros((bucket_cap,), i32)])
+
+    def bucket(d):
+        start = stripe_bounds[d]
+        return (
+            jax.lax.dynamic_slice(cell_padded, (start,), (bucket_cap,)),
+            jax.lax.dynamic_slice(tri_padded, (start,), (bucket_cap,)),
+        )
+
+    send_cell, send_tri = zip(*[bucket(d) for d in range(n_shards)])
+    send_cell = jnp.stack(send_cell)  # (n, bucket_cap)
+    send_tri = jnp.stack(send_tri)
+
+    recv_cell = jax.lax.all_to_all(send_cell, axis_name, 0, 0, tiled=True)
+    recv_tri = jax.lax.all_to_all(send_tri, axis_name, 0, 0, tiled=True)
+    recv_counts = jax.lax.all_to_all(
+        jnp.minimum(send_counts, bucket_cap)[:, None], axis_name, 0, 0,
+        tiled=True,
+    )[:, 0]  # (n,): pairs received from each source device
+
+    # --- receiver: stripe-local re-sort + segments -----------------------
+    slot = jnp.arange(bucket_cap, dtype=i32)[None, :]
+    valid = slot < recv_counts[:, None]
+    cell_local = jnp.where(
+        valid, recv_cell - shard * cells_per_stripe, cells_per_stripe
+    ).reshape(-1)
+    tri_recv = jnp.where(valid, recv_tri, 0).reshape(-1)
+    # Lexicographic (cell, tri): restores ascending-triangle order per cell
+    # (sources interleave after the exchange); (cell, tri) pairs are unique
+    # and invalid rows are identical, so the unstable sort is deterministic.
+    s_cell, s_tri = jax.lax.sort(
+        (cell_local, tri_recv), num_keys=2, is_stable=False
+    )
+    seg_start, seg_count, tile_count, win_start = binning.segments_from_cells(
+        s_cell, cells_per_stripe, ntx * nty_local
+    )
+
+    # --- replicated table + stripe raster --------------------------------
+    pos_soa_all = positions[tri].transpose(1, 2, 0)
+    world_all, screen_all = common.vertex_stage_soa(
+        pos_soa_all, view_proj, effect, width, height
+    )
+    nrm_soa = normals[tri].astype(F32).transpose(1, 2, 0)
+    nrm_tuples = tuple(
+        tuple(nrm_soa[k, c] for c in range(3)) for k in range(3)
+    )
+    tri_table = pallas_micro.build_tri_table_c64(
+        screen_all, nrm_tuples, world_all
+    )
+    pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, s_tri)
+    rgba_packed, best_key = pallas_micro.raster_shade_micro(
+        pair_coeffs, seg_start, seg_count, win_start, tile_count,
+        effect,
+        view_position.astype(F32), light_world_pos.astype(F32),
+        light_color.astype(F32), light_intensity.astype(F32),
+        height_padded=nty_local * 8, width_padded=ntx * 128,
+        interpret=interpret, y_offset=y_offset,
+    )
+    rgba = pallas_raster.unpack_rgba(rgba_packed)
+    needed = jnp.stack([
+        jnp.where(total_local > pair_cap, total_local, 0).astype(i32),
+        jnp.where(bucket_needed > bucket_cap, bucket_needed, 0).astype(i32),
+    ])
+    return rgba, best_key, needed[None]
+
+
 @partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "tile_h", "tile_w",
-                     "pair_cap", "tile_cap", "interpret", "path"),
+                     "pair_cap", "tile_cap", "interpret", "path",
+                     "bucket_cap"),
 )
 def render_frame_sharded(
     positions, normals, uvs, tri,
@@ -184,16 +330,20 @@ def render_frame_sharded(
     tile_cap: int = 0,
     interpret: bool | None = None,
     path: str = "auto",
+    bucket_cap: int = 0,
 ):
     """Sharded render step. Returns ((H,W,4) u8 sharded over H, depth keys,
     overflow report (n_shards, 2) i32 of NEEDED [pair_cap, tile_cap]
-    capacities, 0 = within cap; the micro path has no tile-side cap). H/W
+    capacities, 0 = within cap; the micro path has no tile-side cap, and
+    the sortmiddle path reports [local pairs, send bucket] needs). H/W
     are padded internally to the tile and shard grid and cropped on
     return.
 
     ``path``: "auto" picks the lane-packed micro path (no VMEM triangle-
     table budget — any scene size shards) exactly where the single-device
-    dispatcher does; "tile"/"micro" force. Use ``render_sharded`` for the
+    dispatcher does; "tile"/"micro" force; "sortmiddle" uses the
+    triangle-parallel front end with an all_to_all pair exchange
+    (``_stripe_render_sortmiddle``). Use ``render_sharded`` for the
     retrying host-level entry (the sharded analog of Renderer._checked)."""
     from compute_renderer_tpu.backends.tpu import resolve_path
 
@@ -204,9 +354,32 @@ def render_frame_sharded(
         interpret = jax.default_backend() != "tpu"
 
     T = int(tri.shape[0])
-    path = resolve_path(path, T)
+    if path != "sortmiddle":
+        path = resolve_path(path, T)
 
-    if path == "micro":
+    if path == "sortmiddle":
+        ntx = (width + 127) // 128
+        nty = (height + 7) // 8
+        nty = (nty + n_shards - 1) // n_shards * n_shards  # equal stripes
+        Tl = (T + n_shards - 1) // n_shards
+        if pair_cap == 0:
+            # Per-device slice capacity; the slice is spatially coherent
+            # (mesh order), so give it more headroom than the global
+            # heuristic's 3T/8 average.
+            pair_cap = binning.default_pair_cap_micro(Tl, ntx * nty * 16)
+        if bucket_cap == 0:
+            # A slice's pairs concentrate on few stripes (spatial
+            # coherence): default to the full per-device cap so the first
+            # frame usually fits; retry tightens nothing and growth is
+            # exact-need.
+            bucket_cap = pair_cap
+        body = partial(
+            _stripe_render_sortmiddle,
+            width=width, height=height, nty_total=nty, pair_cap=pair_cap,
+            bucket_cap=bucket_cap, n_shards=n_shards, axis_name=axis_name,
+            interpret=interpret,
+        )
+    elif path == "micro":
         ntx = (width + 127) // 128
         nty = (height + 7) // 8
         nty = (nty + n_shards - 1) // n_shards * n_shards  # equal stripes
@@ -286,8 +459,12 @@ def render_sharded(
     )
 
     T = int(tri.shape[0])
-    path = resolve_path(options.get("path", "auto"), T)
+    path = options.get("path", "auto")
+    if path != "sortmiddle":
+        path = resolve_path(path, T)
     options["path"] = path
+    n_shards = mesh.devices.size
+    ncells = ((width + 127) // 128) * ((height + 7) // 8) * 16
     for _ in range(max_retries):
         rgba, keys, overflow = render_frame_sharded(
             positions, normals, uvs, tri, view_proj, view_position,
@@ -298,8 +475,12 @@ def render_sharded(
         if not needed.any():
             return rgba, keys
         if needed[0]:
-            if path == "micro":
-                ncells = ((width + 127) // 128) * ((height + 7) // 8) * 16
+            if path == "sortmiddle":
+                Tl = (T + n_shards - 1) // n_shards
+                cur = options.get("pair_cap") or (
+                    binning.default_pair_cap_micro(Tl, ncells)
+                )
+            elif path == "micro":
                 cur = options.get("pair_cap") or (
                     binning.default_pair_cap_micro(T, ncells)
                 )
@@ -311,7 +492,14 @@ def render_sharded(
                     T, ntiles
                 )
             options["pair_cap"] = grow_pair_cap(cur, int(needed[0]))
-        if needed[1] and path != "micro":
+        if needed[1] and path == "sortmiddle":
+            cur = options.get("bucket_cap") or options.get("pair_cap") or (
+                binning.default_pair_cap_micro(
+                    (T + n_shards - 1) // n_shards, ncells
+                )
+            )
+            options["bucket_cap"] = grow_pair_cap(cur, int(needed[1]))
+        elif needed[1] and path != "micro":
             from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
 
             th = options.get("tile_h", 16)

@@ -155,3 +155,57 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_sortmiddle_matches_single_device(mesh8):
+    # Sort-middle decomposition (triangle-parallel front end + all_to_all
+    # pair exchange): must match the single-device micro render. The
+    # receiver's (cell, tri) re-sort restores ascending-triangle order per
+    # cell, so depth-tie winners agree with the single-device path.
+    m = procedural.icosphere(3)
+    args = args_for(m)
+    rgba_s, keys_s, overflow = render_frame_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="sortmiddle"
+    )
+    rgba_1, keys_1, _ = tpu.render_frame(*args, width=W, height=H,
+                                         path="micro")
+    assert not bool(np.asarray(overflow).any())
+    diff = np.abs(np.asarray(rgba_s).astype(int) - np.asarray(rgba_1).astype(int))
+    # Exact in the common case; the different program structure may shift
+    # XLA:CPU FMA contraction by 1 ULP at coverage edges (same caveat as
+    # parallel/sharding.py's expansion note), so allow <=1 LSB on a
+    # vanishing pixel fraction.
+    exact = (diff == 0).all()
+    if not exact:
+        mism = (diff > 1).any(axis=-1)
+        assert mism.mean() < 0.001, f"{mism.sum()} px differ by >1"
+
+
+def test_sortmiddle_mega_mesh(mesh8):
+    m = procedural.uv_sphere(nu=800, nv=128)  # 203,200 tris
+    args = args_for(m)
+    rgba_s, keys_s, overflow = render_frame_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="sortmiddle",
+        pair_cap=180_224,
+    )
+    rgba_1, keys_1, _ = tpu.render_frame(*args, width=W, height=H,
+                                         pair_cap=180_224)
+    assert not bool(np.asarray(overflow).any())
+    diff = np.abs(np.asarray(rgba_s).astype(int) - np.asarray(rgba_1).astype(int))
+    mism = (diff > 1).any(axis=-1)
+    assert mism.mean() < 0.001, f"{mism.sum()} px differ by >1"
+
+
+def test_sortmiddle_overflow_retry(mesh8):
+    from compute_renderer_tpu.parallel.sharding import render_sharded
+
+    m = procedural.icosphere(2)
+    args = args_for(m)
+    rgba, keys = render_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="sortmiddle",
+        pair_cap=512, bucket_cap=256,
+    )
+    rgba_1, _, _ = tpu.render_frame(*args, width=W, height=H, path="micro")
+    diff = np.abs(np.asarray(rgba).astype(int) - np.asarray(rgba_1).astype(int))
+    mism = (diff > 1).any(axis=-1)
+    assert mism.mean() < 0.001
