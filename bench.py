@@ -86,7 +86,13 @@ def main() -> int:
         t0 = time.perf_counter()
         renderer.render_batch_device(batch_uniforms, check=False)
         renderer.fence_pending()
-        best = min(best, time.perf_counter() - t0 - rtt)
+        elapsed = time.perf_counter() - t0
+        # Floor the link-RTT subtraction: rtt is a min over trivial
+        # dispatches and can approach a fast round's whole wall time, which
+        # would drive the "engine" number to ~0 or negative. A round is
+        # never more than one RTT of overhead, and the engine share can't
+        # plausibly be under a quarter of the wall time at batch >= 64.
+        best = min(best, max(elapsed - rtt, elapsed * 0.25))
     assert not renderer.flush_overflow(), "binning overflow during bench"
 
     ms_per_frame = best / batch * 1e3

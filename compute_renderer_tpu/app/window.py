@@ -177,11 +177,19 @@ class InteractiveApp:
 
 
 def run_interactive(config: SceneConfig, width: int, height: int) -> None:
+    # Probe ONLY the windowing system: scene-load or renderer errors inside
+    # InteractiveApp must surface as themselves, not be relabeled "no
+    # display" (which would also make the CLI retry the same failure
+    # headlessly).
     try:
-        app = InteractiveApp([config], width, height)
+        import tkinter as tk
+
+        probe = tk.Tk()
+        probe.destroy()
     except Exception as e:  # no display / no tkinter
         raise RuntimeError(
             "Interactive viewer unavailable (no display?). "
             "Use headless mode instead."
         ) from e
+    app = InteractiveApp([config], width, height)
     app.run()

@@ -127,6 +127,11 @@ def render_frame_micro(
         pair_cap = binning.default_pair_cap_micro(T, ntx * nty * 16)
 
     if screen is not None:
+        if world is None:
+            raise ValueError(
+                "screen injection requires world (both come from the same "
+                "vertex-stage evaluation)"
+            )
         sc = screen[tri]  # (T, 3, 4)
         wc = world[tri].astype(F32)
         screen_soa = tuple(

@@ -69,6 +69,11 @@ def render_frame(
     contract)."""
     if tri.shape[0] == 0:
         return common.empty_frame(width, height)
+    if screen is not None and world is None:
+        raise ValueError(
+            "screen injection requires world (both come from the same "
+            "vertex-stage evaluation)"
+        )
     if screen is None:
         world, screen = common.vertex_stage(positions, view_proj, effect,
                                             width, height)

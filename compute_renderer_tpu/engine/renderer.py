@@ -40,11 +40,18 @@ class Renderer:
         # Corner-SoA geometry (3 corners, 3 comps, T) for the tpu backend's
         # micro (mega-scene) path: gathered + transposed ONCE at upload
         # (indices are static per mesh) so the per-frame front-end is
-        # gather-free contiguous streaming work. ~72 MB/1M tris.
+        # gather-free contiguous streaming work. ~72 MB/1M tris — only
+        # built when this mesh will actually dispatch to the micro path.
         self.pos_soa = self.nrm_soa = None
         if self.backend_name == "tpu" and self.num_triangles > 0:
-            self.pos_soa = self.positions[self.tri].transpose(1, 2, 0)
-            self.nrm_soa = self.normals[self.tri].transpose(1, 2, 0)
+            from compute_renderer_tpu.backends.tpu import resolve_path
+
+            path = resolve_path(self.options.get("path", "auto"),
+                                self.num_triangles,
+                                self.options.get("tri_chunk", 0))
+            if path == "micro":
+                self.pos_soa = self.positions[self.tri].transpose(1, 2, 0)
+                self.nrm_soa = self.normals[self.tri].transpose(1, 2, 0)
         self._step_cache.clear()
 
     def resize(self, width: int, height: int) -> None:

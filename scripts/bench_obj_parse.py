@@ -35,8 +35,12 @@ def write_obj(mesh, path: Path) -> float:
         np.savetxt(f, mesh.uvs, fmt="vt %.9g %.9g")
         np.savetxt(f, mesh.normals, fmt="vn %.9g %.9g %.9g")
         ones = tri + 1
+        # (T, 3) -> (T, 9) = [a a a b b b c c c]: each corner's index used
+        # for v/vt/vn. (An earlier version added a fancy-index on top of the
+        # repeat, collapsing every face to its first vertex — degenerate
+        # faces that made the parse benchmark unrepresentative.)
         np.savetxt(
-            f, np.repeat(ones, 3, axis=1)[:, [0, 0, 0, 1, 1, 1, 2, 2, 2]],
+            f, np.repeat(ones, 3, axis=1),
             fmt="f %d/%d/%d %d/%d/%d %d/%d/%d",
         )
     return path.stat().st_size / 1e6
