@@ -337,6 +337,40 @@ def render_frame(
     return rgba, best_key, overflow
 
 
+def default_caps(path: str, num_triangles: int, width: int, height: int,
+                 tile_h: int = 0, tile_w: int = 0) -> dict:
+    """Default binning capacities for a resolved path — the ONE place the
+    heuristics are combined (Renderer._grow_caps, tpu.render, and
+    parallel.sharding.render_sharded all grow from these, and must agree
+    on the starting point or retry growth computes from the wrong base).
+
+    Returns {"pair_cap", "tile_cap", "tile_h", "tile_w"}; tile_cap is None
+    for the micro path (no per-tile cap — windows stream from HBM)."""
+    T = max(num_triangles, 1)
+    if path == "micro":
+        ntx_t = (width + 127) // 128
+        nty_t = (height + 7) // 8
+        return {
+            "pair_cap": binning.default_pair_cap_micro(T, ntx_t * nty_t * 16),
+            "tile_cap": None,
+            "tile_h": 8,
+            "tile_w": 128,
+        }
+    if tile_h == 0 or tile_w == 0:
+        tile_h, tile_w = choose_tile(T, width, height)
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    return {
+        "pair_cap": binning.default_pair_cap(T, ntx * nty),
+        "tile_cap": min(
+            binning.default_tile_cap(T, width, height, tile_h, tile_w),
+            MAX_TILE_CAP,
+        ),
+        "tile_h": tile_h,
+        "tile_w": tile_w,
+    }
+
+
 def render(mesh, camera_uniform, lights, effect, width, height,
            tile_h: int = 0, tile_w: int = 0, pair_cap: int = 0,
            tile_cap: int = 0, max_retries: int = 3, path: str = "auto",
@@ -347,20 +381,11 @@ def render(mesh, camera_uniform, lights, effect, width, height,
     light_world_pos, light_color, light_intensity = lights
     T = max(mesh.indices.shape[0] // 3, 1)
     path = resolve_path(path, T)
-    if path == "micro":
-        ntx_t = (width + 127) // 128
-        nty_t = (height + 7) // 8
-        pc = pair_cap or binning.default_pair_cap_micro(T, ntx_t * nty_t * 16)
-    else:
-        if tile_h == 0 or tile_w == 0:
-            tile_h, tile_w = choose_tile(T, width, height)
-        ntx = (width + tile_w - 1) // tile_w
-        nty = (height + tile_h - 1) // tile_h
-        pc = pair_cap or binning.default_pair_cap(T, ntx * nty)
-        tc = tile_cap or min(
-            binning.default_tile_cap(T, width, height, tile_h, tile_w),
-            MAX_TILE_CAP,
-        )
+    caps = default_caps(path, T, width, height, tile_h, tile_w)
+    pc = pair_cap or caps["pair_cap"]
+    if path != "micro":
+        tile_h, tile_w = caps["tile_h"], caps["tile_w"]
+        tc = tile_cap or caps["tile_cap"]
 
     args = (
         jnp.asarray(mesh.positions),

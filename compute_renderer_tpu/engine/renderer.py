@@ -149,10 +149,8 @@ class Renderer:
     def _grow_caps(self, pair_needed: int = 0, tile_needed: int = 0) -> None:
         """Grow binning capacities to the backend-reported need (0 = leave
         alone; see binning.bin_*'s pair_needed/tile_needed outputs)."""
-        from compute_renderer_tpu.backends import binning as binning_mod
         from compute_renderer_tpu.backends.tpu import (
-            MAX_TILE_CAP,
-            choose_tile,
+            default_caps,
             grow_pair_cap,
             grow_tile_cap,
             resolve_path,
@@ -161,38 +159,23 @@ class Renderer:
         T = max(self.num_triangles, 1)
         path = resolve_path(self.options.get("path", "auto"), T,
                             self.options.get("tri_chunk", 0))
+        caps = default_caps(path, T, self.width, self.height,
+                            self.options.get("tile_h", 0),
+                            self.options.get("tile_w", 0))
+        pc = self.options.get("pair_cap") or caps["pair_cap"]
+        if pair_needed:
+            pc = grow_pair_cap(pc, pair_needed)
         if path == "micro":
-            ntx_t = (self.width + 127) // 128
-            nty_t = (self.height + 7) // 8
-            pc = self.options.get("pair_cap") or (
-                binning_mod.default_pair_cap_micro(T, ntx_t * nty_t * 16)
-            )
-            if pair_needed:
-                pc = grow_pair_cap(pc, pair_needed)
             # No tile-side cap on the micro path (window chunks stream from
             # HBM with a dynamic trip count).
             self.options["pair_cap"] = pc
             self._step_cache.clear()
             return
 
-        tile_h = self.options.get("tile_h", 0)
-        tile_w = self.options.get("tile_w", 0)
-        if not tile_h or not tile_w:
-            tile_h, tile_w = choose_tile(T, self.width, self.height)
-        ntx = (self.width + tile_w - 1) // tile_w
-        nty = (self.height + tile_h - 1) // tile_h
-        pc = self.options.get("pair_cap") or binning_mod.default_pair_cap(
-            T, ntx * nty
-        )
-        tc = self.options.get("tile_cap") or min(
-            binning_mod.default_tile_cap(T, self.width, self.height,
-                                         tile_h, tile_w),
-            MAX_TILE_CAP,
-        )
-        if pair_needed:
-            pc = grow_pair_cap(pc, pair_needed)
+        tc = self.options.get("tile_cap") or caps["tile_cap"]
         if tile_needed:
-            tc = grow_tile_cap(tc, tile_needed, tile_h, tile_w)
+            tc = grow_tile_cap(tc, tile_needed, caps["tile_h"],
+                               caps["tile_w"])
         self.options["pair_cap"] = pc
         self.options["tile_cap"] = tc
         self._step_cache.clear()

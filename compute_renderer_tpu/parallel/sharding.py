@@ -453,6 +453,7 @@ def render_sharded(
 
     Returns (rgba, keys) with every stripe within capacity."""
     from compute_renderer_tpu.backends.tpu import (
+        default_caps,
         grow_pair_cap,
         grow_tile_cap,
         resolve_path,
@@ -464,7 +465,18 @@ def render_sharded(
         path = resolve_path(path, T)
     options["path"] = path
     n_shards = mesh.devices.size
-    ncells = ((width + 127) // 128) * ((height + 7) // 8) * 16
+    # Defaults come from the ONE shared helper (tpu.default_caps) so retry
+    # growth starts from the same base the render step used. sortmiddle's
+    # pair cap is per-device-slice (micro heuristic at T/n); its second
+    # overflow slot is the send-bucket capacity, not a tile cap. The tile
+    # path here uses render_frame_sharded's signature defaults (16x256).
+    Tl = (T + n_shards - 1) // n_shards
+    caps = default_caps(
+        "micro" if path in ("micro", "sortmiddle") else "tile",
+        Tl if path == "sortmiddle" else T,
+        width, height,
+        options.get("tile_h", 16), options.get("tile_w", 256),
+    )
     for _ in range(max_retries):
         rgba, keys, overflow = render_frame_sharded(
             positions, normals, uvs, tri, view_proj, view_position,
@@ -475,40 +487,17 @@ def render_sharded(
         if not needed.any():
             return rgba, keys
         if needed[0]:
-            if path == "sortmiddle":
-                Tl = (T + n_shards - 1) // n_shards
-                cur = options.get("pair_cap") or (
-                    binning.default_pair_cap_micro(Tl, ncells)
-                )
-            elif path == "micro":
-                cur = options.get("pair_cap") or (
-                    binning.default_pair_cap_micro(T, ncells)
-                )
-            else:
-                th = options.get("tile_h", 16)
-                tw = options.get("tile_w", 256)
-                ntiles = ((width + tw - 1) // tw) * ((height + th - 1) // th)
-                cur = options.get("pair_cap") or binning.default_pair_cap(
-                    T, ntiles
-                )
+            cur = options.get("pair_cap") or caps["pair_cap"]
             options["pair_cap"] = grow_pair_cap(cur, int(needed[0]))
         if needed[1] and path == "sortmiddle":
-            cur = options.get("bucket_cap") or options.get("pair_cap") or (
-                binning.default_pair_cap_micro(
-                    (T + n_shards - 1) // n_shards, ncells
-                )
-            )
+            cur = (options.get("bucket_cap") or options.get("pair_cap")
+                   or caps["pair_cap"])
             options["bucket_cap"] = grow_pair_cap(cur, int(needed[1]))
         elif needed[1] and path != "micro":
-            from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
-
-            th = options.get("tile_h", 16)
-            tw = options.get("tile_w", 256)
-            cur = options.get("tile_cap") or min(
-                binning.default_tile_cap(T, width, height, th, tw),
-                MAX_TILE_CAP,
+            options["tile_cap"] = grow_tile_cap(
+                options.get("tile_cap") or caps["tile_cap"],
+                int(needed[1]), caps["tile_h"], caps["tile_w"],
             )
-            options["tile_cap"] = grow_tile_cap(cur, int(needed[1]), th, tw)
     raise RuntimeError(
         f"sharded binning capacity overflow after {max_retries} retries "
         f"(options={options})"
