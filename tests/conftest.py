@@ -14,7 +14,15 @@ import sys
 # deferred to pytest_configure so pytest's fd capture can be suspended first
 # (otherwise the re-exec'd run's output lands in a discarded capture file).
 _NEEDS_REEXEC = (
-    os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
+    (
+        os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
+        # The sitecustomize registers the tunnel plugin whenever the pool
+        # env var is present; with the relay down, the very first
+        # ``import jax`` then hangs forever even under JAX_PLATFORMS=cpu.
+        # Re-exec with the pool var dropped so the plugin is never
+        # registered in the test interpreter.
+        or os.environ.get("PALLAS_AXON_POOL_IPS")
+    )
     and os.environ.get("_GRAFT_PYTEST_REEXEC") != "1"
 )
 
@@ -29,6 +37,7 @@ def pytest_configure(config):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["_GRAFT_PYTEST_REEXEC"] = "1"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     sys.stdout.flush()
     sys.stderr.flush()
     os.execve(
