@@ -37,3 +37,24 @@ def test_stage_timings_micro_smoke():
     for k in ("vertex_setup_ms", "binning_ms", "tri_table_ms",
               "pair_coeffs_ms", "raster_shade_ms", "total_fused_ms"):
         assert t[k] > 0.0
+
+
+def test_stage_timings_sortmiddle_smoke():
+    # The sortmiddle per-device front end at a 1/8 triangle slice must cost
+    # materially less than at full T (the O(T/n) contract; exact ratio is
+    # noisy on a 1-core CI box, so assert a loose bound).
+    from compute_renderer_tpu.bench.profiling import stage_timings_sortmiddle
+    from compute_renderer_tpu.engine.scene import Scene, SceneConfig
+    from compute_renderer_tpu.io import procedural
+
+    scene = Scene.from_config(SceneConfig(), 64, 48)
+    uniforms = scene.update(0.016)
+    mesh = procedural.uv_sphere(nu=400, nv=128)  # ~102k tris
+    t = stage_timings_sortmiddle(mesh, uniforms, 64, 48, n_shards=8, iters=3)
+    assert t["front_slice_ms"] > 0.0 and t["front_full_ms"] > 0.0
+    # The 1/8-slice front end must cost materially less than full T. The
+    # ratio is well under 8 here: the 32768 pair-cap floor
+    # (binning.default_pair_cap_micro) keeps expansion+sort constant at
+    # this test scale — at mega scale (caps above the floor) every stage
+    # scales with the slice. Bound kept loose for 1-core CI noise.
+    assert t["speedup"] > 1.4, t

@@ -157,11 +157,54 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(4)
 
 
-def test_sortmiddle_matches_single_device(mesh8):
+def precomputed_geometry(args, w=W, h=H):
+    """(screen, world, tri_table) computed once in ONE standalone program
+    and injected into both sides under comparison — pins XLA:CPU's
+    per-program FMA-contraction freedom so the sortmiddle <-> single-device
+    contract is exact (the test_micro.precomputed_geometry technique)."""
+    import jax.numpy as jnp
+
+    from compute_renderer_tpu.backends import common, pallas_raster
+
+    @jax.jit
+    def prep(pos, nrm, uvs, tri, vp, eff):
+        world, screen = common.vertex_stage(pos, vp, eff, w, h)
+        table = pallas_raster.build_tri_table(
+            screen, tri, uvs.astype(jnp.float32), nrm.astype(jnp.float32),
+            world)
+        return screen, world, table
+
+    return prep(args[0], args[1], args[2], args[3], args[4], args[9])
+
+
+def test_sortmiddle_matches_single_device_bitwise(mesh8):
     # Sort-middle decomposition (triangle-parallel front end + all_to_all
-    # pair exchange): must match the single-device micro render. The
-    # receiver's (cell, tri) re-sort restores ascending-triangle order per
-    # cell, so depth-tie winners agree with the single-device path.
+    # pair exchange + all_gather'd per-slice coefficient tables): BITWISE
+    # equal to the single-device micro render when both consume one
+    # injected precomputed geometry. The receiver's (cell, tri) re-sort
+    # restores ascending-triangle order per cell, so depth-tie winners
+    # agree exactly.
+    m = procedural.icosphere(3)
+    args = args_for(m)
+    screen, world, table = precomputed_geometry(args)
+    rgba_s, keys_s, overflow = render_frame_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="sortmiddle",
+        screen=screen, world=world, tri_table=table,
+    )
+    rgba_1, keys_1, _ = tpu.render_frame_micro(
+        *args, width=W, height=H, screen=screen, world=world,
+        tri_table=table,
+    )
+    assert not bool(np.asarray(overflow).any())
+    np.testing.assert_array_equal(np.asarray(keys_s), np.asarray(keys_1))
+    np.testing.assert_array_equal(np.asarray(rgba_s), np.asarray(rgba_1))
+
+
+def test_sortmiddle_matches_single_device(mesh8):
+    # Production path (no injection): each side computes its own geometry,
+    # so XLA:CPU FMA contraction may differ by 1 ULP at coverage edges
+    # (see parallel/sharding.py); allow <=1 LSB on a vanishing fraction.
+    # The bitwise contract is pinned by the injected variant above.
     m = procedural.icosphere(3)
     args = args_for(m)
     rgba_s, keys_s, overflow = render_frame_sharded(
@@ -171,10 +214,6 @@ def test_sortmiddle_matches_single_device(mesh8):
                                          path="micro")
     assert not bool(np.asarray(overflow).any())
     diff = np.abs(np.asarray(rgba_s).astype(int) - np.asarray(rgba_1).astype(int))
-    # Exact in the common case; the different program structure may shift
-    # XLA:CPU FMA contraction by 1 ULP at coverage edges (same caveat as
-    # parallel/sharding.py's expansion note), so allow <=1 LSB on a
-    # vanishing pixel fraction.
     exact = (diff == 0).all()
     if not exact:
         mism = (diff > 1).any(axis=-1)
