@@ -2,7 +2,15 @@
 
 Feature map from the reference's winit ApplicationHandler:
 - per-frame update loop: dt -> camera -> scene update -> render -> blit
-  (window.rs:194-221, 345-410)
+  (window.rs:194-221, 345-410), PIPELINED: frame k is dispatched (async,
+  device-resident, unchecked) before frame k-1's pixels are fetched for the
+  blit, so the device renders k while k-1 crosses the link — one blocking
+  device->host round trip per frame, and viewer FPS tracks kernel time
+  rather than link latency (the reference's submit is equally async,
+  custom_pipeline/renderer.rs:105-157). Binning-overflow flags accumulate
+  on device and are flushed every few frames; an overflow triggers one
+  checked render that grows capacities from the reported need.
+- measured FPS in a HUD overlay (reference prints FPS to the collector)
 - first-person WASD/Space/C + Shift sprint + [ ] speed trim ('P' prints the
   pose) (camera.rs:97-150) and mouse-drag look (camera.rs:152-173)
 - Escape cycles to the next scene config (window.rs:274-342)
@@ -22,9 +30,17 @@ from __future__ import annotations
 
 import time
 
+import jax
+import numpy as np
+
 from compute_renderer_tpu.bench.collector import PerformanceCollector
 from compute_renderer_tpu.engine.renderer import Renderer
 from compute_renderer_tpu.engine.scene import Scene, SceneConfig
+
+# Ticks between device-side overflow-flag flushes (each flush is one extra
+# round trip; an overflowed frame shows with dropped triangles for at most
+# this many frames before the checked re-render fixes capacities).
+FLUSH_INTERVAL = 32
 
 _KEYMAP = {
     "w": "w", "a": "a", "s": "s", "d": "d",
@@ -65,12 +81,20 @@ class InteractiveApp:
         self.canvas.bind("<ButtonRelease-1>", self._on_mouse_up)
         self.canvas.bind("<Motion>", self._on_mouse_move)
 
+        # Pipelined-present state: the device-resident (1,H,W,4) frame
+        # dispatched last tick, fetched+blitted next tick.
+        self._inflight = None
+        self._tick_count = 0
+        self._fps = 0.0
+        self._hud = None
+
         self._load_scene(0)
         self.last_frame = time.perf_counter()
 
     # -- scene management (window.rs:274-342) --------------------------------
 
     def _load_scene(self, index: int) -> None:
+        self._inflight = None  # old renderer's frame: drop, don't blit
         self.scene_index = index % len(self.scene_configs)
         config = self.scene_configs[self.scene_index]
         self.scene = Scene.from_config(config, self.width, self.height)
@@ -117,6 +141,7 @@ class InteractiveApp:
         if (w, h) == (self.width, self.height) or w < 16 or h < 16:
             return
         self.width, self.height = w, h
+        self._inflight = None  # old framebuffer shape: drop, don't blit
         self.canvas.config(width=w, height=h)
         camera = self.scene.get_active_camera()
         if camera is not None:
@@ -142,26 +167,65 @@ class InteractiveApp:
 
     # -- frame loop (window.rs:194-221) ---------------------------------------
 
+    def _fetch(self, device_frames) -> np.ndarray:
+        """THE one blocking device->host transfer per frame (the transfer-
+        count contract tests/test_window.py pins). Everything else in the
+        tick — uniform upload, frame dispatch — is asynchronous."""
+        return np.asarray(jax.device_get(device_frames))
+
+    def _blit(self, rgba: np.ndarray) -> None:
+        """RGBA array -> PPM bytes -> Tk PhotoImage (no deps) + FPS HUD."""
+        header = f"P6 {self.width} {self.height} 255 ".encode()
+        self.photo = self.tk.PhotoImage(
+            data=header + rgba[:, :, :3].tobytes(), format="PPM"
+        )
+        self.canvas.create_image(0, 0, image=self.photo, anchor="nw")
+        hud_text = f"{self._fps:5.1f} fps"
+        if self._hud is None:
+            self._hud = self.canvas.create_text(
+                6, 6, text=hud_text, anchor="nw", fill="#ffffff",
+                font=("TkFixedFont", 10),
+            )
+        else:
+            self.canvas.itemconfigure(self._hud, text=hud_text)
+        self.canvas.tag_raise(self._hud)
+
     def _tick(self) -> None:
         if not self.running:
             return
         now = time.perf_counter()
         dt = now - self.last_frame
         self.last_frame = now
+        if dt > 0:
+            # EMA of the measured rate for the HUD.
+            self._fps = 0.9 * self._fps + 0.1 / dt
 
         camera = self.scene.get_active_camera()
         if camera is not None:
             camera.update_over_time(dt)
             camera.process_keyboard(self.keys_down, dt)
         uniforms = self.scene.update(dt)
-        rgba = self.renderer.render(uniforms)
 
-        # Blit: RGBA array -> PPM bytes -> Tk PhotoImage (no deps).
-        header = f"P6 {self.width} {self.height} 255 ".encode()
-        self.photo = self.tk.PhotoImage(
-            data=header + rgba[:, :, :3].tobytes(), format="PPM"
-        )
-        self.canvas.create_image(0, 0, image=self.photo, anchor="nw")
+        self._tick_count += 1
+        if (self._tick_count % FLUSH_INTERVAL == 0
+                and self.renderer.flush_overflow()):
+            # A recent unchecked frame dropped triangles (binning capacity):
+            # one checked render grows the capacities from the reported
+            # need, presents correctly, and the pipeline restarts.
+            self._inflight = None
+            self._blit(self.renderer.render(uniforms))
+        else:
+            # Pipelined present: dispatch frame k (async) BEFORE fetching
+            # frame k-1, so the device renders k while k-1's pixels cross
+            # the link. On pipeline warm-up (first frame after scene load /
+            # resize) the just-dispatched frame is presented directly —
+            # still exactly one blocking fetch.
+            dispatched = self.renderer.render_batch_device(
+                [uniforms], check=False
+            )
+            prev = self._inflight if self._inflight is not None else dispatched
+            self._inflight = dispatched
+            self._blit(self._fetch(prev)[0])
 
         # Scene-done check (reference window.rs:203-209): update() returns
         # True once the benchmark duration + warm-up has elapsed.
