@@ -77,8 +77,9 @@ def test_suite_configs_match_reference():
 
     scenes = benchmark_scene_configs(30.0)
     # Reference's 8 rows (main.rs:150-232) + 4 extension rows (the round-1
-    # small stand-ins, kept for continuity).
-    assert len(scenes) == 12
+    # small stand-ins, kept for continuity) + the structured real-loader
+    # row (a synthesized multi-submesh OBJ loaded from disk, VERDICT r2 #7).
+    assert len(scenes) == 13
     # Order: San Miguel, Exterior, Suzanne, Vokselia x (tpu, xla)
     assert "San_Miguel" in scenes[0].model_path
     assert scenes[0].normalized_backend() == "tpu"
@@ -86,6 +87,12 @@ def test_suite_configs_match_reference():
     assert scenes[4].model_path == "suzanne.obj"
     assert scenes[4].camera_config.position == (0.0, 0.0, 3.0)
     assert scenes[6].camera_config.position[1] == 0.86896104
+    assert scenes[12].model_path == "structured_scene.obj"
+    assert scenes[12].normalized_backend() == "tpu"
+    # The row's asset was synthesized onto the search chain.
+    from compute_renderer_tpu.io.assets import get_asset_path
+
+    assert get_asset_path("structured_scene.obj").stat().st_size > 10_000_000
 
 
 def test_run_scene_smoke():

@@ -1,0 +1,107 @@
+"""Structured-OBJ synthesis: the suite's real-loader scene (VERDICT r2 #7).
+
+The generated file must exercise the loader the way a real scan does
+(multi o/g, shared indexed vertices, quads, mixed face-token forms,
+negative indices, material statements) and round-trip bit-identically
+through both parser implementations into a renderable mesh.
+"""
+
+import numpy as np
+import pytest
+
+from compute_renderer_tpu.io import native, objgen
+from compute_renderer_tpu.io.obj import load_obj
+
+TINY = dict(terrain_n=6, statue_nu=8, statue_nv=6, ruins=3, size=8.0)
+
+
+@pytest.fixture(scope="module")
+def tiny_obj(tmp_path_factory):
+    path = tmp_path_factory.mktemp("objgen") / "tiny.obj"
+    stats = objgen.write_structured_obj(path, **TINY)
+    return path, stats
+
+
+def test_triangle_count_matches_stats(tiny_obj):
+    path, stats = tiny_obj
+    mesh = load_obj(path)
+    # terrain quads fan to 2 tris each; statue 2 per cell; ruins 12 per box;
+    # banner quad fans to 2.
+    expected = (2 * 6 * 6) + (2 * 8 * 6) + (12 * 3) + 2
+    assert stats["triangles"] == expected
+    assert mesh.num_triangles == expected
+
+
+def test_vertices_shared_not_soup(tiny_obj):
+    path, _ = tiny_obj
+    mesh = load_obj(path)
+    # Indexed topology with per-submesh dedup: far fewer output vertices
+    # than 3 per triangle (a triangle-soup export would hit exactly 3T).
+    assert mesh.positions.shape[0] < 1.5 * mesh.num_triangles
+
+
+def test_native_parser_bitwise_parity(tiny_obj):
+    if not native.available():
+        pytest.skip("native parser not built")
+    path, _ = tiny_obj
+    py = load_obj(path)
+    nat = native.load_obj(path)
+    for field in ("indices", "positions", "normals", "uvs"):
+        np.testing.assert_array_equal(
+            getattr(py, field), getattr(nat, field), err_msg=field
+        )
+
+
+def test_negative_index_banner_loaded(tiny_obj):
+    path, _ = tiny_obj
+    mesh = load_obj(path)
+    # The banner's relative-index quad references the 4 preceding verts.
+    banner = np.array([[6, 3.5, 4], [7, 3.5, 4], [7, 4.5, 4], [6, 4.5, 4]],
+                      np.float32)
+    pos = mesh.positions
+    for corner in banner:
+        assert (np.abs(pos - corner).sum(axis=1) < 1e-6).any()
+
+
+def test_mixed_attribute_forms(tiny_obj):
+    path, _ = tiny_obj
+    mesh = load_obj(path)
+    nrm = np.linalg.norm(mesh.normals, axis=1)
+    uvn = np.abs(mesh.uvs).sum(axis=1)
+    # terrain: normals + uvs; statue: normals, no uvs; ruins: neither.
+    assert (nrm > 0.5).any() and (nrm < 1e-6).any()
+    assert (uvn > 1e-6).any()
+
+
+def test_renders_through_real_loader(tiny_obj, tmp_path):
+    import os
+
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import (
+        CameraConfig, Scene, SceneConfig,
+    )
+    from compute_renderer_tpu.core.camera import CameraMode
+
+    path, _ = tiny_obj
+    cfg = SceneConfig(
+        model_path=str(path),
+        camera_config=CameraConfig(
+            mode=CameraMode.FIRST_PERSON, position=(0.0, 2.0, 6.0)
+        ),
+    )
+    scene = Scene.from_config(cfg, 96, 64)
+    r = Renderer(scene.mesh, 96, 64, backend="tpu")
+    img = np.asarray(r.render(scene.update(0.016)))
+    assert img.shape == (64, 96, 4)
+    covered = (img[..., 2] != 255).sum()
+    assert covered > 50, "scene content not visible from spawn"
+
+
+def test_ensure_structured_scene_cached(tmp_path):
+    # Tiny stand-in of the cache contract: second call must not rewrite.
+    target = tmp_path / objgen.STRUCTURED_NAME
+    objgen.write_structured_obj(target, **TINY)
+    mtime = target.stat().st_mtime_ns
+    out = objgen.ensure_structured_scene(tmp_path)
+    assert out == target
+    assert target.stat().st_mtime_ns == mtime
