@@ -28,6 +28,10 @@ class Renderer:
         self.options = options
         self._step_cache = {}
         self._pending_overflow = None
+        # Settle-to-need capacity calibration (micro path): done once per
+        # scene/size unless the caller pinned pair_cap explicitly.
+        self._user_pair_cap = "pair_cap" in options
+        self._calibrate_pair_cap = not self._user_pair_cap
         self._upload(mesh)
 
     def _upload(self, mesh) -> None:
@@ -60,6 +64,11 @@ class Renderer:
         lazily on next render."""
         self.width = int(width)
         self.height = int(height)
+        if not self._user_pair_cap:
+            # A settled capacity was measured at the old resolution;
+            # coverage scales with the cell grid, so re-settle.
+            self.options.pop("pair_cap", None)
+            self._calibrate_pair_cap = True
         self._step_cache.clear()
 
     # -- per-frame step -------------------------------------------------------
@@ -116,6 +125,52 @@ class Renderer:
         self._step_cache[key] = step
         return step
 
+    def _maybe_calibrate(self, uniforms: FrameUniforms) -> None:
+        """Settle the micro-path pair capacity to the scene's MEASURED need
+        (+12.5% slack, tpu.grow_pair_cap) instead of the 3T/8 heuristic,
+        which overshoots typical mega-scene coverage by ~25%+ — and every
+        pair-sized stage (expansion, sort, histogram, coefficient gather,
+        kernel HBM stream) scales with the cap. One tiny front-end program
+        (vertex + setup + a cover-count reduction; no sort, no raster)
+        measures the exact pair total for the first frame; normal overflow
+        detection grows the capacity if the camera later moves into denser
+        coverage. Runs once per scene/resolution; skipped when the caller
+        pinned pair_cap."""
+        if not self._calibrate_pair_cap or self.pos_soa is None:
+            return
+        self._calibrate_pair_cap = False
+
+        import jax.numpy as jnp  # local: keep module import surface stable
+
+        from compute_renderer_tpu.backends import common
+        from compute_renderer_tpu.backends.tpu import grow_pair_cap
+
+        pos_soa, width, height = self.pos_soa, self.width, self.height
+
+        @jax.jit
+        def count_pairs(packed):
+            vp = packed[4:20].reshape(4, 4)
+            eff = packed[20:26]
+            _, screen_soa = common.vertex_stage_soa(
+                pos_soa, vp, eff, width, height
+            )
+            setup = common.triangle_setup_soa(
+                screen_soa, eff, width, height, 8, 8
+            )
+            rx = (setup["tile_x1"] - setup["tile_x0"]).astype(jnp.int32)
+            ry = (setup["tile_y1"] - setup["tile_y0"]).astype(jnp.int32)
+            return jnp.sum(jnp.where(setup["alive"], rx * ry, 0))
+
+        packed, _ = self.pack_uniforms(uniforms)
+        total = int(np.asarray(count_pairs(jnp.asarray(packed))))
+        # Keep the cell-count floor of default_pair_cap_micro (the sorted
+        # list must be addressable per cell segment).
+        num_cells = ((width + 127) // 128) * ((height + 7) // 8) * 16
+        self.options["pair_cap"] = grow_pair_cap(
+            0, max(total, num_cells, 1024)
+        )
+        self._step_cache.clear()
+
     def render_device(self, uniforms: FrameUniforms):
         """Render and return the device-resident (H,W,4) u8 framebuffer
         (plus the depth-key buffer; the tpu backend also returns its binning
@@ -132,6 +187,7 @@ class Renderer:
         carries the NEEDED capacities, so a retry recompiles once with a
         sufficient size (doubling blindly cost minutes of recompiles per
         step at mega scale)."""
+        self._maybe_calibrate(uniforms)
         for _ in range(max_retries):
             out = self.render_device(uniforms)
             if len(out) < 3:
@@ -215,8 +271,11 @@ class Renderer:
         round trip) and retries with doubled binning capacities. Steady-state
         loops (benchmarks) pass ``check=False`` — the flags accumulate on
         device and ``flush_overflow()`` fetches them once at the end."""
+        uniforms_seq = list(uniforms_seq)
         packs = []
         L = None
+        if check and uniforms_seq:
+            self._maybe_calibrate(uniforms_seq[0])
         for u in uniforms_seq:
             p, L = self.pack_uniforms(u)
             packs.append(p)

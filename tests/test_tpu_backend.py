@@ -262,3 +262,60 @@ def test_worklist_zero_occupied_tiles():
     effect = EffectUniform().as_array()
     img = tpu.render(mesh, u, lights, effect, W, H, worklist=True)
     assert (img[:, :, :3] == np.array([0, 0, 255], np.uint8)).all()
+
+
+def test_pair_cap_settles_to_need():
+    # Settle-to-need calibration (micro path): a first-frame front-end
+    # measurement replaces the 3T/8 heuristic with measured-need + 12.5%
+    # slack, so every pair-sized stage runs tight. The settled render must
+    # be bitwise identical to one with the ample default capacity.
+    from compute_renderer_tpu import Renderer
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+
+    mesh = procedural.icosphere(3)
+    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    lwp, lc, li = lights_default()
+    uniforms = FrameUniforms(
+        view_position=u.view_position, view_proj=u.view_proj,
+        light_world_pos=lwp, light_color=lc, light_intensity=li,
+        effect=EffectUniform().as_array(),
+    )
+    r = Renderer(mesh, W, H, backend="tpu", path="micro")
+    img = r.render(uniforms)
+    settled = r.options.get("pair_cap")
+    assert settled is not None, "calibration did not run"
+    default = tpu.default_caps("micro", mesh.num_triangles, W, H)["pair_cap"]
+    assert settled < default, (settled, default)
+
+    r2 = Renderer(mesh, W, H, backend="tpu", path="micro", pair_cap=default)
+    np.testing.assert_array_equal(img, r2.render(uniforms))
+    # User-pinned capacity is never overridden by calibration.
+    assert r2.options["pair_cap"] == default
+
+
+def test_pair_cap_calibration_then_overflow_growth():
+    # Coverage can exceed the settled capacity when the camera moves into
+    # denser coverage: the overflow report must still grow the cap.
+    from compute_renderer_tpu import Renderer
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+
+    mesh = procedural.uv_sphere(nu=100, nv=30)  # 6k tris
+    lwp, lc, li = lights_default()
+
+    def uniforms_at(dist):
+        cam = Camera.first_person([0, 0, dist], aspect=W / H)
+        u = cam.uniform()
+        return FrameUniforms(
+            view_position=u.view_position, view_proj=u.view_proj,
+            light_world_pos=lwp, light_color=lc, light_intensity=li,
+            effect=EffectUniform().as_array(),
+        )
+
+    r = Renderer(mesh, W, H, backend="tpu", path="micro")
+    r.render(uniforms_at(12.0))  # small on screen (~3.3k pairs) -> tight cap
+    settled = r.options["pair_cap"]
+    img = r.render(uniforms_at(1.3))  # ~7k pairs: must overflow + grow
+    assert r.options["pair_cap"] > settled
+    r2 = Renderer(mesh, W, H, backend="tpu", path="micro")
+    np.testing.assert_array_equal(img, r2.render(uniforms_at(1.3)))
