@@ -129,7 +129,8 @@ def measure() -> int:
         backend_type="tpu",
     )
     scene = Scene.from_config(config, width, height)
-    renderer = Renderer(scene.mesh, width, height, backend="tpu")
+    renderer = Renderer(scene.mesh, width, height, backend="tpu",
+                        **scene.renderer_options())
 
     dt = 1.0 / 60.0
 

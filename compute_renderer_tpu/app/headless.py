@@ -57,7 +57,8 @@ def run_headless(config: SceneConfig, width: int, height: int,
     wall-clock like the reference's interactive loop."""
     scene = Scene.from_config(config, width, height)
     renderer = Renderer(scene.mesh, width, height,
-                        backend=config.normalized_backend())
+                        backend=config.normalized_backend(),
+                        **scene.renderer_options())
 
     out = Path(output)
     written = []

@@ -99,7 +99,8 @@ class InteractiveApp:
         config = self.scene_configs[self.scene_index]
         self.scene = Scene.from_config(config, self.width, self.height)
         self.renderer = Renderer(self.scene.mesh, self.width, self.height,
-                                 backend=config.normalized_backend())
+                                 backend=config.normalized_backend(),
+                                 **self.scene.renderer_options())
         # Fresh collector per scene (window.rs:295-300); duration None means
         # endless interactive use (scene.rs:232 u64::MAX default).
         self.collector = PerformanceCollector(

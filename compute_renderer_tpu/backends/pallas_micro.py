@@ -95,6 +95,7 @@ def _micro_kernel(
     sem_b,
     *,
     num_lights: int,
+    skip_mirage: bool = False,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -133,6 +134,7 @@ def _micro_kernel(
             params_ref, lights_ref, seg_start_ref, seg_count_ref,
             coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
             w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
+            skip_mirage=skip_mirage,
         )
 
 
@@ -140,7 +142,7 @@ def _raster_tile_micro(
     params_ref, lights_ref, seg_start_ref, seg_count_ref, coeffs_ref,
     rgba_ref, key_ref, win_a, win_b, sem_a, sem_b, w0, nchunks,
     ti, tj, tile_id,
-    *, num_lights: int,
+    *, num_lights: int, skip_mirage: bool = False,
 ):
     threshold = params_ref[0, 0]
     melt_threshold = params_ref[0, 1]
@@ -174,131 +176,155 @@ def _raster_tile_micro(
     for c in range(16):  # static unroll: one 8x8 cell per iteration
         s = seg_start_ref[tile_id * 16 + c]
         n = seg_count_ref[tile_id * 16 + c]
-        base0 = (s // 16) * 16
-        nblocks = jnp.where(n > 0, (s + n - base0 + 15) // 16, 0)
 
-        # Every lane group evaluates cell c's 8x8 pixels.
-        xs = x_tile0 + F32(8.0 * c) + lane_local
-        # Mirage sample warp (rasteriser.wgsl:112-118), branchless — same
-        # op order as the tile kernel for bitwise parity.
-        off_x = amplitude * jnp.sin(frequency * xs + time + phase)
-        off_y = amplitude * jnp.cos(frequency * ys_base + time + phase)
-        px = jnp.where(mirage > 0.5, xs + off_x, xs)
-        py = jnp.where(mirage > 0.5, ys_base + off_y, ys_base)
+        # Skip empty cells entirely (lax.cond compiles to a real scalar
+        # branch): an occupied tile's empty cells previously still paid the
+        # mirage warp + 4-round butterfly + commit, only to write the same
+        # clear values the accumulator already holds. Bitwise-equivalent:
+        # group c of the accumulator is only ever written by cell c.
+        def do_cell(carry, c=c, s=s, n=n):
+            acc_key, acc_attrs, cur = carry
+            base0 = (s // 16) * 16
+            nblocks = (s + n - base0 + 15) // 16
 
-        def body(k, carry, s=s, n=n, base0=base0, px=px, py=py):
-            best_key, best_pair, attrs, cur = carry
-            ap = base0 + k * 16  # absolute pair index of this block
-            ck = (ap - w0) // CP  # chunk holding the whole block
-            adv = ck != cur
-            even = (ck % 2) == 0
+            # Every lane group evaluates cell c's 8x8 pixels.
+            xs = x_tile0 + F32(8.0 * c) + lane_local
+            if skip_mirage:
+                # Statically-declared non-mirage scene: no sample warp.
+                # Bitwise-identical to the dynamic form with mirage <= 0.5.
+                px, py = xs, ys_base
+            else:
+                # Mirage sample warp (rasteriser.wgsl:112-118), branchless
+                # — same op order as the tile kernel for bitwise parity.
+                off_x = amplitude * jnp.sin(frequency * xs + time + phase)
+                off_y = amplitude * jnp.cos(
+                    frequency * ys_base + time + phase
+                )
+                px = jnp.where(mirage > 0.5, xs + off_x, xs)
+                py = jnp.where(mirage > 0.5, ys_base + off_y, ys_base)
 
-            # Crossing into chunk ck: wait for its DMA, then put the next
-            # chunk in flight into the other buffer.
-            @pl.when(adv & even)
-            def _():
-                pltpu.make_async_copy(
-                    coeffs_ref.at[pl.ds(0, W), :], win_a, sem_a
-                ).wait()
+            def body(k, carry):
+                best_key, best_pair, attrs, cur = carry
+                ap = base0 + k * 16  # absolute pair index of this block
+                ck = (ap - w0) // CP  # chunk holding the whole block
+                adv = ck != cur
+                even = (ck % 2) == 0
 
-            @pl.when(adv & ~even)
-            def _():
-                pltpu.make_async_copy(
-                    coeffs_ref.at[pl.ds(0, W), :], win_b, sem_b
-                ).wait()
+                # Crossing into chunk ck: wait for its DMA, then put the next
+                # chunk in flight into the other buffer.
+                @pl.when(adv & even)
+                def _():
+                    pltpu.make_async_copy(
+                        coeffs_ref.at[pl.ds(0, W), :], win_a, sem_a
+                    ).wait()
 
-            more = (ck + 1) < nchunks
+                @pl.when(adv & ~even)
+                def _():
+                    pltpu.make_async_copy(
+                        coeffs_ref.at[pl.ds(0, W), :], win_b, sem_b
+                    ).wait()
 
-            @pl.when(adv & more & even)
-            def _():
-                pltpu.make_async_copy(
-                    coeffs_ref.at[pl.ds((w0 + (ck + 1) * CP) // 4, W), :],
-                    win_b, sem_b,
-                ).start()
+                more = (ck + 1) < nchunks
 
-            @pl.when(adv & more & ~even)
-            def _():
-                pltpu.make_async_copy(
-                    coeffs_ref.at[pl.ds((w0 + (ck + 1) * CP) // 4, W), :],
-                    win_a, sem_a,
-                ).start()
+                @pl.when(adv & more & even)
+                def _():
+                    pltpu.make_async_copy(
+                        coeffs_ref.at[pl.ds((w0 + (ck + 1) * CP) // 4, W), :],
+                        win_b, sem_b,
+                    ).start()
 
-            rel = ap - w0 - ck * CP  # pair offset within the chunk
-            row = (rel // 128) * 32  # superblock row (32-row aligned)
-            lo = rel - (rel // 128) * 128  # lane of the block's first pair
-            SBa = win_a[pl.ds(row, 32), :]
-            SBb = win_b[pl.ds(row, 32), :]
-            SB = jnp.where(even, SBa, SBb)
-            # Rotate the block's 16 pairs to lanes 0..15, then bit-exact
-            # f32 selection matmul: E[r, j] = coefficient r of pair
-            # (ap + j // 8).
-            Mt = pltpu.roll(SB, (128 - lo) % 128, 1)
-            E = jax.lax.dot_general(
-                Mt, sel, (((1,), (0,)), ((), ())),
-                preferred_element_type=F32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (32, 128); row r = coefficient r per lane
+                @pl.when(adv & more & ~even)
+                def _():
+                    pltpu.make_async_copy(
+                        coeffs_ref.at[pl.ds((w0 + (ck + 1) * CP) // 4, W), :],
+                        win_a, sem_a,
+                    ).start()
 
-            def coef(r):
-                return jnp.broadcast_to(E[r : r + 1, :], (8, 128))
+                rel = ap - w0 - ck * CP  # pair offset within the chunk
+                row = (rel // 128) * 32  # superblock row (32-row aligned)
+                lo = rel - (rel // 128) * 128  # lane of the block's first pair
+                SBa = win_a[pl.ds(row, 32), :]
+                SBb = win_b[pl.ds(row, 32), :]
+                SB = jnp.where(even, SBa, SBb)
+                # Rotate the block's 16 pairs to lanes 0..15, then bit-exact
+                # f32 selection matmul: E[r, j] = coefficient r of pair
+                # (ap + j // 8).
+                Mt = pltpu.roll(SB, (128 - lo) % 128, 1)
+                E = jax.lax.dot_general(
+                    Mt, sel, (((1,), (0,)), ((), ())),
+                    preferred_element_type=F32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (32, 128); row r = coefficient r per lane
 
-            pair_idx = ap + group  # (8, 128) i32, abs pair id
-            valid = (pair_idx >= s) & (pair_idx < s + n)
+                def coef(r):
+                    return jnp.broadcast_to(E[r : r + 1, :], (8, 128))
 
-            dx = px - coef(30)
-            dy = py - coef(31)
-            bc1 = coef(0) + coef(1) * dx + coef(2) * dy
-            bc2 = coef(3) + coef(4) * dx + coef(5) * dy
-            bc3 = coef(6) + coef(7) * dx + coef(8) * dy
+                pair_idx = ap + group  # (8, 128) i32, abs pair id
+                valid = (pair_idx >= s) & (pair_idx < s + n)
 
-            mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
-            min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
-            mask &= min_bc >= melt_threshold
+                dx = px - coef(30)
+                dy = py - coef(31)
+                bc1 = coef(0) + coef(1) * dx + coef(2) * dy
+                bc2 = coef(3) + coef(4) * dx + coef(5) * dy
+                bc3 = coef(6) + coef(7) * dx + coef(8) * dy
 
-            z = coef(9) + coef(10) * dx + coef(11) * dy
-            mask &= jnp.isfinite(z) & valid
+                mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
+                min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
+                mask &= min_bc >= melt_threshold
 
-            key = jnp.where(mask, pltpu.bitcast(z, jnp.uint32),
-                            DEPTH_CLEAR_BITS)
-            # Lexicographic (key, pair) min: lowest pair = lowest triangle
-            # id within the cell (sorted stable by cell, generated in
-            # triangle order).
-            win = (key < best_key) | ((key == best_key) & (pair_idx < best_pair))
-            best_key = jnp.where(win, key, best_key)
-            best_pair = jnp.where(win, pair_idx, best_pair)
-            new_attrs = []
-            for ch in range(6):
-                interp = (coef(12 + ch * 3) + coef(13 + ch * 3) * dx
-                          + coef(14 + ch * 3) * dy)
-                new_attrs.append(jnp.where(win, interp, attrs[ch]))
-            return best_key, best_pair, tuple(new_attrs), ck
+                z = coef(9) + coef(10) * dx + coef(11) * dy
+                mask &= jnp.isfinite(z) & valid
 
-        init = (
-            jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32),
-            jnp.full((8, 128), PAIR_IDX_CLEAR, jnp.int32),
-            tuple(jnp.zeros((8, 128), F32) for _ in range(6)),
-            cur,
-        )
-        ckey, cpair, cattrs, cur = jax.lax.fori_loop(0, nblocks, body, init)
+                key = jnp.where(mask, pltpu.bitcast(z, jnp.uint32),
+                                DEPTH_CLEAR_BITS)
+                # Lexicographic (key, pair) min: lowest pair = lowest triangle
+                # id within the cell (sorted stable by cell, generated in
+                # triangle order).
+                win = (key < best_key) | ((key == best_key) & (pair_idx < best_pair))
+                best_key = jnp.where(win, key, best_key)
+                best_pair = jnp.where(win, pair_idx, best_pair)
+                new_attrs = []
+                for ch in range(6):
+                    interp = (coef(12 + ch * 3) + coef(13 + ch * 3) * dx
+                              + coef(14 + ch * 3) * dy)
+                    new_attrs.append(jnp.where(win, interp, attrs[ch]))
+                return best_key, best_pair, tuple(new_attrs), ck
 
-        # Cross-group butterfly: all 16 groups hold candidates for the SAME
-        # 64 pixels; reduce to the lexicographic (key, pair) min per pixel.
-        cattrs = list(cattrs)
-        for stride in (8, 16, 32, 64):
-            k2 = pltpu.roll(ckey, 128 - stride, 1)
-            p2 = pltpu.roll(cpair, 128 - stride, 1)
-            win = (k2 < ckey) | ((k2 == ckey) & (p2 < cpair))
-            ckey = jnp.where(win, k2, ckey)
-            cpair = jnp.where(win, p2, cpair)
-            for ch in range(6):
-                a2 = pltpu.roll(cattrs[ch], 128 - stride, 1)
-                cattrs[ch] = jnp.where(win, a2, cattrs[ch])
+            init = (
+                jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32),
+                jnp.full((8, 128), PAIR_IDX_CLEAR, jnp.int32),
+                tuple(jnp.zeros((8, 128), F32) for _ in range(6)),
+                cur,
+            )
+            ckey, cpair, cattrs, cur = jax.lax.fori_loop(
+                0, nblocks, body, init
+            )
 
-        # Commit cell c's 64 pixels (lane group c) into the tile state.
-        in_cell = group == c
-        acc_key = jnp.where(in_cell, ckey, acc_key)
-        acc_attrs = tuple(
-            jnp.where(in_cell, cattrs[ch], acc_attrs[ch]) for ch in range(6)
+            # Cross-group butterfly: all 16 groups hold candidates for the
+            # SAME 64 pixels; reduce to the lexicographic (key, pair) min
+            # per pixel.
+            cattrs = list(cattrs)
+            for stride in (8, 16, 32, 64):
+                k2 = pltpu.roll(ckey, 128 - stride, 1)
+                p2 = pltpu.roll(cpair, 128 - stride, 1)
+                win = (k2 < ckey) | ((k2 == ckey) & (p2 < cpair))
+                ckey = jnp.where(win, k2, ckey)
+                cpair = jnp.where(win, p2, cpair)
+                for ch in range(6):
+                    a2 = pltpu.roll(cattrs[ch], 128 - stride, 1)
+                    cattrs[ch] = jnp.where(win, a2, cattrs[ch])
+
+            # Commit cell c's 64 pixels (lane group c) into the tile state.
+            in_cell = group == c
+            new_key = jnp.where(in_cell, ckey, acc_key)
+            new_attrs = tuple(
+                jnp.where(in_cell, cattrs[ch], acc_attrs[ch])
+                for ch in range(6)
+            )
+            return new_key, new_attrs, cur
+
+        acc_key, acc_attrs, cur = jax.lax.cond(
+            n > 0, do_cell, lambda carry: carry, (acc_key, acc_attrs, cur)
         )
 
     # -- shading epilogue: identical to pallas_raster._raster_tile ----------
@@ -422,7 +448,7 @@ def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int = CHUNK_ROWS):
 @functools.partial(
     jax.jit,
     static_argnames=("height_padded", "width_padded", "chunk_rows",
-                     "interpret"),
+                     "interpret", "effect_kind"),
 )
 def raster_shade_micro(
     pair_coeffs,  # (P_pad, 128) f32
@@ -441,8 +467,13 @@ def raster_shade_micro(
     chunk_rows: int = CHUNK_ROWS,
     interpret: bool = False,
     y_offset=0,
+    effect_kind: int | None = None,
 ):
     """Run the micro kernel over the padded framebuffer.
+
+    ``effect_kind`` (static, optional): the scene's EFFECT_* code, fixed
+    per SceneConfig. Declaring a non-mirage kind compiles the sample warp
+    out of the kernel; None keeps the dynamic (always-correct) form.
 
     Returns (rgba_packed (Hp,Wp) u32, best_key (Hp,Wp) u32)."""
     nty = height_padded // 8
@@ -472,7 +503,13 @@ def raster_shade_micro(
         axis=1,
     )
 
-    kernel = functools.partial(_micro_kernel, num_lights=num_lights)
+    # Static specialization: when the caller declares the scene's effect
+    # kind (fixed per SceneConfig; only params animate), a non-mirage frame
+    # compiles WITHOUT the per-cell sin/cos sample warp. effect_kind=None
+    # (unknown) keeps the branchless dynamic form — always correct.
+    skip_mirage = effect_kind is not None and effect_kind != EFFECT_MIRAGE
+    kernel = functools.partial(_micro_kernel, num_lights=num_lights,
+                               skip_mirage=skip_mirage)
     rgba, best_key = pl.pallas_call(
         kernel,
         grid=(nty, ntx),

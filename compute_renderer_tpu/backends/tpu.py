@@ -65,7 +65,8 @@ def choose_tile(num_triangles: int, width: int, height: int) -> tuple:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "pair_cap", "interpret"),
+    static_argnames=("width", "height", "pair_cap", "interpret",
+                     "effect_kind"),
 )
 def render_frame_micro(
     positions,
@@ -88,6 +89,7 @@ def render_frame_micro(
     tri_table=None,
     pos_soa=None,
     nrm_soa=None,
+    effect_kind: int | None = None,  # static EFFECT_* code per scene config
 ):
     """Mega-scene path: 8x8-cell binning (ONE global sort) + the lane-packed
     micro kernel (pallas_micro). Coefficients stream from HBM, so there is
@@ -178,6 +180,7 @@ def render_frame_micro(
         height_padded=nty * 8,
         width_padded=ntx * 128,
         interpret=interpret,
+        effect_kind=effect_kind,
     )
     rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
     best_key = best_key_p[:height, :width]
@@ -200,7 +203,7 @@ def resolve_path(path: str, num_triangles: int, tri_chunk: int = 0) -> str:
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "pair_cap",
                      "tile_cap", "interpret", "tri_chunk", "path",
-                     "worklist"),
+                     "worklist", "effect_kind"),
 )
 def render_frame(
     positions,
@@ -229,6 +232,9 @@ def render_frame(
     # 3.3x over the full grid at Suzanne scale (0.39 vs 1.27 ms/frame
     # batched on v5e), bitwise-identical output.
     worklist: bool = True,
+    # Static EFFECT_* code per scene config: lets the micro kernel compile
+    # the mirage sample warp out of non-mirage scenes. None = dynamic.
+    effect_kind: int | None = None,
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
     overflow (2,) i32 = [pair_cap_needed, tile_cap_needed] where 0 means
@@ -259,6 +265,7 @@ def render_frame(
             light_world_pos, light_color, light_intensity, effect,
             width=width, height=height, pair_cap=pair_cap,
             interpret=interpret, pos_soa=pos_soa, nrm_soa=nrm_soa,
+            effect_kind=effect_kind,
         )
     if tri_chunk == 0:
         tri_chunk = MAX_TRI_TABLE_BYTES // (pallas_raster.TRI_TABLE_WIDTH * 4)

@@ -103,7 +103,8 @@ def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0
     backend's async submits (custom_pipeline/renderer.rs:152-156)."""
     scene = Scene.from_config(config, width, height)
     renderer = Renderer(scene.mesh, width, height,
-                        backend=config.normalized_backend())
+                        backend=config.normalized_backend(),
+                        **scene.renderer_options())
     if max_frames is not None and warmup_secs is None:
         # Smoke mode: a frame cap shorter than the 2 s warm-up would record
         # nothing; skip the warm-up so capped runs still produce metrics.

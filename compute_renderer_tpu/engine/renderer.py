@@ -25,6 +25,9 @@ class Renderer:
         self.backend = get_backend(self.backend_name)
         self.width = int(width)
         self.height = int(height)
+        if self.backend_name != "tpu":
+            # Static-specialization hint consumed by the tpu backend only.
+            options.pop("effect_kind", None)
         self.options = options
         self._step_cache = {}
         self._pending_overflow = None

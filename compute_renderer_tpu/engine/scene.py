@@ -144,6 +144,16 @@ class Scene:
             return self.models[0].mesh
         return Mesh.concatenate([m.mesh for m in self.models])
 
+    def renderer_options(self) -> dict:
+        """Static Renderer options derived from the scene: the effect KIND
+        is fixed per SceneConfig (only its params animate), so the tpu
+        backend can compile effect-specific code paths (e.g. the mirage
+        sample warp) out of scenes that never use them."""
+        from compute_renderer_tpu.core.effects import EFFECT_NONE
+
+        kind = self.effect.kind if self.effect is not None else EFFECT_NONE
+        return {"effect_kind": int(kind)}
+
     # -- per-frame update (pure w.r.t. device state) -------------------------
 
     def update(self, dt: float) -> FrameUniforms:

@@ -178,3 +178,34 @@ def test_bin_cells_sort_segments():
     # Sorted pair list really is cell-sorted: reconstruct cell of each pair.
     pair_tri = np.asarray(bins["pair_tri"])[: int(tile_count.sum())]
     assert (pair_tri >= 0).all()
+
+
+def test_static_effect_kind_matches_dynamic():
+    # Declaring the scene's effect kind statically (Scene.renderer_options
+    # -> render_frame_micro effect_kind) compiles the mirage warp out of
+    # non-mirage frames; output must be bitwise identical to the dynamic
+    # (effect_kind=None) form for every kind, including mirage itself.
+    from compute_renderer_tpu.core.effects import (
+        EFFECT_MIRAGE, EFFECT_NONE, EFFECT_WAVE,
+    )
+
+    cases = [
+        (None, EFFECT_NONE),
+        (Effect.wave(0.4, 3.0, 2.0, WaveDirection.VERTICAL), EFFECT_WAVE),
+        (Effect.mirage(0.6, 0.7, 0.3), EFFECT_MIRAGE),
+    ]
+    mesh = procedural.icosphere(3)
+    for effect, kind in cases:
+        u = None
+        if effect is not None:
+            effect.update(0.35)
+            u = effect.uniform(scene_time=0.35)
+        args = frame_args(mesh, effect=u)
+        dyn = tpu.render_frame_micro(*args, width=W, height=H,
+                                     pair_cap=65536)
+        static = tpu.render_frame_micro(*args, width=W, height=H,
+                                        pair_cap=65536, effect_kind=kind)
+        np.testing.assert_array_equal(np.asarray(dyn[0]),
+                                      np.asarray(static[0]), err_msg=str(kind))
+        np.testing.assert_array_equal(np.asarray(dyn[1]),
+                                      np.asarray(static[1]), err_msg=str(kind))
