@@ -7,13 +7,20 @@
 - ``tpu``: the real engine — sort/segment triangle-to-tile binning plus a
   fused Pallas raster kernel tiled over the framebuffer grid (the reference's
   four WGSL compute passes, re-architected for TPU).
+- ``wgpu-faithful``: software model of the reference's wgpu HARDWARE
+  pipeline (sRGB surface, float depth Less, pixel-center top-left-rule
+  sampling, perspective-correct interpolation, CCW cull, no effects) —
+  restores the reference's custom-vs-hardware A/B, which the ``wgpu``
+  backend name deliberately does NOT (it maps to the custom-semantics xla
+  comparator; PARITY.md H13).
 
-Both share the vertex/setup/shade stages in ``common.py`` and produce
-bit-identical (per platform) framebuffers; they differ only in how the
-per-pixel depth resolve is computed.
+``xla`` and ``tpu`` share the vertex/setup/shade stages in ``common.py``
+and produce bit-identical (per platform) framebuffers; they differ only in
+how the per-pixel depth resolve is computed. ``wgpu-faithful`` is
+intentionally different-looking, like the reference's own two pipelines.
 """
 
-BACKENDS = ("xla", "tpu")
+BACKENDS = ("xla", "tpu", "wgpu-faithful")
 
 
 def get_backend(name: str):
@@ -25,4 +32,8 @@ def get_backend(name: str):
         from compute_renderer_tpu.backends import tpu
 
         return tpu
+    if name == "wgpu-faithful":
+        from compute_renderer_tpu.backends import wgpu_faithful
+
+        return wgpu_faithful
     raise ValueError(f"Unknown backend '{name}'. Available: {BACKENDS}")

@@ -55,7 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Choose camera mode: 'first-person' or 'orbit'")
     p.add_argument("--backend-type", type=str, default="custom",
                    help="Select rendering backend: 'custom'/'tpu' (the "
-                   "Pallas engine) or 'wgpu'/'xla' (the brute-force baseline)")
+                   "Pallas engine), 'wgpu'/'xla' (the brute-force baseline "
+                   "with custom-pipeline semantics), or 'wgpu-faithful' "
+                   "(software model of the reference's HARDWARE pipeline: "
+                   "sRGB, float depth, no effects, CCW cull)")
     p.add_argument("--frames", type=int, default=1,
                    help="Number of frames to render headlessly")
     p.add_argument("--output", type=str, default="frame.png",
@@ -144,10 +147,10 @@ def scene_config_from_args(args) -> SceneConfig:
         )
 
     backend = args.backend_type
-    if backend not in ("custom", "wgpu", "tpu", "xla"):
+    if backend not in ("custom", "wgpu", "tpu", "xla", "wgpu-faithful"):
         print(
             f"Invalid backend type '{backend}'. "
-            "Use 'custom', 'wgpu', 'tpu', or 'xla'.",
+            "Use 'custom', 'wgpu', 'tpu', 'xla', or 'wgpu-faithful'.",
             file=sys.stderr,
         )
         raise SystemExit(1)
