@@ -138,6 +138,64 @@ def _micro_kernel(
         )
 
 
+def _micro_kernel_wl(
+    # scalar-prefetch
+    wl_ref,  # (num_tiles,) i32 ascending occupied-tile ids (first k valid)
+    # SMEM inputs (full)
+    params_ref,
+    lights_ref,
+    seg_start_ref,
+    seg_count_ref,
+    win_start_ref,
+    tile_count_ref,
+    # HBM input (full)
+    coeffs_ref,
+    rgba_clear_ref,  # aliased into rgba_ref; never read
+    key_clear_ref,  # aliased into key_ref; never read
+    # outputs (blocked per *visited* tile)
+    rgba_ref,
+    key_ref,
+    # scratch
+    win_a,
+    win_b,
+    sem_a,
+    sem_b,
+    *,
+    ntx: int,
+    num_lights: int,
+    skip_mirage: bool = False,
+):
+    """Work-list variant of ``_micro_kernel`` (the micro-path analog of
+    pallas_raster._raster_kernel_wl): the grid is the dynamic count of
+    OCCUPIED (8, 128) tiles; step i renders tile ``wl[i]``. Empty tiles —
+    most of the screen when a mega mesh is small on it — never become grid
+    steps: their pixels come from the pre-cleared framebuffer aliased into
+    the outputs. Bitwise the same image as the full grid."""
+    del rgba_clear_ref, key_clear_ref
+    i = pl.program_id(0)
+    tile_id = wl_ref[i]
+    ti = tile_id // ntx
+    tj = tile_id - ti * ntx
+    W = win_a.shape[0]
+
+    count = tile_count_ref[tile_id]  # > 0 by work-list construction
+    w0 = pl.multiple_of((win_start_ref[tile_id] // 128) * 128, 128)
+    first = seg_start_ref[tile_id * 16]
+    chunk_pairs = W * 4
+    span = first + count - w0
+    nchunks = (span + chunk_pairs - 1) // chunk_pairs
+
+    pltpu.make_async_copy(
+        coeffs_ref.at[pl.ds(w0 // 4, W), :], win_a, sem_a
+    ).start()
+    _raster_tile_micro(
+        params_ref, lights_ref, seg_start_ref, seg_count_ref,
+        coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
+        w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
+        skip_mirage=skip_mirage,
+    )
+
+
 def _raster_tile_micro(
     params_ref, lights_ref, seg_start_ref, seg_count_ref, coeffs_ref,
     rgba_ref, key_ref, win_a, win_b, sem_a, sem_b, w0, nchunks,
@@ -448,7 +506,7 @@ def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int = CHUNK_ROWS):
 @functools.partial(
     jax.jit,
     static_argnames=("height_padded", "width_padded", "chunk_rows",
-                     "interpret", "effect_kind"),
+                     "interpret", "effect_kind", "worklist"),
 )
 def raster_shade_micro(
     pair_coeffs,  # (P_pad, 128) f32
@@ -468,12 +526,18 @@ def raster_shade_micro(
     interpret: bool = False,
     y_offset=0,
     effect_kind: int | None = None,
+    worklist: bool = True,
 ):
     """Run the micro kernel over the padded framebuffer.
 
     ``effect_kind`` (static, optional): the scene's EFFECT_* code, fixed
     per SceneConfig. Declaring a non-mirage kind compiles the sample warp
     out of the kernel; None keeps the dynamic (always-correct) form.
+
+    ``worklist`` (default on): dynamic grid over occupied tiles only, the
+    micro analog of the tile path's measured-3.3x work-list kernel;
+    bitwise-identical output (empty tiles come from the pre-cleared
+    aliased framebuffer).
 
     Returns (rgba_packed (Hp,Wp) u32, best_key (Hp,Wp) u32)."""
     nty = height_padded // 8
@@ -508,6 +572,75 @@ def raster_shade_micro(
     # compiles WITHOUT the per-cell sin/cos sample warp. effect_kind=None
     # (unknown) keeps the branchless dynamic form — always correct.
     skip_mirage = effect_kind is not None and effect_kind != EFFECT_MIRAGE
+
+    scratch_shapes = [
+        pltpu.VMEM((chunk_rows, 128), F32),
+        pltpu.VMEM((chunk_rows, 128), F32),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if worklist:
+        from compute_renderer_tpu.backends.pallas_raster import (
+            occupied_worklist,
+        )
+
+        wl, k = occupied_worklist(tile_count.astype(jnp.int32))
+        wl_kernel = functools.partial(
+            _micro_kernel_wl, ntx=ntx, num_lights=num_lights,
+            skip_mirage=skip_mirage,
+        )
+        rgba_clear = jnp.full((height_padded, width_padded), 0xFFFF0000,
+                              jnp.uint32)
+        key_clear = jnp.full((height_padded, width_padded),
+                             DEPTH_CLEAR_BITS, jnp.uint32)
+        hbm = pl.ANY if interpret else pltpu.HBM
+        rgba, best_key = pl.pallas_call(
+            wl_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(k,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # seg_start
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # seg_count
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # win_start
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_count
+                    pl.BlockSpec(memory_space=hbm),  # pair coeffs
+                    pl.BlockSpec(memory_space=pl.ANY),  # aliased rgba clear
+                    pl.BlockSpec(memory_space=pl.ANY),  # aliased key clear
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (8, 128),
+                        lambda i, wl: (wl[i] // ntx, wl[i] % ntx),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (8, 128),
+                        lambda i, wl: (wl[i] // ntx, wl[i] % ntx),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((height_padded, width_padded),
+                                     jnp.uint32),
+                jax.ShapeDtypeStruct((height_padded, width_padded),
+                                     jnp.uint32),
+            ],
+            # Operand indices include the scalar-prefetch arg (0).
+            input_output_aliases={8: 0, 9: 1},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(wl, params, lights, seg_start.astype(jnp.int32),
+          seg_count.astype(jnp.int32), win_start.astype(jnp.int32),
+          tile_count.astype(jnp.int32), pair_coeffs, rgba_clear, key_clear)
+        return rgba, best_key
+
     kernel = functools.partial(_micro_kernel, num_lights=num_lights,
                                skip_mirage=skip_mirage)
     rgba, best_key = pl.pallas_call(
@@ -532,12 +665,7 @@ def raster_shade_micro(
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((chunk_rows, 128), F32),
-            pltpu.VMEM((chunk_rows, 128), F32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch_shapes,
         # Sequential: window-chunk DMA buffers are reused across grid steps
         # (every issue is waited within its tile, so buffers are idle at
         # each tile boundary).

@@ -209,3 +209,44 @@ def test_static_effect_kind_matches_dynamic():
                                       np.asarray(static[0]), err_msg=str(kind))
         np.testing.assert_array_equal(np.asarray(dyn[1]),
                                       np.asarray(static[1]), err_msg=str(kind))
+
+
+def test_worklist_matches_full_grid_micro():
+    # The occupied-tile work-list micro kernel must be bitwise identical
+    # to the full-grid form — empty tiles come from the pre-cleared
+    # aliased framebuffer. A small mesh on a larger screen leaves most
+    # tiles empty (the case the work list exists for).
+    args = frame_args(procedural.icosphere(2), eye=(0.0, 0.0, 8.0))
+    a = tpu.render_frame_micro(*args, width=W, height=H, pair_cap=65536)
+    # Different pair_cap avoids jit-cache aliasing with the run above and
+    # recompiles the non-worklist program.
+    import functools
+
+    from compute_renderer_tpu.backends import pallas_micro, binning, common
+    import jax.numpy as jnp
+
+    pos, nrm, _, tri = args[0], args[1], args[2], args[3]
+    pos_soa = pos[tri].transpose(1, 2, 0)
+    nrm_soa = nrm[tri].transpose(1, 2, 0)
+    ntx, nty = (W + 127) // 128, (H + 7) // 8
+    world_soa, screen_soa = common.vertex_stage_soa(pos_soa, args[4],
+                                                    args[9], W, H)
+    setup = common.triangle_setup_soa(screen_soa, args[9], W, H, 8, 8)
+    bins = binning.bin_cells_sort(setup, ntx, nty, 65536, interpret=True)
+    nrm_t = tuple(tuple(nrm_soa[k, c].astype(jnp.float32) for c in range(3))
+                  for k in range(3))
+    table = pallas_micro.build_tri_table_c64(screen_soa, nrm_t, world_soa)
+    coeffs = pallas_micro.build_pair_coeffs(table, bins["pair_tri"])
+    common_args = (coeffs, bins["seg_start"], bins["seg_count"],
+                   bins["win_start"], bins["tile_count"], args[9],
+                   args[5].astype(jnp.float32), args[6].astype(jnp.float32),
+                   args[7].astype(jnp.float32), args[8].astype(jnp.float32))
+    kw = dict(height_padded=nty * 8, width_padded=ntx * 128, interpret=True)
+    r_wl, k_wl = pallas_micro.raster_shade_micro(*common_args, worklist=True,
+                                                 **kw)
+    r_fg, k_fg = pallas_micro.raster_shade_micro(*common_args,
+                                                 worklist=False, **kw)
+    np.testing.assert_array_equal(np.asarray(k_wl), np.asarray(k_fg))
+    np.testing.assert_array_equal(np.asarray(r_wl), np.asarray(r_fg))
+    # And the engine-level result (worklist default on) matches itself.
+    assert np.asarray(a[1]).shape == (H, W)
