@@ -125,3 +125,120 @@ def test_srgb_differs_from_gamma():
     expect = np.array([0.0, 0.02584, 0.04045, 0.46135613, 0.73536, 1.0],
                       np.float32)
     np.testing.assert_allclose(enc, expect, atol=2e-4)
+
+
+def test_perspective_correct_interpolation():
+    # The hardware pipeline interpolates attributes perspective-correctly
+    # (a/w, 1/w affine in screen space); the custom pipeline is affine.
+    # Analytic check: a quad spanning depth recovers the TRUE world-space
+    # point at a probe pixel. Build a floor-like quad tilted in depth, put
+    # the probe at the screen center, and compare the interpolated world
+    # position against the exact ray/plane intersection.
+    cam = Camera.first_person([0.0, 1.0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    # Plane y = 0, spanning x in [-5, 5], z in [-20, 2].
+    pos = np.array(
+        [[-5, 0, 2], [5, 0, 2], [5, 0, -20], [-5, 0, -20]], np.float32
+    )
+    nrm = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    uvs = np.zeros((4, 2), np.float32)
+    idx = np.array([0, 2, 1, 0, 3, 2], np.uint32)  # CCW from above
+    mesh = Mesh(pos, nrm, uvs, idx)
+
+    args = (
+        jnp.asarray(mesh.positions), jnp.asarray(mesh.normals),
+        jnp.asarray(mesh.uvs),
+        jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3),
+        jnp.asarray(u.view_proj), jnp.asarray(u.view_position),
+        jnp.asarray(np.array([[0.0, 50.0, 0.0]], np.float32)),
+        jnp.asarray(np.ones((1, 3), np.float32)),
+        jnp.asarray(np.ones((1,), np.float32)),
+        jnp.asarray(EffectUniform().as_array()),
+    )
+    # Winding: ensure something draws; flip if culled.
+    rgba, depth = wgpu_faithful.render_frame(*args, width=W, height=H)
+    depth = np.asarray(depth)
+    if not (depth < 1.0).any():
+        idx2 = idx.reshape(-1, 3)[:, ::-1].reshape(-1).copy()
+        mesh = Mesh(pos, nrm, uvs, idx2)
+        args = (jnp.asarray(mesh.positions),) + args[1:3] + (
+            jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3),
+        ) + args[4:]
+        rgba, depth = wgpu_faithful.render_frame(*args, width=W, height=H)
+        depth = np.asarray(depth)
+    assert (depth < 1.0).sum() > 100
+
+    # Depth must be monotone along the floor at the center column (farther
+    # = greater NDC z) — pins the viewport/depth mapping.
+    col = W // 2
+    rows = np.nonzero(depth[:, col] < 1.0)[0]
+    assert len(rows) > 10
+    d = depth[rows, col]
+    assert (np.diff(d) <= 1e-7).all(), "depth not monotone along the floor"
+
+    # Perspective-correctness proper: at a probe pixel, the shaded color
+    # must match the analytic shading of the EXACT ray/floor intersection
+    # (perspective-correct world position), and must NOT match shading of
+    # the screen-space-affine interpolated position (what the custom
+    # pipeline would produce). A near light makes the two measurably
+    # different across the quad's large depth span.
+    vp = np.asarray(u.view_proj, np.float64)
+    inv = np.linalg.inv(vp)
+    probe_r = int(rows[len(rows) // 3])
+    px, py = col + 0.5, probe_r + 0.5
+    xn = px / W * 2.0 - 1.0
+    yn = 1.0 - py / H * 2.0
+
+    def unproject(zn):
+        q = inv @ np.array([xn, yn, zn, 1.0])
+        return q[:3] / q[3]
+
+    p0, p1 = unproject(0.0), unproject(1.0)
+    t = -p0[1] / (p1[1] - p0[1])  # intersect y = 0
+    wpos_exact = p0 + t * (p1 - p0)
+
+    light_pos = np.array([0.0, 2.0, -6.0])
+    eye = np.asarray(u.view_position, np.float64)[:3]
+    normal = np.array([0.0, 1.0, 0.0])
+
+    def shade(wp):
+        ld = light_pos - wp
+        ld = ld / np.linalg.norm(ld)
+        diff = max(float(normal @ ld), 0.0)
+        vd = eye - wp
+        vd = vd / np.linalg.norm(vd)
+        edotn = float(-ld @ normal)
+        refl = -ld - 2.0 * edotn * normal
+        spec = max(float(vd @ refl), 0.0) ** 32
+        c = 0.1 + diff + spec * 0.5
+        c = min(max(c, 0.0), 1.0)
+        enc = c * 12.92 if c <= 0.0031308 else 1.055 * c ** (1 / 2.4) - 0.055
+        return round(enc * 255.0)
+
+    args_lit = args[:6] + (
+        jnp.asarray(light_pos[None, :].astype(np.float32)),
+    ) + args[7:]
+    rgba_lit, _ = wgpu_faithful.render_frame(*args_lit, width=W, height=H)
+    got = int(np.asarray(rgba_lit)[probe_r, col, 0])
+    assert abs(got - shade(wpos_exact)) <= 2, (
+        got, shade(wpos_exact), wpos_exact)
+
+    # The affine-interpolated position (screen-space barycentric over raw
+    # world coords) sits elsewhere on the plane; its shading must differ,
+    # proving the probe distinguishes the two interpolation schemes.
+    h = np.concatenate([pos, np.ones((4, 1), np.float32)], 1) @ vp.T
+    sx = (h[:, 0] / h[:, 3] + 1) * 0.5 * W
+    sy = (1 - h[:, 1] / h[:, 3]) * 0.5 * H
+    # Triangle (0, 2, 1) covers the probe (center column, lower half).
+    tri_ids = (0, 2, 1)
+    ax, ay = sx[tri_ids[0]], sy[tri_ids[0]]
+    bx, by = sx[tri_ids[1]], sy[tri_ids[1]]
+    cx, cy = sx[tri_ids[2]], sy[tri_ids[2]]
+    det = (bx - ax) * (cy - ay) - (cx - ax) * (by - ay)
+    l1 = ((bx - px) * (cy - py) - (cx - px) * (by - py)) / det
+    l2 = ((cx - px) * (ay - py) - (ax - px) * (cy - py)) / det
+    l3 = 1.0 - l1 - l2
+    wpos_affine = (l1 * pos[tri_ids[0]] + l2 * pos[tri_ids[1]]
+                   + l3 * pos[tri_ids[2]]).astype(np.float64)
+    assert abs(shade(wpos_affine) - shade(wpos_exact)) > 4, (
+        "probe does not distinguish affine from perspective-correct")
