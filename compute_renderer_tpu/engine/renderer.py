@@ -14,8 +14,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from compute_renderer_tpu.backends import get_backend
 from compute_renderer_tpu.engine.scene import FrameUniforms
+
+
+@partial(jax.jit, static_argnames=("w", "h"))
+def _count_pairs(packed, pos_soa, *, w, h):
+    """Exact cover-pair total for one frame (micro-path calibration).
+
+    Geometry is an ARGUMENT here, unlike the render step (which bakes it
+    as constants for kernel speed): this program compiles once per
+    (T, W, H) shape and caches across scenes/Renderers — baking would add
+    a full remote compile per mega scene for a program that runs once."""
+    from compute_renderer_tpu.backends import common
+
+    vp = packed[4:20].reshape(4, 4)
+    eff = packed[20:26]
+    _, screen_soa = common.vertex_stage_soa(pos_soa, vp, eff, w, h)
+    setup = common.triangle_setup_soa(screen_soa, eff, w, h, 8, 8)
+    rx = (setup["tile_x1"] - setup["tile_x0"]).astype(jnp.int32)
+    ry = (setup["tile_y1"] - setup["tile_y0"]).astype(jnp.int32)
+    return jnp.sum(jnp.where(setup["alive"], rx * ry, 0))
 
 
 class Renderer:
@@ -143,29 +164,13 @@ class Renderer:
             return
         self._calibrate_pair_cap = False
 
-        import jax.numpy as jnp  # local: keep module import surface stable
-
-        from compute_renderer_tpu.backends import common
         from compute_renderer_tpu.backends.tpu import grow_pair_cap
 
-        pos_soa, width, height = self.pos_soa, self.width, self.height
-
-        @jax.jit
-        def count_pairs(packed):
-            vp = packed[4:20].reshape(4, 4)
-            eff = packed[20:26]
-            _, screen_soa = common.vertex_stage_soa(
-                pos_soa, vp, eff, width, height
-            )
-            setup = common.triangle_setup_soa(
-                screen_soa, eff, width, height, 8, 8
-            )
-            rx = (setup["tile_x1"] - setup["tile_x0"]).astype(jnp.int32)
-            ry = (setup["tile_y1"] - setup["tile_y0"]).astype(jnp.int32)
-            return jnp.sum(jnp.where(setup["alive"], rx * ry, 0))
-
+        width, height = self.width, self.height
         packed, _ = self.pack_uniforms(uniforms)
-        total = int(np.asarray(count_pairs(jnp.asarray(packed))))
+        total = int(np.asarray(_count_pairs(
+            jnp.asarray(packed), self.pos_soa, w=width, h=height
+        )))
         # Keep the cell-count floor of default_pair_cap_micro (the sorted
         # list must be addressable per cell segment).
         num_cells = ((width + 127) // 128) * ((height + 7) // 8) * 16
