@@ -63,6 +63,8 @@ def _expand_kernel(
     cell_ref,  # (1, cap_pad) i32
     tri_ref,  # (1, cap_pad) i32
     total_ref,  # (1,) i32 SMEM
+    *,
+    form: str = "dim1",
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -130,11 +132,22 @@ def _expand_kernel(
         # its pairs. Contracting both dim-1 (the triangle lanes) lands the
         # result directly in lane-major (5, CH) — no transpose needed.
         Gt = ((starts_b <= qj) & (qj < ends_b)).astype(F32)  # (CH, B)
-        vals = jax.lax.dot_general(
-            F, Gt, (((1,), (1,)), ((), ())),
-            preferred_element_type=F32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (5, CH): start, rx, x0, y0, tri per pair
+        if form == "mxu":
+            # MXU-natural contraction (5, B) @ (B, CH) via an explicit
+            # in-kernel transpose — the alternative the hardware bisect
+            # (scripts/bisect_pallas_expand.py) compares against the
+            # dim1-dim1 form below, the prime scalarization suspect.
+            vals = jax.lax.dot_general(
+                F, Gt.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=F32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (5, CH)
+        else:
+            vals = jax.lax.dot_general(
+                F, Gt, (((1,), (1,)), ((), ())),
+                preferred_element_type=F32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (5, CH): start, rx, x0, y0, tri per pair
 
         lane_q = jax.lax.broadcasted_iota(I32, (1, CH), 1).astype(F32)
         qrow = lane_q + qg.astype(F32)  # (1, CH) global pair ids
@@ -177,13 +190,19 @@ def _expand_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("pair_cap", "ntx_t", "num_cells",
-                                             "interpret"))
+                                             "interpret", "form"))
 def expand_cells(c, rx, x0, y0, *, pair_cap: int, ntx_t: int,
-                 num_cells: int, interpret: bool = False):
+                 num_cells: int, interpret: bool = False,
+                 form: str = "dim1"):
     """Pair expansion + cell computation (see module docstring).
 
     Args: per-triangle (T,) i32 arrays — covered-cell count ``c`` (0 for
     culled), rect width ``rx``, rect origin ``x0``/``y0`` in cell coords.
+
+    ``form``: contraction lowering — "dim1" (the original dim1-dim1
+    dot_general) or "mxu" (explicit transpose + MXU-natural (5,B)@(B,CH));
+    bit-exact either way (the membership matrix has one nonzero per valid
+    column). The hardware bisect picks the faster.
 
     Returns (cell_of_pair (pair_cap,), tri_of_pair (pair_cap,),
     total_pairs ()) matching ``bin_cells_sort``'s pre-sort arrays."""
@@ -204,7 +223,7 @@ def expand_cells(c, rx, x0, y0, *, pair_cap: int, ntx_t: int,
     as_row = lambda a: a.astype(I32).reshape(1, -1)
     grid = (Tpad // B,)
     cell, tri, total = pl.pallas_call(
-        _expand_kernel,
+        functools.partial(_expand_kernel, form=form),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # dims

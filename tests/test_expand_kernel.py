@@ -53,12 +53,20 @@ def test_expand_cells_matches_xla(T, max_c, cap, seed):
     y0 = r.integers(0, nty - 4, size=T).astype(np.int32)
 
     cell_r, tri_r, total_r = xla_ref(c, rx, x0, y0, cap, ntx_t, num_cells)
-    cell_k, tri_k, total_k = expand_cells(
-        jnp.asarray(c), jnp.asarray(rx), jnp.asarray(x0), jnp.asarray(y0),
-        pair_cap=cap, ntx_t=ntx_t, num_cells=num_cells, interpret=True,
-    )
-    assert int(total_k) == total_r
-    nvalid = min(total_r, cap)
-    np.testing.assert_array_equal(np.asarray(cell_k)[:nvalid], cell_r[:nvalid])
-    np.testing.assert_array_equal(np.asarray(tri_k)[:nvalid], tri_r[:nvalid])
-    assert (np.asarray(cell_k)[nvalid:] == num_cells).all()
+    # Both contraction lowerings ("dim1" original, "mxu" transposed) must
+    # match the XLA reference bitwise — the hardware bisect then picks the
+    # faster without a correctness question.
+    for form in ("dim1", "mxu"):
+        cell_k, tri_k, total_k = expand_cells(
+            jnp.asarray(c), jnp.asarray(rx), jnp.asarray(x0),
+            jnp.asarray(y0),
+            pair_cap=cap, ntx_t=ntx_t, num_cells=num_cells, interpret=True,
+            form=form,
+        )
+        assert int(total_k) == total_r, form
+        nvalid = min(total_r, cap)
+        np.testing.assert_array_equal(np.asarray(cell_k)[:nvalid],
+                                      cell_r[:nvalid], err_msg=form)
+        np.testing.assert_array_equal(np.asarray(tri_k)[:nvalid],
+                                      tri_r[:nvalid], err_msg=form)
+        assert (np.asarray(cell_k)[nvalid:] == num_cells).all(), form
