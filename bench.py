@@ -173,10 +173,13 @@ def measure() -> int:
     # frame cannot hide behind it.
     slope_ms = (best_large - best_small) / (BATCH_LARGE - BATCH_SMALL) * 1e3
     wall_ms = best_large / BATCH_LARGE * 1e3
-    # Guard against co-tenant noise making the small batch slower than the
-    # large one: the engine number can never exceed wall ms/frame (and a
-    # tiny positive floor keeps the derived ratios finite).
-    ms_per_frame = max(min(slope_ms, wall_ms), 1e-4)
+    # Guards against co-tenant noise on the time-shared chip: the engine
+    # number can never exceed wall ms/frame, and a NON-POSITIVE slope
+    # (interference hit the small-batch rounds harder than the large ones)
+    # is not a measurement at all — fall back to the wall number rather
+    # than publishing a near-zero artifact.
+    slope_valid = slope_ms > 0.0
+    ms_per_frame = min(slope_ms, wall_ms) if slope_valid else wall_ms
 
     target_ms = 1.0
     result = {
@@ -191,6 +194,7 @@ def measure() -> int:
                            "%d and %d (overlap-immune; intercept = link/"
                            "dispatch overhead)" % (ROUNDS, BATCH_SMALL,
                                                    BATCH_LARGE),
+            "slope_valid": slope_valid,
             "wall_ms_per_frame_batch%d" % BATCH_LARGE: round(wall_ms, 4),
             "wall_ms_per_frame_batch%d" % BATCH_SMALL: round(
                 best_small / BATCH_SMALL * 1e3, 4),

@@ -124,10 +124,6 @@ def render_frame(
         idx = jax.lax.dynamic_slice(tri_pad, (s, 0), (chunk, 3))
         live = jax.lax.dynamic_slice(live_pad, (s,), (chunk,))
 
-        def g(a, col=None):
-            v = a[idx[:, col]] if col is not None else a[idx]
-            return v
-
         x1, y1 = sx[idx[:, 0]], sy[idx[:, 0]]
         x2, y2 = sx[idx[:, 1]], sy[idx[:, 1]]
         x3, y3 = sx[idx[:, 2]], sy[idx[:, 2]]
