@@ -1,0 +1,159 @@
+"""Frame-parallel batch rendering: data parallelism over a device mesh.
+
+The reference renders one frame at a time on one GPU (SURVEY.md §2.4). For
+offline/animation/benchmark workloads the highest-throughput multi-chip
+decomposition is the simplest one: shard the FRAME axis. Each device holds
+the full (replicated) geometry and renders its own slice of the uniform
+stack with the unmodified single-device pipeline — zero communication
+until the caller gathers the frames (and none at all if they are consumed
+per-device, e.g. written to per-host storage). This composes with, rather
+than replaces, the intra-frame decompositions in ``parallel.sharding``
+(framebuffer stripes, sort-middle): frames-outer x stripes-inner is the
+natural 2-D mesh extension once a single frame no longer fits one chip's
+latency budget.
+
+Throughput model: n devices render n frames per (single-device) frame
+time — linear scaling, since there is no cross-device traffic in the hot
+loop. Contrast the stripe decomposition, which shortens per-frame LATENCY
+but pays a per-frame all-gather.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from compute_renderer_tpu.backends import tpu
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "num_lights", "pair_cap",
+                     "tile_cap", "path", "interpret", "effect_kind"),
+)
+def render_frames_sharded(
+    positions, normals, uvs, tri,
+    packed_stack,  # (K, U) f32 — Renderer.pack_uniforms rows, K % n == 0
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    num_lights: int,
+    pair_cap: int = 0,
+    tile_cap: int = 0,
+    path: str = "auto",
+    interpret: bool | None = None,
+    effect_kind: int | None = None,
+):
+    """Render K frames with the frame axis sharded over ``mesh``.
+
+    Geometry is replicated; each device runs the single-device pipeline
+    (``tpu.render_frame`` — same kernels, same overflow contract) over its
+    K/n frames with ``lax.scan``. Returns ((K, H, W, 4) u8 sharded on the
+    frame axis, (n, 2) i32 per-device max needed-capacity report).
+
+    K must be a multiple of the mesh size (pad the stack by repeating the
+    last frame and drop the tail, as ``Renderer.render_batch_device`` does
+    via ``render_frames`` below).
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    K = packed_stack.shape[0]
+    if K % n != 0:
+        raise ValueError(f"frame count {K} not divisible by mesh size {n}")
+    L = num_lights
+
+    def unpack(packed):
+        vpos = packed[0:4]
+        vp = packed[4:20].reshape(4, 4)
+        eff = packed[20:26]
+        o = 26
+        lwp = packed[o:o + 3 * L].reshape(L, 3)
+        lc = packed[o + 3 * L:o + 6 * L].reshape(L, 3)
+        li = packed[o + 6 * L:o + 7 * L]
+        return vpos, vp, eff, lwp, lc, li
+
+    def device_body(pos, nrm, uv, idx, stack_local):
+        def frame(carry, packed):
+            vpos, vp, eff, lwp, lc, li = unpack(packed)
+            rgba, _, overflow = tpu.render_frame(
+                pos, nrm, uv, idx, vp, vpos, lwp, lc, li, eff,
+                width=width, height=height, pair_cap=pair_cap,
+                tile_cap=tile_cap, path=path, interpret=interpret,
+                effect_kind=effect_kind,
+            )
+            return jnp.maximum(carry, overflow), rgba
+        needed, frames = jax.lax.scan(
+            frame, jnp.zeros((2,), jnp.int32), stack_local
+        )
+        return frames, needed[None]
+
+    return jax.shard_map(
+        device_body,
+        mesh=mesh,
+        # Geometry replicated; only the frame axis is sharded.
+        in_specs=(P(), P(), P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )(positions, normals, uvs, tri, packed_stack)
+
+
+def render_frames(renderer, uniforms_seq, mesh: Mesh,
+                  max_retries: int = 3) -> np.ndarray:
+    """Host-level frame-parallel entry on an ``engine.Renderer``.
+
+    Packs the uniforms, pads the stack to a mesh-size multiple (repeating
+    the last frame), renders with ``render_frames_sharded``, retries once
+    per reported capacity overflow (exact-need growth, the analog of
+    ``Renderer._checked``), and returns the (len(uniforms_seq), H, W, 4)
+    uint8 frames on host."""
+    from compute_renderer_tpu.backends.tpu import (
+        default_caps, grow_pair_cap, grow_tile_cap, resolve_path,
+    )
+
+    uniforms_seq = list(uniforms_seq)
+    if not uniforms_seq:
+        return np.zeros((0, renderer.height, renderer.width, 4), np.uint8)
+    packs = []
+    L = None
+    for u in uniforms_seq:
+        p, L = renderer.pack_uniforms(u)
+        packs.append(p)
+    n = mesh.devices.size
+    K = len(packs)
+    pad = (-K) % n
+    packs.extend([packs[-1]] * pad)
+    stack = jnp.asarray(np.stack(packs))
+
+    T = max(renderer.num_triangles, 1)
+    path = resolve_path(renderer.options.get("path", "auto"), T)
+    caps = default_caps(path, T, renderer.width, renderer.height)
+    pair_cap = renderer.options.get("pair_cap") or caps["pair_cap"]
+    tile_cap = (renderer.options.get("tile_cap") or caps["tile_cap"] or 0
+                if path != "micro" else 0)
+
+    for _ in range(max_retries):
+        frames, needed = render_frames_sharded(
+            renderer.positions, renderer.normals, renderer.uvs,
+            renderer.tri, stack,
+            mesh=mesh, width=renderer.width, height=renderer.height,
+            num_lights=L, pair_cap=pair_cap, tile_cap=tile_cap,
+            path=path,
+            effect_kind=renderer.options.get("effect_kind"),
+        )
+        need = np.asarray(needed).max(axis=0)
+        if not need.any():
+            return np.asarray(frames)[:K]
+        if need[0]:
+            pair_cap = grow_pair_cap(pair_cap, int(need[0]))
+        if need[1] and path != "micro":
+            tile_cap = grow_tile_cap(tile_cap, int(need[1]),
+                                     caps["tile_h"], caps["tile_w"])
+    raise RuntimeError(
+        f"frame-parallel binning overflow after {max_retries} retries "
+        f"(pair_cap={pair_cap}, tile_cap={tile_cap})"
+    )
