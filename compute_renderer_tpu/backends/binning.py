@@ -40,6 +40,17 @@ import jax.numpy as jnp
 DENSE_BINNING_OP_LIMIT = 600_000_000
 
 
+def cover_counts(setup):
+    """Per-triangle covered-rect dims and cover-pair counts from a
+    triangle_setup dict: (rx, ry, c) with c = rx*ry for alive triangles,
+    0 otherwise. THE one definition — the sort path, the cell expansion,
+    and the renderer's settle-to-need calibration all consume it."""
+    i32 = jnp.int32
+    rx = (setup["tile_x1"] - setup["tile_x0"]).astype(i32)
+    ry = (setup["tile_y1"] - setup["tile_y0"]).astype(i32)
+    return rx, ry, jnp.where(setup["alive"], rx * ry, 0)
+
+
 def bin_triangles(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
     """Dispatch to the dense-rank or sort-based binning implementation.
 
@@ -171,9 +182,7 @@ def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
     """
     num_tiles = ntx * nty
     i32 = jnp.int32
-    rx = (setup["tile_x1"] - setup["tile_x0"]).astype(i32)
-    ry = (setup["tile_y1"] - setup["tile_y0"]).astype(i32)
-    c = jnp.where(setup["alive"], rx * ry, 0)
+    rx, _, c = cover_counts(setup)
 
     starts = jnp.cumsum(c) - c  # exclusive prefix (replaces the 2-pass scan)
     total = starts[-1] + c[-1]
@@ -322,9 +331,7 @@ def expand_cells_xla(setup, ntx_t: int, num_cells: int, pair_cap: int,
     num_cells sentinel)."""
     i32 = jnp.int32
 
-    rx = (setup["tile_x1"] - setup["tile_x0"]).astype(i32)
-    ry = (setup["tile_y1"] - setup["tile_y0"]).astype(i32)
-    c = jnp.where(setup["alive"], rx * ry, 0)
+    rx, _, c = cover_counts(setup)
 
     if use_pallas_expand and pair_cap <= PALLAS_EXPAND_MAX_CAP:
         # Experimental: one sequential Pallas pass (interval-membership

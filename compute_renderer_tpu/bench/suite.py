@@ -77,8 +77,8 @@ def benchmark_scene_configs(duration_secs: float = 30.0) -> list:
     # render end-to-end (the other mega rows inject procedural Meshes).
     # tpu backend only: the xla brute-force comparator runs ~17 s/frame at
     # this scale and is already covered by the San Miguel xla row. The
-    # asset itself is synthesized lazily by run_scene — enumerating
-    # configs must not write 80 MB to disk.
+    # asset itself is synthesized lazily at LOAD time (Model.load) —
+    # enumerating configs must not write 80 MB to disk.
     from compute_renderer_tpu.io.objgen import STRUCTURED_NAME
 
     scenes.append(SceneConfig(
@@ -100,14 +100,6 @@ def run_scene(config: SceneConfig, width: int, height: int, scene_index: int = 0
     latency); ``batch>1`` renders that many frames per dispatch and fences
     per batch — the throughput measurement matching the reference custom
     backend's async submits (custom_pipeline/renderer.rs:152-156)."""
-    from compute_renderer_tpu.io.objgen import (
-        STRUCTURED_NAME, ensure_structured_scene,
-    )
-
-    if config.model_path == STRUCTURED_NAME:
-        # Synthesized-on-first-use disk asset (cached); done here at scene
-        # RUN time so merely enumerating configs stays side-effect-free.
-        ensure_structured_scene()
     scene = Scene.from_config(config, width, height)
     renderer = Renderer(scene.mesh, width, height,
                         backend=config.normalized_backend(),

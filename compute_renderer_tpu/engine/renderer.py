@@ -20,6 +20,21 @@ from compute_renderer_tpu.backends import get_backend
 from compute_renderer_tpu.engine.scene import FrameUniforms
 
 
+def unpack_uniforms(packed, L):
+    """Inverse of ``Renderer.pack_uniforms``: split the single per-frame
+    f32 buffer back into (view_position, view_proj, effect, light_pos,
+    light_color, light_intensity). THE one definition of the packed layout
+    — the render step and the frame-parallel path both consume it."""
+    vpos = packed[0:4]
+    vp = packed[4:20].reshape(4, 4)
+    eff = packed[20:26]
+    o = 26
+    lwp = packed[o:o + 3 * L].reshape(L, 3)
+    lc = packed[o + 3 * L:o + 6 * L].reshape(L, 3)
+    li = packed[o + 6 * L:o + 7 * L]
+    return vpos, vp, eff, lwp, lc, li
+
+
 @partial(jax.jit, static_argnames=("w", "h"))
 def _count_pairs(packed, pos_soa, *, w, h):
     """Exact cover-pair total for one frame (micro-path calibration).
@@ -28,15 +43,14 @@ def _count_pairs(packed, pos_soa, *, w, h):
     as constants for kernel speed): this program compiles once per
     (T, W, H) shape and caches across scenes/Renderers — baking would add
     a full remote compile per mega scene for a program that runs once."""
-    from compute_renderer_tpu.backends import common
+    from compute_renderer_tpu.backends import binning, common
 
     vp = packed[4:20].reshape(4, 4)
     eff = packed[20:26]
     _, screen_soa = common.vertex_stage_soa(pos_soa, vp, eff, w, h)
     setup = common.triangle_setup_soa(screen_soa, eff, w, h, 8, 8)
-    rx = (setup["tile_x1"] - setup["tile_x0"]).astype(jnp.int32)
-    ry = (setup["tile_y1"] - setup["tile_y0"]).astype(jnp.int32)
-    return jnp.sum(jnp.where(setup["alive"], rx * ry, 0))
+    _, _, c = binning.cover_counts(setup)
+    return jnp.sum(c)
 
 
 class Renderer:
@@ -134,13 +148,7 @@ class Renderer:
 
         @jax.jit
         def step(packed):
-            vpos = packed[0:4]
-            vp = packed[4:20].reshape(4, 4)
-            eff = packed[20:26]
-            o = 26
-            lwp = packed[o:o + 3 * L].reshape(L, 3)
-            lc = packed[o + 3 * L:o + 6 * L].reshape(L, 3)
-            li = packed[o + 6 * L:o + 7 * L]
+            vpos, vp, eff, lwp, lc, li = unpack_uniforms(packed, L)
             return backend.render_frame(
                 positions, normals, uvs, tri, vp, vpos, lwp, lc, li, eff,
                 width=width, height=height, **options,
@@ -169,7 +177,7 @@ class Renderer:
         width, height = self.width, self.height
         packed, _ = self.pack_uniforms(uniforms)
         total = int(np.asarray(_count_pairs(
-            jnp.asarray(packed), self.pos_soa, w=width, h=height
+            jnp.asarray(packed), self.pos_soa, w=width, h=height,
         )))
         # Keep the cell-count floor of default_pair_cap_micro (the sorted
         # list must be addressable per cell segment).

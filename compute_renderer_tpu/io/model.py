@@ -27,9 +27,18 @@ class Model:
         try:
             resolved = get_asset_path(path)
         except FileNotFoundError:
-            if path in procedural.PROCEDURAL_MODELS:
+            from compute_renderer_tpu.io import objgen
+
+            if path == objgen.STRUCTURED_NAME:
+                # Synthesized-on-first-use benchmark asset (cached on
+                # disk): resolving it here means EVERY loader path — CLI
+                # --model-path, viewer, suite — gets the scene, and merely
+                # enumerating configs never writes 80 MB.
+                resolved = objgen.ensure_structured_scene()
+            elif path in procedural.PROCEDURAL_MODELS:
                 return Model(mesh=procedural.make_model(path), source=f"procedural:{path}")
-            raise
+            else:
+                raise
         # Prefer the native parser; fall back to pure Python.
         try:
             from compute_renderer_tpu.io import native

@@ -60,26 +60,17 @@ def render_frames_sharded(
     last frame and drop the tail, as ``Renderer.render_batch_device`` does
     via ``render_frames`` below).
     """
+    from compute_renderer_tpu.engine.renderer import unpack_uniforms
+
     axis = mesh.axis_names[0]
     n = mesh.devices.size
     K = packed_stack.shape[0]
     if K % n != 0:
         raise ValueError(f"frame count {K} not divisible by mesh size {n}")
-    L = num_lights
-
-    def unpack(packed):
-        vpos = packed[0:4]
-        vp = packed[4:20].reshape(4, 4)
-        eff = packed[20:26]
-        o = 26
-        lwp = packed[o:o + 3 * L].reshape(L, 3)
-        lc = packed[o + 3 * L:o + 6 * L].reshape(L, 3)
-        li = packed[o + 6 * L:o + 7 * L]
-        return vpos, vp, eff, lwp, lc, li
 
     def device_body(pos, nrm, uv, idx, stack_local):
         def frame(carry, packed):
-            vpos, vp, eff, lwp, lc, li = unpack(packed)
+            vpos, vp, eff, lwp, lc, li = unpack_uniforms(packed, num_lights)
             rgba, _, overflow = tpu.render_frame(
                 pos, nrm, uv, idx, vp, vpos, lwp, lc, li, eff,
                 width=width, height=height, pair_cap=pair_cap,
