@@ -16,7 +16,9 @@ ways — a PJRT init error raised at the first device op, and a HANG inside
 startup; observed blocking forever when the relay is down). In-process
 retry can't recover from a hung import, so the entry process supervises a
 CHILD subprocess with a hard timeout and exponential backoff; only the
-child imports jax.
+child imports jax. If every TPU attempt fails, one final child measures on
+CPU (axon plugin unregistered so the import can't hang) with the metric
+loudly labeled as a fallback — an honest artifact instead of an empty one.
 
 Methodology (round-3): the headline number is the BATCH-SIZE SLOPE
   engine ms/frame = (t(N2) - t(N1)) / (N2 - N1)
@@ -39,10 +41,17 @@ ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "4"))
 # Remote-compile through the tunnel can take minutes.
 CHILD_TIMEOUT_S = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "900"))
 BACKOFF_S = float(os.environ.get("BENCH_BACKOFF_S", "20"))
+# When every TPU attempt fails (relay outage — the round-2/3 failure mode),
+# run one clearly-labeled CPU measurement instead of producing no artifact.
+CPU_FALLBACK = os.environ.get("BENCH_CPU_FALLBACK", "1") != "0"
 
 BATCH_SMALL = 64
 BATCH_LARGE = 256
 ROUNDS = 4
+# Interpret-mode Pallas on CPU runs ~0.9 s/frame at the north-star config;
+# keep the fallback inside one child timeout.
+FALLBACK_BATCHES = (8, 16)
+FALLBACK_ROUNDS = 2
 
 
 def supervise() -> int:
@@ -83,6 +92,35 @@ def supervise() -> int:
     print(f"[bench] all {ATTEMPTS} attempts failed", file=sys.stderr)
     if last_err:
         sys.stderr.write(last_err[-2000:] + "\n")
+    if not CPU_FALLBACK:
+        return 1
+    # Last resort: a CPU measurement that is loudly labeled as such (metric
+    # name, extra.fallback, backend field) so it can never be mistaken for
+    # a TPU number — an honest artifact beats an empty one. Dropping
+    # PALLAS_AXON_POOL_IPS keeps the axon PJRT plugin unregistered (its
+    # registration at interpreter startup is what hangs ``import jax``
+    # while the relay is down).
+    print("[bench] TPU unreachable; measuring CPU FALLBACK (interpret-mode "
+          "kernels, NOT comparable to the TPU target)", file=sys.stderr)
+    env_cpu = dict(env, JAX_PLATFORMS="cpu", _BENCH_FALLBACK="cpu")
+    env_cpu.pop("PALLAS_AXON_POOL_IPS", None)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env_cpu,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            timeout=CHILD_TIMEOUT_S,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"[bench] CPU fallback timed out after {CHILD_TIMEOUT_S}s",
+              file=sys.stderr)
+        return 1
+    sys.stderr.write(proc.stderr)
+    if proc.returncode == 0 and proc.stdout.strip():
+        print(proc.stdout.strip().splitlines()[-1])
+        return 0
     return 1
 
 
@@ -102,9 +140,17 @@ def measure() -> int:
                 f.write(str(remaining - 1))
             print("[bench] injected failure", file=sys.stderr)
             return 2
-        print(json.dumps({"metric": "fake", "value": 0.5, "unit": "ms",
-                          "vs_baseline": 2.0}))
+        fake = {"metric": "fake", "value": 0.5, "unit": "ms",
+                "vs_baseline": 2.0}
+        if os.environ.get("_BENCH_FALLBACK") == "cpu":
+            fake["metric"] = "fake (CPU FALLBACK)"
+        print(json.dumps(fake))
         return 0
+
+    fallback = os.environ.get("_BENCH_FALLBACK") == "cpu"
+    batch_small, batch_large = FALLBACK_BATCHES if fallback else (
+        BATCH_SMALL, BATCH_LARGE)
+    rounds = FALLBACK_ROUNDS if fallback else ROUNDS
 
     import jax
 
@@ -145,7 +191,7 @@ def measure() -> int:
     # here as UNAVAILABLE).
     for attempt in range(3):
         try:
-            out = renderer.render_batch_device(make_batch(BATCH_SMALL))
+            out = renderer.render_batch_device(make_batch(batch_small))
             np.asarray(out[-1, 0, 0])
             break
         except Exception as e:
@@ -154,7 +200,7 @@ def measure() -> int:
             print(f"[bench] first dispatch failed ({type(e).__name__}: {e});"
                   f" retrying in {10 * (attempt + 1)}s", file=sys.stderr)
             time.sleep(10 * (attempt + 1))
-    out = renderer.render_batch_device(make_batch(BATCH_LARGE))
+    out = renderer.render_batch_device(make_batch(batch_large))
     np.asarray(out[-1, 0, 0])
 
     def timed_round(n):
@@ -164,15 +210,15 @@ def measure() -> int:
         renderer.fence_pending()
         return time.perf_counter() - t0
 
-    best_small = min(timed_round(BATCH_SMALL) for _ in range(ROUNDS))
-    best_large = min(timed_round(BATCH_LARGE) for _ in range(ROUNDS))
+    best_small = min(timed_round(batch_small) for _ in range(rounds))
+    best_large = min(timed_round(batch_large) for _ in range(rounds))
     assert not renderer.flush_overflow(), "binning overflow during bench"
 
     # Overlap-immune engine time: the slope over batch size. Per-dispatch
     # link overhead is the intercept and cancels; device compute per extra
     # frame cannot hide behind it.
-    slope_ms = (best_large - best_small) / (BATCH_LARGE - BATCH_SMALL) * 1e3
-    wall_ms = best_large / BATCH_LARGE * 1e3
+    slope_ms = (best_large - best_small) / (batch_large - batch_small) * 1e3
+    wall_ms = best_large / batch_large * 1e3
     # Guards against co-tenant noise on the time-shared chip: the engine
     # number can never exceed wall ms/frame, and a NON-POSITIVE slope
     # (interference hit the small-batch rounds harder than the large ones)
@@ -182,22 +228,25 @@ def measure() -> int:
     ms_per_frame = min(slope_ms, wall_ms) if slope_valid else wall_ms
 
     target_ms = 1.0
+    metric = "ms/frame 1024x768 suzanne-class (tpu backend, batch-slope engine time)"
+    if fallback:
+        metric += " [CPU FALLBACK — TPU tunnel unavailable; interpret-mode kernels]"
     result = {
-        "metric": "ms/frame 1024x768 suzanne-class (tpu backend, "
-                  "batch-slope engine time)",
+        "metric": metric,
         "value": round(ms_per_frame, 4),
         "unit": "ms",
         "vs_baseline": round(target_ms / ms_per_frame, 4),
         "extra": {
             "backend": jax.default_backend(),
+            "fallback": fallback,
             "methodology": "slope of best-of-%d wall time over batch sizes "
                            "%d and %d (overlap-immune; intercept = link/"
-                           "dispatch overhead)" % (ROUNDS, BATCH_SMALL,
-                                                   BATCH_LARGE),
+                           "dispatch overhead)" % (rounds, batch_small,
+                                                   batch_large),
             "slope_valid": slope_valid,
-            "wall_ms_per_frame_batch%d" % BATCH_LARGE: round(wall_ms, 4),
-            "wall_ms_per_frame_batch%d" % BATCH_SMALL: round(
-                best_small / BATCH_SMALL * 1e3, 4),
+            "wall_ms_per_frame_batch%d" % batch_large: round(wall_ms, 4),
+            "wall_ms_per_frame_batch%d" % batch_small: round(
+                best_small / batch_small * 1e3, 4),
             "num_triangles": scene.total_tris,
             "fps": round(1e3 / ms_per_frame, 1),
             "mtri_per_s": round(scene.total_tris / (ms_per_frame / 1e3) / 1e6, 2),

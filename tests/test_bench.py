@@ -1,8 +1,14 @@
 """Benchmark collector metric formulas (reference performance.rs) + suite."""
 
 import json
+import os
+import subprocess
+import sys
 
 from compute_renderer_tpu.bench.collector import PerformanceCollector
+
+BENCH_PY = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "bench.py")
 
 
 def collector_with_times(times, n_tris=1000, n_pix=10000):
@@ -146,6 +152,45 @@ def test_measure_dispatch_overhead():
 
     ms = measure_dispatch_overhead_ms(samples=3)
     assert 0.0 < ms < 10_000.0
+
+
+def _run_bench(tmp_path, failures, **env_extra):
+    """Run bench.py's supervisor with the _BENCH_FAKE hook: the child fails
+    ``failures`` times (counting down a file), then emits a fake JSON line."""
+    fail_file = tmp_path / "failures.txt"
+    fail_file.write_text(str(failures))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update({"_BENCH_FAKE": str(fail_file), "BENCH_BACKOFF_S": "0.01",
+                "BENCH_CHILD_TIMEOUT_S": "60"})
+    env.update(env_extra)
+    return subprocess.run([sys.executable, BENCH_PY], env=env,
+                          capture_output=True, text=True, timeout=120)
+
+
+def test_bench_supervisor_retries_then_succeeds(tmp_path):
+    proc = _run_bench(tmp_path, failures=2, BENCH_ATTEMPTS="3")
+    assert proc.returncode == 0, proc.stderr
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert line["metric"] == "fake"
+    assert proc.stderr.count("failed; retrying") == 2
+
+
+def test_bench_supervisor_cpu_fallback_labeled(tmp_path):
+    # All TPU attempts fail -> the CPU-fallback child runs (countdown file
+    # is exhausted by then) and its line is loudly labeled.
+    proc = _run_bench(tmp_path, failures=2, BENCH_ATTEMPTS="2")
+    assert proc.returncode == 0, proc.stderr
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert "CPU FALLBACK" in line["metric"]
+    assert "CPU FALLBACK" in proc.stderr
+
+
+def test_bench_supervisor_fallback_disabled(tmp_path):
+    proc = _run_bench(tmp_path, failures=3, BENCH_ATTEMPTS="2",
+                      BENCH_CPU_FALLBACK="0")
+    assert proc.returncode == 1
+    assert "all 2 attempts failed" in proc.stderr
 
 
 def test_suite_batches_tpu_rows_only():
