@@ -1,18 +1,25 @@
-"""Material / texture surface (future API, mirrors reference H14).
+"""Material surface (reference H14, made live as an opt-in extension).
 
 The reference defines ``MaterialInfo`` (ambient/specular/diffuse/shininess/
 dissolve/optical_density) and atlas-style ``TextureInfo{offset,width,height}``
 structs with defaults but never binds them to any pipeline
 (custom_pipeline/util.rs:35-85) — materials from MTL files are loaded and
-discarded (model.rs:24). We keep the same documented-but-unwired surface:
-these dataclasses define the layout a texture/material stage would consume
-(an (N, H, W) texture atlas as a jnp array + per-triangle material indices),
-but no kernel reads them yet, matching reference behavior.
+discarded (model.rs:24).
+
+This build keeps the reference-faithful default (materials discarded) but
+additionally wires the surface end-to-end behind an opt-in flag
+(``load_obj(materials=True)`` / ``SceneConfig.enable_materials``): ``parse_mtl``
+reads the MTL library, the OBJ loader resolves ``usemtl`` runs into a
+per-triangle diffuse color, and the shading epilogues modulate ambient +
+diffuse by it (see backends/common.py ``shade``). ``TextureInfo`` remains the
+documented-but-unwired half (no texture sampling stage yet), matching the
+reference's own unbound struct.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from pathlib import Path
 
 import numpy as np
 
@@ -37,8 +44,50 @@ class MaterialInfo:
 
 @dataclass
 class TextureInfo:
-    """Atlas-style texture record: offset into a flat texel pool + extent."""
+    """Atlas-style texture record: offset into a flat texel pool + extent.
+
+    Documented-but-unwired, matching the reference's own unbound struct
+    (custom_pipeline/util.rs:75-85): no texture sampling stage exists."""
 
     offset: int = 0
     width: int = 0
     height: int = 0
+
+
+def parse_mtl(path) -> dict:
+    """Parse a Wavefront MTL library into {name: MaterialInfo}.
+
+    Covers the fields ``MaterialInfo`` mirrors from the reference
+    (custom_pipeline/util.rs:35-60): Ka/Kd/Ks color triples, Ns shininess,
+    d / Tr dissolve (Tr = 1 - d), Ni optical density. Unknown statements
+    (illum, map_*, ...) are skipped; statements before the first ``newmtl``
+    are ignored. Missing fields keep ``MaterialInfo`` defaults."""
+    materials: dict = {}
+    cur = None
+    with open(Path(path), "r", errors="replace") as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.split()
+            tag = parts[0]
+            if tag == "newmtl":
+                cur = MaterialInfo()
+                materials[" ".join(parts[1:])] = cur
+            elif cur is None:
+                continue
+            elif tag == "Ka" and len(parts) >= 4:
+                cur.ambient = np.array(parts[1:4], dtype=F32)
+            elif tag == "Kd" and len(parts) >= 4:
+                cur.diffuse = np.array(parts[1:4], dtype=F32)
+            elif tag == "Ks" and len(parts) >= 4:
+                cur.specular = np.array(parts[1:4], dtype=F32)
+            elif tag == "Ns" and len(parts) >= 2:
+                cur.shininess = float(parts[1])
+            elif tag == "d" and len(parts) >= 2:
+                cur.dissolve = float(parts[1])
+            elif tag == "Tr" and len(parts) >= 2:
+                cur.dissolve = 1.0 - float(parts[1])
+            elif tag == "Ni" and len(parts) >= 2:
+                cur.optical_density = float(parts[1])
+    return materials

@@ -27,18 +27,27 @@ REF_TILE_SIZE = 8
 @dataclass
 class Mesh:
     """SoA triangle mesh. ``indices`` is flat (3*T,) uint32, CCW winding as
-    loaded (the reference culls cross_z >= 0 in screen space)."""
+    loaded (the reference culls cross_z >= 0 in screen space).
+
+    ``face_kd`` is the optional per-triangle diffuse color (T, 3) f32 from
+    the material extension (``load_obj(materials=True)``); None (the
+    default) means reference-faithful no-materials rendering."""
 
     positions: np.ndarray  # (N, 3) f32
     normals: np.ndarray  # (N, 3) f32 (zero-filled if absent in source)
     uvs: np.ndarray  # (N, 2) f32 (zero-filled if absent in source)
     indices: np.ndarray  # (3*T,) u32
+    face_kd: np.ndarray | None = None  # (T, 3) f32 per-triangle diffuse
 
     def __post_init__(self):
         self.positions = np.ascontiguousarray(self.positions, dtype=F32)
         self.normals = np.ascontiguousarray(self.normals, dtype=F32)
         self.uvs = np.ascontiguousarray(self.uvs, dtype=F32)
         self.indices = np.ascontiguousarray(self.indices, dtype=np.uint32)
+        if self.face_kd is not None:
+            self.face_kd = np.ascontiguousarray(self.face_kd, dtype=F32)
+            assert self.face_kd.shape == (self.num_triangles, 3), (
+                self.face_kd.shape, self.num_triangles)
 
     @property
     def num_vertices(self) -> int:
@@ -67,11 +76,24 @@ class Mesh:
             uvs.append(m.uvs)
             indices.append(m.indices.astype(np.uint32) + np.uint32(offset))
             offset += m.num_vertices
+        # Per-triangle diffuse: None unless some input carries materials;
+        # material-less inputs then contribute white (the identity color).
+        face_kd = None
+        if any(m.face_kd is not None for m in meshes):
+            face_kd = np.concatenate(
+                [
+                    m.face_kd if m.face_kd is not None
+                    else np.ones((m.num_triangles, 3), dtype=F32)
+                    for m in meshes
+                ],
+                axis=0,
+            )
         return Mesh(
             positions=np.concatenate(positions, axis=0),
             normals=np.concatenate(normals, axis=0),
             uvs=np.concatenate(uvs, axis=0),
             indices=np.concatenate(indices, axis=0),
+            face_kd=face_kd,
         )
 
 

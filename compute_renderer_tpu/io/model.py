@@ -23,7 +23,11 @@ class Model:
     source: str
 
     @staticmethod
-    def load(path: str) -> "Model":
+    def load(path: str, materials: bool = False) -> "Model":
+        """``materials=True`` (extension) resolves MTL diffuse colors into
+        ``Mesh.face_kd`` — via the pure-Python loader, which owns the
+        ``usemtl`` tracking (the native parser covers the reference-faithful
+        fast path, where materials are discarded)."""
         try:
             resolved = get_asset_path(path)
         except FileNotFoundError:
@@ -39,17 +43,21 @@ class Model:
                 return Model(mesh=procedural.make_model(path), source=f"procedural:{path}")
             else:
                 raise
-        # Prefer the native parser; fall back to pure Python.
-        try:
-            from compute_renderer_tpu.io import native
+        # Prefer the native parser; fall back to pure Python. Material
+        # loading always takes the Python path.
+        if not materials:
+            try:
+                from compute_renderer_tpu.io import native
 
-            if native.available():
-                return Model(mesh=native.load_obj(resolved), source=str(resolved))
-        except ImportError:
-            pass
+                if native.available():
+                    return Model(mesh=native.load_obj(resolved),
+                                 source=str(resolved))
+            except ImportError:
+                pass
         from compute_renderer_tpu.io.obj import load_obj
 
-        return Model(mesh=load_obj(resolved), source=str(resolved))
+        return Model(mesh=load_obj(resolved, materials=materials),
+                     source=str(resolved))
 
     @property
     def num_triangles(self) -> int:

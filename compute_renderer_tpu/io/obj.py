@@ -9,7 +9,9 @@ single_index: true`` (src/model.rs:24-30):
 - sub-meshes split on ``o``/``g`` statements; the reference then concatenates
   them with index offsetting (src/model.rs:109-121);
 - MTL materials are loaded but **discarded** (src/model.rs:24 binds them to
-  ``_m_materials``) — we skip ``mtllib``/``usemtl`` entirely;
+  ``_m_materials``) — by default we match that and skip ``mtllib``/``usemtl``;
+  ``materials=True`` (an extension beyond the reference) resolves them into a
+  per-triangle diffuse color (``Mesh.face_kd``) via ``core.materials.parse_mtl``;
 - the V texture coordinate is flipped: ``v -> 1 - v`` (src/model.rs:64);
 - missing normals/texcoords are zero-filled (src/model.rs:61-75).
 
@@ -54,6 +56,7 @@ class _SubMesh:
         self.triple_to_idx = {}
         self.triples = []  # list of (vi, ti, ni)
         self.indices = []
+        self.tri_mtl = []  # material name (or None) per emitted triangle
 
     def add_corner(self, triple):
         idx = self.triple_to_idx.get(triple)
@@ -68,8 +71,15 @@ class _SubMesh:
         return not self.indices
 
 
-def load_obj(path) -> Mesh:
-    """Load an OBJ file into a single concatenated SoA Mesh."""
+def load_obj(path, materials: bool = False) -> Mesh:
+    """Load an OBJ file into a single concatenated SoA Mesh.
+
+    ``materials=False`` (default) matches the reference exactly: MTL
+    libraries are discarded (src/model.rs:24). ``materials=True`` — the
+    opt-in extension — parses ``mtllib`` libraries (relative to the OBJ's
+    directory) and resolves ``usemtl`` runs into a per-triangle diffuse
+    color ``Mesh.face_kd``; faces without a (resolvable) material get
+    white (1, 1, 1), the identity under the material shading extension."""
     path = Path(path)
     positions = []  # raw v records
     texcoords = []  # raw vt records
@@ -77,6 +87,8 @@ def load_obj(path) -> Mesh:
 
     submeshes = []
     current = _SubMesh()
+    mtl_lib = {}  # name -> MaterialInfo, merged across mtllib statements
+    cur_mtl = None  # active usemtl name
 
     with open(path, "r", errors="replace") as f:
         for line in f:
@@ -109,8 +121,21 @@ def load_obj(path) -> Mesh:
                 for i in range(1, len(corners) - 1):
                     for triple in (corners[0], corners[i], corners[i + 1]):
                         current.add_corner(triple)
-            # mtllib / usemtl / s / l / p: ignored (materials discarded,
-            # reference src/model.rs:24).
+                    current.tri_mtl.append(cur_mtl)
+            elif materials and tag == "mtllib" and len(parts) > 1:
+                # Library paths are relative to the OBJ's directory; a
+                # missing/unreadable library degrades to default colors.
+                from compute_renderer_tpu.core.materials import parse_mtl
+
+                for name in parts[1:]:
+                    try:
+                        mtl_lib.update(parse_mtl(path.parent / name))
+                    except OSError:
+                        pass
+            elif materials and tag == "usemtl":
+                cur_mtl = " ".join(parts[1:]) if len(parts) > 1 else None
+            # s / l / p (and mtllib/usemtl when materials=False): ignored
+            # (materials discarded, reference src/model.rs:24).
     if not current.empty():
         submeshes.append(current)
 
@@ -146,12 +171,20 @@ def load_obj(path) -> Mesh:
                     t[out_i] = (0.0, 1.0)
             if 0 <= ni < nrm_arr.shape[0]:
                 nr[out_i] = nrm_arr[ni]
+        face_kd = None
+        if materials:
+            face_kd = np.ones((len(sm.tri_mtl), 3), dtype=F32)
+            for ti, name in enumerate(sm.tri_mtl):
+                info = mtl_lib.get(name) if name is not None else None
+                if info is not None:
+                    face_kd[ti] = info.diffuse
         meshes.append(
             Mesh(
                 positions=p,
                 normals=nr,
                 uvs=t,
                 indices=np.asarray(sm.indices, dtype=np.uint32),
+                face_kd=face_kd,
             )
         )
 

@@ -177,3 +177,96 @@ def test_mesh_concatenate_offsets():
     assert m.num_vertices == 7
     assert m.num_triangles == 3
     assert m.indices[3:].min() >= 3
+
+
+# -- material extension (load_obj(materials=True), core.materials) ----------
+
+MTL_TEXT = """
+# library
+newmtl red
+Ka 0.2 0.0 0.0
+Kd 0.9 0.1 0.1
+Ks 0.3 0.3 0.3
+Ns 64
+d 0.75
+Ni 1.45
+newmtl half green
+Kd 0.1 0.8 0.2
+Tr 0.25
+"""
+
+OBJ_MTL_TEXT = """
+mtllib lib.mtl
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+usemtl red
+f 1 2 3
+usemtl half green
+f 2 4 3
+usemtl missing
+f 1 3 4
+f 1 2 4
+"""
+
+
+def test_parse_mtl(tmp_path):
+    from compute_renderer_tpu.core.materials import parse_mtl
+
+    lib = parse_mtl(write(tmp_path, MTL_TEXT, "lib.mtl"))
+    assert set(lib) == {"red", "half green"}
+    np.testing.assert_allclose(lib["red"].diffuse, [0.9, 0.1, 0.1])
+    np.testing.assert_allclose(lib["red"].ambient, [0.2, 0.0, 0.0])
+    np.testing.assert_allclose(lib["red"].specular, [0.3, 0.3, 0.3])
+    assert lib["red"].shininess == 64.0
+    assert lib["red"].dissolve == 0.75
+    assert lib["red"].optical_density == 1.45
+    # Tr = 1 - d; names may contain spaces; missing fields keep defaults.
+    assert abs(lib["half green"].dissolve - 0.75) < 1e-7
+    np.testing.assert_allclose(lib["half green"].ambient, [0.1, 0.1, 0.1])
+
+
+def test_load_obj_materials(tmp_path):
+    write(tmp_path, MTL_TEXT, "lib.mtl")
+    p = write(tmp_path, OBJ_MTL_TEXT)
+
+    # Default: reference-faithful — materials discarded.
+    assert load_obj(p).face_kd is None
+
+    m = load_obj(p, materials=True)
+    assert m.face_kd is not None and m.face_kd.shape == (4, 3)
+    np.testing.assert_allclose(m.face_kd[0], [0.9, 0.1, 0.1])
+    np.testing.assert_allclose(m.face_kd[1], [0.1, 0.8, 0.2])
+    # Unresolvable usemtl -> identity white; the run persists to face 4.
+    np.testing.assert_allclose(m.face_kd[2], [1.0, 1.0, 1.0])
+    np.testing.assert_allclose(m.face_kd[3], [1.0, 1.0, 1.0])
+    # Geometry identical to the materials=False load.
+    np.testing.assert_array_equal(m.indices, load_obj(p).indices)
+
+
+def test_load_obj_materials_missing_lib(tmp_path):
+    # Unreadable mtllib degrades to identity colors, not an error.
+    p = write(tmp_path, OBJ_MTL_TEXT)
+    m = load_obj(p, materials=True)
+    np.testing.assert_allclose(m.face_kd, np.ones((4, 3), np.float32))
+
+
+def test_mesh_concatenate_face_kd():
+    tri = Mesh(
+        positions=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        normals=np.zeros((3, 3), np.float32),
+        uvs=np.zeros((3, 2), np.float32),
+        indices=np.array([0, 1, 2], np.uint32),
+    )
+    red = Mesh(
+        positions=tri.positions, normals=tri.normals, uvs=tri.uvs,
+        indices=tri.indices,
+        face_kd=np.array([[0.5, 0.25, 0.125]], np.float32),
+    )
+    # All-None stays None; mixed fills identity white for the None mesh.
+    assert Mesh.concatenate([tri, tri]).face_kd is None
+    both = Mesh.concatenate([tri, red])
+    np.testing.assert_allclose(
+        both.face_kd, [[1, 1, 1], [0.5, 0.25, 0.125]]
+    )
