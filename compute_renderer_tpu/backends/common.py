@@ -440,12 +440,23 @@ def shade(gbuffer, view_position, light_world_pos, light_color,
           light_intensity):
     """fragment_main (fragment.wgsl:50-93): ambient 0.1 + per-light diffuse +
     Phong specular; world-space light dir; unnormalized interpolated normal;
-    clamp; gamma 1/2.2; blue background. Returns (H,W,4) uint8 RGBA."""
+    clamp; gamma 1/2.2; blue background. Returns (H,W,4) uint8 RGBA.
+
+    Material extension (beyond the reference, which has no live materials):
+    when the gbuffer carries a per-pixel diffuse color ``kd`` (H,W,3), the
+    ambient and diffuse terms are modulated by it —
+    ``0.1*kd + sum_l (diff*kd + 0.5*spec) * light_color * intensity`` —
+    specular stays unmodulated. ``kd`` absent keeps the reference formula
+    on its original expression (bitwise unchanged)."""
     flag = gbuffer["flag"]
     normal = gbuffer["normal"]
     pos = gbuffer["world_pos"]
+    kd = gbuffer.get("kd")
 
-    final = jnp.full(pos.shape[:2] + (3,), F32(0.1))
+    if kd is None:
+        final = jnp.full(pos.shape[:2] + (3,), F32(0.1))
+    else:
+        final = F32(0.1) * kd.astype(F32)
     eye = view_position.astype(F32)[:3]
 
     num_lights = light_world_pos.shape[0]
@@ -479,7 +490,13 @@ def shade(gbuffer, view_position, light_world_pos, light_color,
         s16 = s8 * s8
         spec = s16 * s16
 
-        final = final + (diff + spec * F32(0.5))[..., None] * lc[None, None, :] * inten
+        if kd is None:
+            contrib = (diff + spec * F32(0.5))[..., None]
+        else:
+            # Same per-channel op order as the Pallas kernels' material
+            # epilogue: diff*kd, spec*0.5, add, then *color, *intensity.
+            contrib = diff[..., None] * kd + (spec * F32(0.5))[..., None]
+        final = final + contrib * lc[None, None, :] * inten
 
     final = jnp.clip(final, F32(0.0), F32(1.0))
     srgb = jnp.power(final, F32(1.0 / 2.2))

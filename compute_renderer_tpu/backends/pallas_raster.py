@@ -59,16 +59,23 @@ DEPTH_CLEAR_BITS = np.uint32(0xFFFFFFFF)
 #   30:32  anchor (v1x, v1y)
 # UV interpolation is intentionally omitted: the reference writes uv to its
 # fragment buffer but the lighting formula never reads it (fragment.wgsl:70-82).
+# Material extension: a (T, 35) table appends the per-triangle diffuse
+#   32:35  kd (r, g, b)
+# and switches the kernel epilogue to the modulated formula (static shape
+# dispatch in raster_shade_tiles; the 32-wide default path is untouched).
 TRI_TABLE_WIDTH = 32
+MAT_TRI_TABLE_WIDTH = 35
 
 
-def build_tri_table(screen, tri, uvs, normals, world):
-    """(T, 32) f32 per-triangle affine-coefficient table."""
+def build_tri_table(screen, tri, uvs, normals, world, face_kd=None):
+    """(T, 32) f32 per-triangle affine-coefficient table — (T, 35) with the
+    material extension's kd columns when ``face_kd`` (T, 3) is given."""
     del uvs  # dead in shading (see layout comment)
-    return build_tri_table_corners(screen[tri], normals[tri], world[tri])
+    return build_tri_table_corners(screen[tri], normals[tri], world[tri],
+                                   face_kd=face_kd)
 
 
-def build_tri_table_corners(v, nrm, wld):
+def build_tri_table_corners(v, nrm, wld, face_kd=None):
     """``build_tri_table`` on pre-gathered corner data: v (T, 3, 4) screen
     vertices, nrm/wld (T, 3, 3). The mega path holds geometry corner-major
     so the table build is gather-free streaming math (three T-row gathers
@@ -76,13 +83,14 @@ def build_tri_table_corners(v, nrm, wld):
     screen_soa = tuple(tuple(v[:, k, c] for c in range(4)) for k in range(3))
     nrm_soa = tuple(tuple(nrm[:, k, c] for c in range(3)) for k in range(3))
     wld_soa = tuple(tuple(wld[:, k, c] for c in range(3)) for k in range(3))
-    return build_tri_table_soa(screen_soa, nrm_soa, wld_soa)
+    return build_tri_table_soa(screen_soa, nrm_soa, wld_soa, face_kd=face_kd)
 
 
-def tri_table_columns(screen_soa, nrm_soa, wld_soa):
+def tri_table_columns(screen_soa, nrm_soa, wld_soa, face_kd=None):
     """The 32 per-triangle affine-coefficient columns as a list of
     contiguous (T,) arrays (corner-SoA inputs — see
-    ``common.vertex_stage_soa``). Layout = ``TRI_TABLE_WIDTH`` order."""
+    ``common.vertex_stage_soa``). Layout = ``TRI_TABLE_WIDTH`` order; with
+    ``face_kd`` (T, 3), the 3 kd columns append (MAT_TRI_TABLE_WIDTH)."""
     from compute_renderer_tpu.backends import common
 
     v1, v2, v3 = screen_soa
@@ -104,15 +112,22 @@ def tri_table_columns(screen_soa, nrm_soa, wld_soa):
 
     cols += [co["ax"], co["ay"]]
     assert len(cols) == TRI_TABLE_WIDTH
+    if face_kd is not None:
+        kd = face_kd.astype(F32)
+        cols += [kd[:, 0], kd[:, 1], kd[:, 2]]
+        assert len(cols) == MAT_TRI_TABLE_WIDTH
     return cols
 
 
-def build_tri_table_soa(screen_soa, nrm_soa, wld_soa):
+def build_tri_table_soa(screen_soa, nrm_soa, wld_soa, face_kd=None):
     """``build_tri_table`` on corner-SoA inputs: all coefficient math runs
     on contiguous rows; the only layout change is the final (T, 32) stack,
     one interleave instead of the strided reads everywhere that the
     (T, 3, c) form paid."""
-    return jnp.stack(tri_table_columns(screen_soa, nrm_soa, wld_soa), axis=1)
+    return jnp.stack(
+        tri_table_columns(screen_soa, nrm_soa, wld_soa, face_kd=face_kd),
+        axis=1,
+    )
 
 
 def window_elems(tile_cap: int) -> int:
@@ -152,6 +167,7 @@ def _raster_kernel(
     tile_w: int,
     num_lights: int,
     dense_rows: bool,
+    has_materials: bool = False,
 ):
     ti = pl.program_id(0)  # tile row
     tj = pl.program_id(1)  # tile col
@@ -250,6 +266,7 @@ def _raster_kernel(
             rgba_ref, key_ref,
             wait_list, read_slot, ti, tj, count,
             tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
+            has_materials=has_materials,
         )
 
 
@@ -258,6 +275,7 @@ def _raster_tile(
     rgba_ref, key_ref,
     wait_list, read_slot, ti, tj, count,
     *, tile_h: int, tile_w: int, num_lights: int,
+    has_materials: bool = False,
 ):
     threshold = params_ref[0, 0]
     melt_threshold = params_ref[0, 1]
@@ -313,11 +331,17 @@ def _raster_tile(
         for c in range(6):
             interp = row[12 + c * 3] + row[13 + c * 3] * dx + row[14 + c * 3] * dy
             new_attrs.append(jnp.where(win, interp, attrs[c]))
+        if has_materials:
+            # Material extension: the winner's per-triangle diffuse (a
+            # scalar table read broadcast over the tile, not interpolated).
+            for c in range(3):
+                new_attrs.append(jnp.where(win, row[32 + c], attrs[6 + c]))
         return best_key, tuple(new_attrs)
 
+    nattr = 9 if has_materials else 6
     init = (
         jnp.full((tile_h, tile_w), DEPTH_CLEAR_BITS, jnp.uint32),
-        tuple(zero for _ in range(6)),
+        tuple(zero for _ in range(nattr)),
     )
     best_key, attrs = jax.lax.fori_loop(0, count, body, init)
 
@@ -330,9 +354,17 @@ def _raster_tile(
     eye_y = params_ref[1, 1]
     eye_z = params_ref[1, 2]
 
-    r = jnp.full((tile_h, tile_w), F32(0.1))
-    g = jnp.full((tile_h, tile_w), F32(0.1))
-    b = jnp.full((tile_h, tile_w), F32(0.1))
+    if has_materials:
+        # Material epilogue: ambient + diffuse modulated by the winner's
+        # kd; specular unmodulated (same op order as common.shade).
+        kdr, kdg, kdb = attrs[6], attrs[7], attrs[8]
+        r = F32(0.1) * kdr
+        g = F32(0.1) * kdg
+        b = F32(0.1) * kdb
+    else:
+        r = jnp.full((tile_h, tile_w), F32(0.1))
+        g = jnp.full((tile_h, tile_w), F32(0.1))
+        b = jnp.full((tile_h, tile_w), F32(0.1))
 
     vdx = eye_x - wx
     vdy = eye_y - wy
@@ -371,10 +403,16 @@ def _raster_tile(
         s = jnp.where(s > F32(0.0), s, F32(0.0))
         spec = _pow32(s)
 
-        contrib = diff + spec * F32(0.5)
-        r = r + contrib * lcr * inten
-        g = g + contrib * lcg * inten
-        b = b + contrib * lcb * inten
+        if has_materials:
+            spec_half = spec * F32(0.5)
+            r = r + (diff * kdr + spec_half) * lcr * inten
+            g = g + (diff * kdg + spec_half) * lcg * inten
+            b = b + (diff * kdb + spec_half) * lcb * inten
+        else:
+            contrib = diff + spec * F32(0.5)
+            r = r + contrib * lcr * inten
+            g = g + contrib * lcg * inten
+            b = b + contrib * lcb * inten
 
     flag = best_key != DEPTH_CLEAR_BITS
     gamma = F32(1.0 / 2.2)
@@ -416,6 +454,7 @@ def _raster_kernel_wl(
     ntx: int,
     num_lights: int,
     dense_rows: bool,
+    has_materials: bool = False,
 ):
     """Work-list variant of ``_raster_kernel``: the grid is the (dynamic)
     number of OCCUPIED tiles; step i renders tile ``wl[i]``. Empty tiles —
@@ -501,6 +540,7 @@ def _raster_kernel_wl(
         rgba_ref, key_ref,
         wait_list, read_slot, ti, tj, count,
         tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
+        has_materials=has_materials,
     )
 
 
@@ -585,9 +625,12 @@ def raster_shade_tiles(
 
     grid = (nty, ntx)
     dense_rows = layout == "dense"
+    # Static shape dispatch: a 35-wide table carries the material
+    # extension's kd columns and selects the modulated epilogue.
+    has_materials = tri_table.shape[1] > TRI_TABLE_WIDTH
     kernel = functools.partial(
         _raster_kernel, tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
-        dense_rows=dense_rows,
+        dense_rows=dense_rows, has_materials=has_materials,
     )
     if dense_rows:
         scratch_shapes = [
@@ -608,6 +651,7 @@ def raster_shade_tiles(
         wl_kernel = functools.partial(
             _raster_kernel_wl, tile_h=tile_h, tile_w=tile_w, ntx=ntx,
             num_lights=num_lights, dense_rows=dense_rows,
+            has_materials=has_materials,
         )
         rgba_clear = jnp.full((height_padded, width_padded), 0xFFFF0000,
                               jnp.uint32)

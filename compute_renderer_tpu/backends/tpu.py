@@ -235,6 +235,10 @@ def render_frame(
     # Static EFFECT_* code per scene config: lets the micro kernel compile
     # the mirage sample warp out of non-mirage scenes. None = dynamic.
     effect_kind: int | None = None,
+    # Material extension: (T, 3) f32 per-triangle diffuse (Mesh.face_kd).
+    # Forces the tile path (the micro coefficient stream is fixed at 32
+    # f32/pair); None keeps every default path bitwise unchanged.
+    face_kd=None,
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
     overflow (2,) i32 = [pair_cap_needed, tile_cap_needed] where 0 means
@@ -259,7 +263,7 @@ def render_frame(
         interpret = _use_interpret()
 
     T = int(tri.shape[0])
-    if resolve_path(path, T, tri_chunk) == "micro":
+    if face_kd is None and resolve_path(path, T, tri_chunk) == "micro":
         return render_frame_micro(
             positions, normals, uvs, tri, view_proj, view_position,
             light_world_pos, light_color, light_intensity, effect,
@@ -306,7 +310,8 @@ def render_frame(
         # Stage 3+4: fused Pallas raster + attribute interpolation +
         # shading over the padded tile grid (chunk-local triangle ids).
         tri_table = pallas_raster.build_tri_table(
-            screen, tri[c0:c1], uvs32, normals32, world
+            screen, tri[c0:c1], uvs32, normals32, world,
+            face_kd=None if face_kd is None else face_kd[c0:c1],
         )
         pair_data = (
             bins["bin_rows"] if bins["layout"] == "dense" else bins["pair_tri"]
@@ -387,7 +392,8 @@ def render(mesh, camera_uniform, lights, effect, width, height,
     them and re-render."""
     light_world_pos, light_color, light_intensity = lights
     T = max(mesh.indices.shape[0] // 3, 1)
-    path = resolve_path(path, T)
+    face_kd = getattr(mesh, "face_kd", None)
+    path = "tile" if face_kd is not None else resolve_path(path, T)
     caps = default_caps(path, T, width, height, tile_h, tile_w)
     pc = pair_cap or caps["pair_cap"]
     if path != "micro":
@@ -423,6 +429,7 @@ def render(mesh, camera_uniform, lights, effect, width, height,
                 *args, width=width, height=height, tile_h=tile_h,
                 tile_w=tile_w, pair_cap=pc, tile_cap=tc, path="tile",
                 worklist=worklist,
+                face_kd=None if face_kd is None else jnp.asarray(face_kd),
             )
         flags = np.asarray(overflow)
         if not flags.any():

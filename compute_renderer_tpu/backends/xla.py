@@ -55,8 +55,13 @@ def render_frame(
     screen=None,
     world=None,
     tri_table=None,
+    face_kd=None,  # (T, 3) f32 per-triangle diffuse (material extension)
 ):
     """Render one frame; returns ((H, W, 4) uint8 RGBA, depth_key (H,W) u32).
+
+    ``face_kd`` (optional) enables the material extension: the winning
+    triangle's diffuse color modulates ambient + diffuse in ``common.shade``
+    (specular unmodulated); None keeps the reference formula bitwise.
 
     ``screen``/``world``/``tri_table`` may be injected (normally they are
     computed here). Injection exists for the cross-backend bitwise parity
@@ -202,6 +207,17 @@ def render_frame(
             "normal": jnp.where(flag[..., None], nrm, zero),
             "world_pos": jnp.where(flag[..., None], wpos, zero),
         }
+    if face_kd is not None:
+        flag = gbuffer["flag"]
+        kd = face_kd.astype(F32)[jnp.where(flag, best_tri, 0)]
+        gbuffer["kd"] = jnp.where(flag[..., None], kd, F32(1.0))
+    elif tri_table is not None and tri_table.shape[1] > 32:
+        # Material-extension table (35-wide, kd in 32:35) injected by the
+        # cross-backend parity tests: read the winner's kd from the rows,
+        # exactly as the Pallas kernel does.
+        flag = gbuffer["flag"]
+        kd = jnp.stack([row[..., 32], row[..., 33], row[..., 34]], axis=-1)
+        gbuffer["kd"] = jnp.where(flag[..., None], kd, F32(1.0))
     rgba = common.shade(
         gbuffer, view_position, light_world_pos.astype(F32),
         light_color.astype(F32), light_intensity.astype(F32),
@@ -229,5 +245,7 @@ def render(mesh, camera_uniform, lights, effect, width, height,
         tile_h=tile_h,
         tile_w=tile_w,
         chunk=chunk,
+        face_kd=(jnp.asarray(mesh.face_kd)
+                 if getattr(mesh, "face_kd", None) is not None else None),
     )
     return np.asarray(rgba)

@@ -185,8 +185,12 @@ def render_golden(
     height: int,
     tile_size: int = 8,
     return_gbuffer: bool = False,
+    face_kd: np.ndarray | None = None,  # (T, 3) per-tri diffuse (extension)
 ) -> np.ndarray:
-    """Render one frame; returns (H, W, 4) uint8 RGBA."""
+    """Render one frame; returns (H, W, 4) uint8 RGBA.
+
+    ``face_kd`` enables the material extension (per-triangle diffuse
+    modulating ambient + diffuse; see backends/common.py ``shade``)."""
     effect = np.asarray(effect, dtype=F32)
     world_pos, screen = vertex_stage(
         mesh_positions, view_proj, effect, width, height
@@ -201,6 +205,8 @@ def render_golden(
     frag_normal = np.zeros((height, width, 3), dtype=F32)
     frag_pos = np.zeros((height, width, 3), dtype=F32)
     frag_flag = np.zeros((height, width), dtype=bool)
+    frag_kd = (np.ones((height, width, 3), dtype=F32)
+               if face_kd is not None else None)
 
     etype = int(effect[0])
     # Voxelize inflation threshold (rasteriser.wgsl:127-131).
@@ -272,10 +278,13 @@ def render_golden(
         )
         frag_pos[sel] = b1 * world_pos[i1] + b2 * world_pos[i2] + b3 * world_pos[i3]
         frag_flag[sel] = True
+        if frag_kd is not None:
+            frag_kd[sel] = face_kd[t].astype(F32)
 
     rgba = shade_fragments(
         frag_flag, frag_normal, frag_pos,
         view_position, light_world_pos, light_color, light_intensity,
+        kd=frag_kd,
     )
     if return_gbuffer:
         return rgba, {
@@ -289,15 +298,21 @@ def render_golden(
 
 
 def shade_fragments(flag, normal, pos, view_position, light_world_pos,
-                    light_color, light_intensity):
+                    light_color, light_intensity, kd=None):
     """Deferred Phong shading pass (fragment.wgsl:50-93).
 
     Quirks kept from the reference: world-space light direction (the uploaded
     view-space light position is dead code there), interpolated normal NOT
     renormalized, Phong (not Blinn-Phong) with spec * 0.5, pow 32, ambient
-    0.1, clamp then gamma 1/2.2, blue background."""
+    0.1, clamp then gamma 1/2.2, blue background.
+
+    ``kd`` (H,W,3, optional): material-extension per-pixel diffuse —
+    modulates ambient + diffuse, same op order as backends/common.shade."""
     H, W = flag.shape
-    final = np.full((H, W, 3), F32(0.1), dtype=F32)
+    if kd is None:
+        final = np.full((H, W, 3), F32(0.1), dtype=F32)
+    else:
+        final = (F32(0.1) * kd.astype(F32)).astype(F32)
 
     eye = np.asarray(view_position, dtype=F32)[:3]
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -329,7 +344,11 @@ def shade_fragments(flag, normal, pos, view_position, light_world_pos,
             s16 = s8 * s8
             spec = s16 * s16
 
-            final += ((diff + spec * F32(0.5))[..., None] * lc[None, None, :] * inten)
+            if kd is None:
+                contrib = (diff + spec * F32(0.5))[..., None]
+            else:
+                contrib = diff[..., None] * kd + (spec * F32(0.5))[..., None]
+            final += contrib * lc[None, None, :] * inten
 
     final = np.clip(final, 0.0, 1.0)
     srgb = final ** F32(1.0 / 2.2)
