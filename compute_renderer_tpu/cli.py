@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Output PNG path (frame index appended for --frames>1)")
     p.add_argument("--interactive", action="store_true",
                    help="Open an interactive viewer window (requires display)")
+    p.add_argument("--materials", action="store_true",
+                   help="Resolve MTL diffuse colors into per-triangle "
+                   "shading (extension; the reference discards materials)")
 
     sub = p.add_subparsers(dest="command")
 
@@ -160,6 +163,7 @@ def scene_config_from_args(args) -> SceneConfig:
         camera_config=camera_config,
         backend_type=backend,
         effect=effect_from_args(args),
+        enable_materials=getattr(args, "materials", False),
     )
 
 

@@ -79,6 +79,15 @@ class Renderer:
         self.uvs = jnp.asarray(mesh.uvs)
         self.tri = jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3)
         self.num_triangles = int(self.tri.shape[0])
+        # Material extension: per-triangle diffuse, consumed by the tpu and
+        # xla backends (wgpu-faithful models the reference's material-less
+        # hardware pipeline and ignores it — faithful by definition).
+        kd = getattr(mesh, "face_kd", None)
+        self.face_kd = (
+            jnp.asarray(kd)
+            if kd is not None and self.backend_name in ("tpu", "xla")
+            else None
+        )
         # Corner-SoA geometry (3 corners, 3 comps, T) for the tpu backend's
         # micro (mega-scene) path: gathered + transposed ONCE at upload
         # (indices are static per mesh) so the per-frame front-end is
@@ -91,7 +100,8 @@ class Renderer:
             path = resolve_path(self.options.get("path", "auto"),
                                 self.num_triangles,
                                 self.options.get("tri_chunk", 0))
-            if path == "micro":
+            if path == "micro" and self.face_kd is None:
+                # (Material meshes force the tile path — see tpu.render_frame.)
                 self.pos_soa = self.positions[self.tri].transpose(1, 2, 0)
                 self.nrm_soa = self.normals[self.tri].transpose(1, 2, 0)
         self._step_cache.clear()
@@ -145,6 +155,8 @@ class Renderer:
         if self.pos_soa is not None:
             options = dict(options, pos_soa=self.pos_soa,
                            nrm_soa=self.nrm_soa)
+        if self.face_kd is not None:
+            options = dict(options, face_kd=self.face_kd)
 
         @jax.jit
         def step(packed):

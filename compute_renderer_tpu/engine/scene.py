@@ -60,6 +60,9 @@ class SceneConfig:
     camera_config: CameraConfig = field(default_factory=CameraConfig)
     benchmark_duration_secs: Optional[float] = None  # None = endless (u64::MAX)
     backend_type: str = "tpu"
+    # Material extension (beyond the reference, which discards MTL data,
+    # model.rs:24): resolve MTL diffuse colors into per-triangle shading.
+    enable_materials: bool = False
 
     def scene_name(self) -> str:
         return f"Scene {self.model_path} - {self.normalized_backend()} Pipeline"
@@ -99,7 +102,8 @@ class Scene:
     def from_config(config: SceneConfig, width: int, height: int) -> "Scene":
         """Reference Scene::from_config (scene.rs:62-95)."""
         scene = Scene()
-        scene.add_model(Model.load(config.model_path))
+        scene.add_model(Model.load(config.model_path,
+                                   materials=config.enable_materials))
         for (position, color, intensity) in config.lights:
             scene.add_light(position, color, intensity)
         scene.effect = config.effect

@@ -114,3 +114,47 @@ def test_tpu_render_forces_tile_path_for_materials():
     # regardless of the requested path).
     img = tpu.render(mesh, u, lights_at_camera(), effect, W, H, path="auto")
     assert img.shape == (H, W, 4)
+
+
+def test_scene_renderer_materials(tmp_path):
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import CameraConfig, Scene, SceneConfig
+
+    (tmp_path / "lib.mtl").write_text("newmtl red\nKd 0.9 0.1 0.1\n")
+    (tmp_path / "tri.obj").write_text(
+        "mtllib lib.mtl\nv -1 -1 0\nv 1 -1 0\nv 0 1 0\n"
+        "vn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+        "usemtl red\nf 1//1 2//2 3//3\n"
+    )
+    cfg = SceneConfig(model_path=str(tmp_path / "tri.obj"),
+                      camera_config=CameraConfig.first_person((0, 0, 3.0)),
+                      enable_materials=True)
+    scene = Scene.from_config(cfg, 64, 48)
+    assert scene.mesh.face_kd is not None
+
+    r = Renderer(scene.mesh, 64, 48, backend="tpu",
+                 **scene.renderer_options())
+    img = r.render(scene.update(0.0))
+    # Off-config: same scene without materials shades gray, not red.
+    cfg_off = SceneConfig(model_path=cfg.model_path,
+                          camera_config=cfg.camera_config)
+    scene_off = Scene.from_config(cfg_off, 64, 48)
+    assert scene_off.mesh.face_kd is None
+    r_off = Renderer(scene_off.mesh, 64, 48, backend="tpu",
+                     **scene_off.renderer_options())
+    img_off = r_off.render(scene_off.update(0.0))
+    covered = img[..., 2] != 255
+    assert covered.any()
+    # The red material shifts R above G on covered pixels; the plain render
+    # keeps them equal (gray).
+    assert (img[covered][:, 0] > img[covered][:, 1]).all()
+    assert (img_off[covered][:, 0] == img_off[covered][:, 1]).all()
+
+
+def test_cli_materials_flag(tmp_path):
+    from compute_renderer_tpu.cli import build_parser, scene_config_from_args
+
+    args = build_parser().parse_args(["--materials", "--model-path", "x.obj"])
+    assert scene_config_from_args(args).enable_materials
+    args = build_parser().parse_args(["--model-path", "x.obj"])
+    assert not scene_config_from_args(args).enable_materials
