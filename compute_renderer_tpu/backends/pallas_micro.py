@@ -61,6 +61,18 @@ from compute_renderer_tpu.core.effects import EFFECT_MIRAGE
 F32 = jnp.float32
 PAIR_IDX_CLEAR = np.int32(2**31 - 1)
 
+# Rows per 128-pair superblock of the coefficient stream. Base layout: the
+# 32 affine columns of pallas_raster.TRI_TABLE_WIDTH. Material extension
+# (per-triangle kd at rows 32:35, pallas_raster.MAT_TRI_TABLE_WIDTH): 35
+# used rows padded to 40 so superblock row offsets stay 8-aligned for VMEM
+# slicing.
+SB_ROWS = 32
+SB_ROWS_MAT = 40
+
+
+def _sb_rows(mat: bool) -> int:
+    return SB_ROWS_MAT if mat else SB_ROWS
+
 
 def _selection_matrix():
     """(128, 128) f32 0/1: S[q, j] = 1 iff lane j belongs to group q.
@@ -96,24 +108,27 @@ def _micro_kernel(
     *,
     num_lights: int,
     skip_mirage: bool = False,
+    mat: bool = False,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     ntx = pl.num_programs(1)
     tile_id = ti * ntx + tj
     W = win_a.shape[0]  # chunk rows
+    rows = _sb_rows(mat)
 
     count = tile_count_ref[tile_id]
     # Window base: the superblock (128-pair group) containing the tile's
-    # first pair. All window arithmetic is in PAIR units; rows = pairs / 4
-    # (each (32, 128) superblock holds 128 pairs' 32 coefficients).
+    # first pair. All window arithmetic is in PAIR units; row offset of
+    # pair p is (p / 128) * rows (each (rows, 128) superblock holds 128
+    # pairs' coefficients).
     w0 = pl.multiple_of((win_start_ref[tile_id] // 128) * 128, 128)
     # Cells are contiguous in the sorted pair list, so the tile's pairs are
     # [first, first + count) with first = seg_start of its cell 0; the
     # chunk walk covers ceil(span / chunk_pairs) chunks — dynamic trip
     # count, NO static per-tile density ceiling.
     first = seg_start_ref[tile_id * 16]
-    chunk_pairs = W * 4
+    chunk_pairs = (W // rows) * 128
     span = first + count - w0
     nchunks = (span + chunk_pairs - 1) // chunk_pairs
 
@@ -128,13 +143,13 @@ def _micro_kernel(
         # first block and double-buffers subsequent chunks (issue k+1 while
         # evaluating k).
         pltpu.make_async_copy(
-            coeffs_ref.at[pl.ds(w0 // 4, W), :], win_a, sem_a
+            coeffs_ref.at[pl.ds((w0 // 128) * rows, W), :], win_a, sem_a
         ).start()
         _raster_tile_micro(
             params_ref, lights_ref, seg_start_ref, seg_count_ref,
             coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
             w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
-            skip_mirage=skip_mirage,
+            skip_mirage=skip_mirage, mat=mat,
         )
 
 
@@ -164,6 +179,7 @@ def _micro_kernel_wl(
     ntx: int,
     num_lights: int,
     skip_mirage: bool = False,
+    mat: bool = False,
 ):
     """Work-list variant of ``_micro_kernel`` (the micro-path analog of
     pallas_raster._raster_kernel_wl): the grid is the dynamic count of
@@ -177,22 +193,23 @@ def _micro_kernel_wl(
     ti = tile_id // ntx
     tj = tile_id - ti * ntx
     W = win_a.shape[0]
+    rows = _sb_rows(mat)
 
     count = tile_count_ref[tile_id]  # > 0 by work-list construction
     w0 = pl.multiple_of((win_start_ref[tile_id] // 128) * 128, 128)
     first = seg_start_ref[tile_id * 16]
-    chunk_pairs = W * 4
+    chunk_pairs = (W // rows) * 128
     span = first + count - w0
     nchunks = (span + chunk_pairs - 1) // chunk_pairs
 
     pltpu.make_async_copy(
-        coeffs_ref.at[pl.ds(w0 // 4, W), :], win_a, sem_a
+        coeffs_ref.at[pl.ds((w0 // 128) * rows, W), :], win_a, sem_a
     ).start()
     _raster_tile_micro(
         params_ref, lights_ref, seg_start_ref, seg_count_ref,
         coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
         w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
-        skip_mirage=skip_mirage,
+        skip_mirage=skip_mirage, mat=mat,
     )
 
 
@@ -200,7 +217,7 @@ def _raster_tile_micro(
     params_ref, lights_ref, seg_start_ref, seg_count_ref, coeffs_ref,
     rgba_ref, key_ref, win_a, win_b, sem_a, sem_b, w0, nchunks,
     ti, tj, tile_id,
-    *, num_lights: int, skip_mirage: bool = False,
+    *, num_lights: int, skip_mirage: bool = False, mat: bool = False,
 ):
     threshold = params_ref[0, 0]
     melt_threshold = params_ref[0, 1]
@@ -211,7 +228,9 @@ def _raster_tile_micro(
     time = params_ref[0, 6]
 
     W = win_a.shape[0]
-    CP = W * 4  # pairs per chunk
+    rows = _sb_rows(mat)
+    nattr = 9 if mat else 6  # [nx ny nz wx wy wz] (+ per-tri kd r g b)
+    CP = (W // rows) * 128  # pairs per chunk
     sel = _selection_matrix()
 
     y0 = (ti * 8).astype(F32) + params_ref[0, 7]
@@ -223,7 +242,7 @@ def _raster_tile_micro(
 
     # Per-tile accumulated framebuffer state.
     acc_key = jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32)
-    acc_attrs = tuple(jnp.zeros((8, 128), F32) for _ in range(6))
+    acc_attrs = tuple(jnp.zeros((8, 128), F32) for _ in range(nattr))
     # Chunk currently resident (-1: chunk 0 issued but not yet waited on).
     # Blocks walk pairs in non-decreasing order across cells (segments are
     # contiguous), each 16-pair block lies inside ONE chunk (16 | 128 | CP
@@ -287,22 +306,26 @@ def _raster_tile_micro(
                 @pl.when(adv & more & even)
                 def _():
                     pltpu.make_async_copy(
-                        coeffs_ref.at[pl.ds((w0 + (ck + 1) * CP) // 4, W), :],
+                        coeffs_ref.at[
+                            pl.ds(((w0 + (ck + 1) * CP) // 128) * rows, W), :
+                        ],
                         win_b, sem_b,
                     ).start()
 
                 @pl.when(adv & more & ~even)
                 def _():
                     pltpu.make_async_copy(
-                        coeffs_ref.at[pl.ds((w0 + (ck + 1) * CP) // 4, W), :],
+                        coeffs_ref.at[
+                            pl.ds(((w0 + (ck + 1) * CP) // 128) * rows, W), :
+                        ],
                         win_a, sem_a,
                     ).start()
 
                 rel = ap - w0 - ck * CP  # pair offset within the chunk
-                row = (rel // 128) * 32  # superblock row (32-row aligned)
+                row = (rel // 128) * rows  # superblock row (8-aligned)
                 lo = rel - (rel // 128) * 128  # lane of the block's first pair
-                SBa = win_a[pl.ds(row, 32), :]
-                SBb = win_b[pl.ds(row, 32), :]
+                SBa = win_a[pl.ds(row, rows), :]
+                SBb = win_b[pl.ds(row, rows), :]
                 SB = jnp.where(even, SBa, SBb)
                 # Rotate the block's 16 pairs to lanes 0..15, then bit-exact
                 # f32 selection matmul: E[r, j] = coefficient r of pair
@@ -312,7 +335,7 @@ def _raster_tile_micro(
                     Mt, sel, (((1,), (0,)), ((), ())),
                     preferred_element_type=F32,
                     precision=jax.lax.Precision.HIGHEST,
-                )  # (32, 128); row r = coefficient r per lane
+                )  # (rows, 128); row r = coefficient r per lane
 
                 def coef(r):
                     return jnp.broadcast_to(E[r : r + 1, :], (8, 128))
@@ -346,12 +369,19 @@ def _raster_tile_micro(
                     interp = (coef(12 + ch * 3) + coef(13 + ch * 3) * dx
                               + coef(14 + ch * 3) * dy)
                     new_attrs.append(jnp.where(win, interp, attrs[ch]))
+                if mat:
+                    # Winner's per-triangle diffuse: constant rows 32:35
+                    # (broadcast, not interpolated — pallas_raster layout).
+                    for ch in range(3):
+                        new_attrs.append(
+                            jnp.where(win, coef(32 + ch), attrs[6 + ch])
+                        )
                 return best_key, best_pair, tuple(new_attrs), ck
 
             init = (
                 jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32),
                 jnp.full((8, 128), PAIR_IDX_CLEAR, jnp.int32),
-                tuple(jnp.zeros((8, 128), F32) for _ in range(6)),
+                tuple(jnp.zeros((8, 128), F32) for _ in range(nattr)),
                 cur,
             )
             ckey, cpair, cattrs, cur = jax.lax.fori_loop(
@@ -368,7 +398,7 @@ def _raster_tile_micro(
                 win = (k2 < ckey) | ((k2 == ckey) & (p2 < cpair))
                 ckey = jnp.where(win, k2, ckey)
                 cpair = jnp.where(win, p2, cpair)
-                for ch in range(6):
+                for ch in range(nattr):
                     a2 = pltpu.roll(cattrs[ch], 128 - stride, 1)
                     cattrs[ch] = jnp.where(win, a2, cattrs[ch])
 
@@ -377,7 +407,7 @@ def _raster_tile_micro(
             new_key = jnp.where(in_cell, ckey, acc_key)
             new_attrs = tuple(
                 jnp.where(in_cell, cattrs[ch], acc_attrs[ch])
-                for ch in range(6)
+                for ch in range(nattr)
             )
             return new_key, new_attrs, cur
 
@@ -393,9 +423,18 @@ def _raster_tile_micro(
     eye_y = params_ref[1, 1]
     eye_z = params_ref[1, 2]
 
-    r = jnp.full((8, 128), F32(0.1))
-    g = jnp.full((8, 128), F32(0.1))
-    b = jnp.full((8, 128), F32(0.1))
+    if mat:
+        # Material epilogue: ambient + diffuse modulated by the winner's
+        # kd; specular unmodulated (same op order as common.shade and the
+        # tile kernel's material branch).
+        kdr, kdg, kdb = acc_attrs[6], acc_attrs[7], acc_attrs[8]
+        r = F32(0.1) * kdr
+        g = F32(0.1) * kdg
+        b = F32(0.1) * kdb
+    else:
+        r = jnp.full((8, 128), F32(0.1))
+        g = jnp.full((8, 128), F32(0.1))
+        b = jnp.full((8, 128), F32(0.1))
 
     vdx = eye_x - wx
     vdy = eye_y - wy
@@ -433,10 +472,16 @@ def _raster_tile_micro(
         sp = jnp.where(sp > F32(0.0), sp, F32(0.0))
         spec = _pow32(sp)
 
-        contrib = diff + spec * F32(0.5)
-        r = r + contrib * lcr * inten
-        g = g + contrib * lcg * inten
-        b = b + contrib * lcb * inten
+        if mat:
+            spec_half = spec * F32(0.5)
+            r = r + (diff * kdr + spec_half) * lcr * inten
+            g = g + (diff * kdg + spec_half) * lcg * inten
+            b = b + (diff * kdb + spec_half) * lcb * inten
+        else:
+            contrib = diff + spec * F32(0.5)
+            r = r + contrib * lcr * inten
+            g = g + contrib * lcg * inten
+            b = b + contrib * lcb * inten
 
     flag = acc_key != DEPTH_CLEAR_BITS
     gamma = F32(1.0 / 2.2)
@@ -455,10 +500,16 @@ def _raster_tile_micro(
 
 
 CHUNK_ROWS = 512  # rows per streamed window chunk (2 x 256 KiB VMEM
-#                   buffers); 1 row = 4 pairs, so a chunk spans 2048 pairs
+#                   buffers); 16 superblocks of 32 rows = 2048 pairs
+CHUNK_ROWS_MAT = 520  # material stream: 13 superblocks of 40 rows
+#                       (1664 pairs; 2 x 260 KiB VMEM buffers)
 
 
-def build_tri_table_c64(screen_soa, nrm_soa, wld_soa):
+def default_chunk_rows(mat: bool) -> int:
+    return CHUNK_ROWS_MAT if mat else CHUNK_ROWS
+
+
+def build_tri_table_c64(screen_soa, nrm_soa, wld_soa, face_kd=None):
     """(T, 16) complex64 coefficient table: element k of row t packs
     coefficients (2k, 2k+1) as (real, imag).
 
@@ -467,46 +518,58 @@ def build_tri_table_c64(screen_soa, nrm_soa, wld_soa):
     pair-order gather — the single most expensive op of the mega-scene
     frame. Bit-exact: complex pack/unpack moves the f32 payloads verbatim
     (no arithmetic; the table's only non-finite values are qNaNs from
-    degenerate triangles, which quieting maps to themselves)."""
+    degenerate triangles, which quieting maps to themselves).
+
+    With ``face_kd`` (T, 3) the material columns append (35 wide, one zero
+    pad column to keep pairs even) -> (T, 18) complex64."""
     from compute_renderer_tpu.backends import pallas_raster
 
-    cols = pallas_raster.tri_table_columns(screen_soa, nrm_soa, wld_soa)
+    cols = pallas_raster.tri_table_columns(screen_soa, nrm_soa, wld_soa,
+                                           face_kd=face_kd)
+    if len(cols) % 2:
+        cols = cols + [jnp.zeros_like(cols[0])]
     packed = [
         jax.lax.complex(cols[2 * k], cols[2 * k + 1])
-        for k in range(TRI_TABLE_WIDTH // 2)
+        for k in range(len(cols) // 2)
     ]
     return jnp.stack(packed, axis=1)
 
 
-def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int = CHUNK_ROWS):
+def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int | None = None):
     """Coefficient-major packed pair stream: (R, 128) f32 where superblock
-    sb (rows 32*sb .. 32*sb+31) holds pairs 128*sb .. 128*sb+127 —
-    ``out[32*sb + r, l]`` is coefficient r of pair 128*sb + l.
+    sb (rows W*sb .. W*sb+W-1, W = 32 base / 40 material) holds pairs
+    128*sb .. 128*sb+127 — ``out[W*sb + r, l]`` is coefficient r of pair
+    128*sb + l.
 
     Gathers the affine table into sorted-pair order and transposes per
     128-pair superblock: 32 B/pair in the stream, dense (the row-per-pair
     form padded 32 lanes to 128 — a 4x pad write and 4x the kernel DMA
-    bytes). ``tri_table`` may be the (T, 32) f32 table or the (T, 16)
-    complex64 packed form (``build_tri_table_c64``) — the latter halves
-    the gather's element count, 2x on TPU. Tail pairs pad so the last
-    chunk read of ``chunk_rows`` rows stays in bounds."""
-    gathered = tri_table[pair_tri]  # (P, 32) f32 | (P, 16) c64
+    bytes). ``tri_table`` may be the f32 table ((T, 32), or (T, 35) with
+    the material kd columns) or the complex64 packed form
+    (``build_tri_table_c64``) — the latter halves the gather's element
+    count, 2x on TPU. Material tables pad to the 40-row superblock
+    (``SB_ROWS_MAT``). Tail pairs pad so the last chunk read of
+    ``chunk_rows`` rows stays in bounds."""
+    gathered = tri_table[pair_tri]  # (P, 32|35) f32 | (P, 16|18) c64
     if jnp.iscomplexobj(gathered):
         gathered = jnp.stack(
             [jnp.real(gathered), jnp.imag(gathered)], axis=2
-        ).reshape(-1, TRI_TABLE_WIDTH)
+        ).reshape(gathered.shape[0], -1)
+    width = gathered.shape[1]
+    rows = SB_ROWS if width <= SB_ROWS else SB_ROWS_MAT
+    if chunk_rows is None:
+        chunk_rows = default_chunk_rows(rows == SB_ROWS_MAT)
+    chunk_pairs = (chunk_rows // rows) * 128
     P = gathered.shape[0]
-    P_pad = ((P + 127) // 128) * 128 + chunk_rows * 4 + 128
-    g = jnp.pad(gathered, ((0, P_pad - P), (0, 0)))
-    return g.reshape(-1, 128, TRI_TABLE_WIDTH).transpose(0, 2, 1).reshape(
-        -1, 128
-    )
+    P_pad = ((P + 127) // 128) * 128 + chunk_pairs + 128
+    g = jnp.pad(gathered, ((0, P_pad - P), (0, rows - width)))
+    return g.reshape(-1, 128, rows).transpose(0, 2, 1).reshape(-1, 128)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("height_padded", "width_padded", "chunk_rows",
-                     "interpret", "effect_kind", "worklist"),
+                     "interpret", "effect_kind", "worklist", "mat"),
 )
 def raster_shade_micro(
     pair_coeffs,  # (P_pad, 128) f32
@@ -522,11 +585,12 @@ def raster_shade_micro(
     *,
     height_padded: int,
     width_padded: int,
-    chunk_rows: int = CHUNK_ROWS,
+    chunk_rows: int | None = None,
     interpret: bool = False,
     y_offset=0,
     effect_kind: int | None = None,
     worklist: bool = True,
+    mat: bool = False,
 ):
     """Run the micro kernel over the padded framebuffer.
 
@@ -539,9 +603,15 @@ def raster_shade_micro(
     bitwise-identical output (empty tiles come from the pre-cleared
     aliased framebuffer).
 
+    ``mat`` (static): material-extension stream — 40-row superblocks with
+    the winner's per-triangle kd (rows 32:35) carried to the modulated
+    shading epilogue. ``pair_coeffs`` must come from a material table.
+
     Returns (rgba_packed (Hp,Wp) u32, best_key (Hp,Wp) u32)."""
     nty = height_padded // 8
     ntx = width_padded // 128
+    if chunk_rows is None:
+        chunk_rows = default_chunk_rows(mat)
 
     from compute_renderer_tpu.backends import common
 
@@ -587,7 +657,7 @@ def raster_shade_micro(
         wl, k = occupied_worklist(tile_count.astype(jnp.int32))
         wl_kernel = functools.partial(
             _micro_kernel_wl, ntx=ntx, num_lights=num_lights,
-            skip_mirage=skip_mirage,
+            skip_mirage=skip_mirage, mat=mat,
         )
         rgba_clear = jnp.full((height_padded, width_padded), 0xFFFF0000,
                               jnp.uint32)
@@ -642,7 +712,7 @@ def raster_shade_micro(
         return rgba, best_key
 
     kernel = functools.partial(_micro_kernel, num_lights=num_lights,
-                               skip_mirage=skip_mirage)
+                               skip_mirage=skip_mirage, mat=mat)
     rgba, best_key = pl.pallas_call(
         kernel,
         grid=(nty, ntx),

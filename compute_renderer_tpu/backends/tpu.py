@@ -90,6 +90,7 @@ def render_frame_micro(
     pos_soa=None,
     nrm_soa=None,
     effect_kind: int | None = None,  # static EFFECT_* code per scene config
+    face_kd=None,  # (T, 3) f32 per-triangle diffuse (material extension)
 ):
     """Mega-scene path: 8x8-cell binning (ONE global sort) + the lane-packed
     micro kernel (pallas_micro). Coefficients stream from HBM, so there is
@@ -163,8 +164,12 @@ def render_frame_micro(
         # complex64-packed table: halves the pair-order gather's element
         # count (the frame's most expensive op at mega scale) — bit-exact.
         tri_table = pallas_micro.build_tri_table_c64(
-            screen_soa, nrm_tuples, world_soa
+            screen_soa, nrm_tuples, world_soa, face_kd=face_kd
         )
+    # Static: material tables are wider than the 32-coefficient base form
+    # ((T, 35) f32 or (T, 18) c64) and select the 40-row stream + the
+    # modulated shading epilogue.
+    mat = tri_table.shape[1] > (16 if jnp.iscomplexobj(tri_table) else 32)
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
     rgba_packed, best_key_p = pallas_micro.raster_shade_micro(
         pair_coeffs,
@@ -181,6 +186,7 @@ def render_frame_micro(
         width_padded=ntx * 128,
         interpret=interpret,
         effect_kind=effect_kind,
+        mat=mat,
     )
     rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
     best_key = best_key_p[:height, :width]
@@ -236,8 +242,9 @@ def render_frame(
     # the mirage sample warp out of non-mirage scenes. None = dynamic.
     effect_kind: int | None = None,
     # Material extension: (T, 3) f32 per-triangle diffuse (Mesh.face_kd).
-    # Forces the tile path (the micro coefficient stream is fixed at 32
-    # f32/pair); None keeps every default path bitwise unchanged.
+    # Both paths support it (the micro path widens its coefficient stream
+    # to 40-row superblocks); None keeps every default path bitwise
+    # unchanged.
     face_kd=None,
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
@@ -263,13 +270,13 @@ def render_frame(
         interpret = _use_interpret()
 
     T = int(tri.shape[0])
-    if face_kd is None and resolve_path(path, T, tri_chunk) == "micro":
+    if resolve_path(path, T, tri_chunk) == "micro":
         return render_frame_micro(
             positions, normals, uvs, tri, view_proj, view_position,
             light_world_pos, light_color, light_intensity, effect,
             width=width, height=height, pair_cap=pair_cap,
             interpret=interpret, pos_soa=pos_soa, nrm_soa=nrm_soa,
-            effect_kind=effect_kind,
+            effect_kind=effect_kind, face_kd=face_kd,
         )
     if tri_chunk == 0:
         tri_chunk = MAX_TRI_TABLE_BYTES // (pallas_raster.TRI_TABLE_WIDTH * 4)
@@ -393,7 +400,7 @@ def render(mesh, camera_uniform, lights, effect, width, height,
     light_world_pos, light_color, light_intensity = lights
     T = max(mesh.indices.shape[0] // 3, 1)
     face_kd = getattr(mesh, "face_kd", None)
-    path = "tile" if face_kd is not None else resolve_path(path, T)
+    path = resolve_path(path, T)
     caps = default_caps(path, T, width, height, tile_h, tile_w)
     pc = pair_cap or caps["pair_cap"]
     if path != "micro":
@@ -422,6 +429,7 @@ def render(mesh, camera_uniform, lights, effect, width, height,
         if path == "micro":
             rgba, _, overflow = render_frame_micro(
                 *args, width=width, height=height, pair_cap=pc,
+                face_kd=None if face_kd is None else jnp.asarray(face_kd),
                 **micro_kwargs,
             )
         else:

@@ -100,8 +100,7 @@ class Renderer:
             path = resolve_path(self.options.get("path", "auto"),
                                 self.num_triangles,
                                 self.options.get("tri_chunk", 0))
-            if path == "micro" and self.face_kd is None:
-                # (Material meshes force the tile path — see tpu.render_frame.)
+            if path == "micro":
                 self.pos_soa = self.positions[self.tri].transpose(1, 2, 0)
                 self.nrm_soa = self.normals[self.tri].transpose(1, 2, 0)
         self._step_cache.clear()

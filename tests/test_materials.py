@@ -103,17 +103,28 @@ def test_golden_vs_xla_materials():
     assert (diff <= 1).all()
 
 
-def test_tpu_render_forces_tile_path_for_materials():
-    # resolve_path would pick "micro" above the VMEM chunk bound; the host
-    # entry must route material meshes to the tile path instead.
+def test_tpu_render_materials_micro_path():
+    # Material meshes take the micro (mega-scene) path too: the coefficient
+    # stream widens to 40-row superblocks with the kd rows (pallas_micro).
+    # End-to-end through the host entry with an explicit path override; the
+    # red material must tint covered pixels exactly as the tile path does.
     mesh = colored_cube()
     camera = Camera.first_person([0, 0, 3.0], aspect=W / H)
     u = camera.uniform()
     effect = EffectUniform().as_array()
-    # Exercises render() end-to-end with face_kd (path forced to "tile"
-    # regardless of the requested path).
-    img = tpu.render(mesh, u, lights_at_camera(), effect, W, H, path="auto")
-    assert img.shape == (H, W, 4)
+    micro = tpu.render(mesh, u, lights_at_camera(), effect, W, H,
+                       path="micro")
+    tile = tpu.render(mesh, u, lights_at_camera(), effect, W, H,
+                      path="tile")
+    assert micro.shape == (H, W, 4)
+    # No coverage-expanding effect is active, so cell vs tile clip unions
+    # are identical; only FMA contraction could differ — and both programs
+    # run the same vertex-stage formulas, so coverage at least must agree.
+    covered_m = micro[..., 2] != 255
+    covered_t = tile[..., 2] != 255
+    assert covered_m.any()
+    mismatched = (covered_m != covered_t).mean()
+    assert mismatched < 0.01
 
 
 def test_scene_renderer_materials(tmp_path):

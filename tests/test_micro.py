@@ -36,35 +36,38 @@ def frame_args(mesh, effect=None, eye=(0.0, 0.0, 3.0)):
     )
 
 
-def precomputed_geometry(args):
+def precomputed_geometry(args, face_kd=None):
     """(screen, world, tri_table) computed once in a standalone program.
 
     Injected into BOTH backends under comparison: XLA:CPU contracts mul+add
     into FMA unconditionally, choosing arrangements per fusion context, so
     the same coefficient formulas can round 1 ULP apart in two different
     jit programs (observed as spurious depth splits at shared edges). On
-    TPU the fused programs agree without injection."""
+    TPU the fused programs agree without injection.
+
+    With ``face_kd`` the table is the material-extension (T, 35) form."""
     import jax
 
     from compute_renderer_tpu.backends import common, pallas_raster
 
     @jax.jit
-    def prep(pos, nrm, uvs, tri, vp, eff):
+    def prep(pos, nrm, uvs, tri, vp, eff, kd):
         world, screen = common.vertex_stage(pos, vp, eff, W, H)
         table = pallas_raster.build_tri_table(
             screen, tri, uvs.astype(jnp.float32), nrm.astype(jnp.float32),
-            world)
+            world, face_kd=kd)
         return screen, world, table
 
-    return prep(args[0], args[1], args[2], args[3], args[4], args[9])
+    kd = None if face_kd is None else jnp.asarray(face_kd)
+    return prep(args[0], args[1], args[2], args[3], args[4], args[9], kd)
 
 
-def assert_micro_matches_xla(args, pair_cap=65536,
+def assert_micro_matches_xla(args, pair_cap=65536, face_kd=None,
                              **micro_kw):
     # Generous static caps: cell-granularity binning generates far more
     # pairs than tile binning (a large triangle covers many 8x8 cells), and
     # these tests assert no overflow rather than exercising the host retry.
-    screen, world, table = precomputed_geometry(args)
+    screen, world, table = precomputed_geometry(args, face_kd=face_kd)
     rgba_m, key_m, ovf = tpu.render_frame_micro(
         *args, width=W, height=H, pair_cap=pair_cap,
         screen=screen, world=world,
@@ -250,3 +253,87 @@ def test_worklist_matches_full_grid_micro():
     np.testing.assert_array_equal(np.asarray(r_wl), np.asarray(r_fg))
     # And the engine-level result (worklist default on) matches itself.
     assert np.asarray(a[1]).shape == (H, W)
+
+
+# -- material extension on the micro path -----------------------------------
+
+
+def colored(mesh, seed=7):
+    from compute_renderer_tpu.core.types import Mesh
+
+    T = mesh.num_triangles
+    rng = np.random.default_rng(seed)
+    kd = rng.uniform(0.1, 1.0, size=(T, 3)).astype(np.float32)
+    return Mesh(positions=mesh.positions, normals=mesh.normals,
+                uvs=mesh.uvs, indices=mesh.indices, face_kd=kd)
+
+
+def test_parity_materials_icosphere():
+    mesh = colored(procedural.icosphere(3))
+    key = assert_micro_matches_xla(frame_args(mesh), face_kd=mesh.face_kd)
+    assert (key != 0xFFFFFFFF).sum() > 1000
+
+
+def test_parity_materials_cube_large_triangles():
+    # Large triangles spanning many cells walk multi-chunk windows in the
+    # 40-row material stream.
+    mesh = colored(procedural.cube(2.0))
+    assert_micro_matches_xla(frame_args(mesh), face_kd=mesh.face_kd)
+
+
+def test_materials_c64_table_matches_f32():
+    # The production path packs the material table as (T, 18) complex64
+    # (35 kd columns + 1 zero pad); its pair stream must be bitwise the
+    # (T, 35) f32 table's stream padded to the same 40-row superblocks.
+    from compute_renderer_tpu.backends import common, pallas_micro, pallas_raster
+
+    mesh = colored(procedural.icosphere(2))
+    args = frame_args(mesh)
+    pos_soa = args[0][args[3]].transpose(1, 2, 0)
+    nrm_soa = args[1][args[3]].transpose(1, 2, 0)
+    world_soa, screen_soa = common.vertex_stage_soa(pos_soa, args[4],
+                                                    args[9], W, H)
+    nrm_t = tuple(tuple(nrm_soa[k, c].astype(jnp.float32) for c in range(3))
+                  for k in range(3))
+    kd = jnp.asarray(mesh.face_kd)
+    t_c64 = pallas_micro.build_tri_table_c64(screen_soa, nrm_t, world_soa,
+                                             face_kd=kd)
+    assert t_c64.shape[1] == 18
+    t_f32 = pallas_raster.build_tri_table_soa(screen_soa, nrm_t, world_soa,
+                                              face_kd=kd)
+    pair_tri = jnp.arange(mesh.num_triangles, dtype=jnp.int32)
+    s_c64 = pallas_micro.build_pair_coeffs(t_c64, pair_tri)
+    s_f32 = pallas_micro.build_pair_coeffs(t_f32, pair_tri)
+    np.testing.assert_array_equal(np.asarray(s_c64), np.asarray(s_f32))
+
+
+def test_materials_identity_kd_matches_plain_micro():
+    # kd == 1 modulates nothing: bitwise equal to the material-free kernel
+    # (same semantics contract as the tile path's identity test).
+    plain = procedural.icosphere(2)
+    from compute_renderer_tpu.core.types import Mesh
+
+    ident = Mesh(positions=plain.positions, normals=plain.normals,
+                 uvs=plain.uvs, indices=plain.indices,
+                 face_kd=np.ones((plain.num_triangles, 3), np.float32))
+    args = frame_args(plain)
+    screen, world, table_p = precomputed_geometry(args)
+    _, _, table_i = precomputed_geometry(args, face_kd=ident.face_kd)
+    r_p, k_p, _ = tpu.render_frame_micro(*args, width=W, height=H,
+                                         pair_cap=65536, screen=screen,
+                                         world=world, tri_table=table_p)
+    r_i, k_i, _ = tpu.render_frame_micro(*args, width=W, height=H,
+                                         pair_cap=65536, screen=screen,
+                                         world=world, tri_table=table_i)
+    np.testing.assert_array_equal(np.asarray(k_p), np.asarray(k_i))
+    np.testing.assert_array_equal(np.asarray(r_p), np.asarray(r_i))
+
+
+def test_materials_effects_micro():
+    # Effects compose with materials (coverage changes + modulated shading).
+    mesh = colored(procedural.icosphere(2), seed=11)
+    eff = Effect.voxelize(0.5, 1.0)
+    eff.update(0.35)
+    u = eff.uniform(scene_time=0.35)
+    assert_micro_matches_xla(frame_args(mesh, effect=u),
+                             face_kd=mesh.face_kd)
