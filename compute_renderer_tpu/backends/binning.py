@@ -257,7 +257,8 @@ PALLAS_EXPAND_MAX_CAP = 1_500_000
 
 def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
                    interpret: bool | None = None,
-                   use_pallas_expand: bool = False):
+                   use_pallas_expand: bool = False,
+                   segments: str = "histogram"):
     """Cell-granularity binning for the micro-raster (mega-scene) path.
 
     Cells are 8x8 px; a framebuffer tile (8, 128) holds 16 cells side by
@@ -302,9 +303,21 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
         (cell_of_pair, tri_of_pair), num_keys=1, is_stable=True
     )
 
-    seg_start, counts, tile_count, win_start = segments_from_cells(
-        cell_of_pair, num_cells, num_tiles
-    )
+    # ``segments``: "histogram" scatter-adds over the UNSORTED cells (P-
+    # sized scatter, ~3 ms at 1M pairs, order-independent so it overlaps
+    # the sort in the schedule); "boundaries" searchsorteds num_cells+1
+    # boundaries into the ALREADY-SORTED array (num_cells-sized work, but
+    # serialized after the sort). Bit-identical outputs (test_binning);
+    # pick by hardware A/B (NOTES item: the scatter is a suspect stage of
+    # the mega-scene frame).
+    if segments == "boundaries":
+        seg_start, counts, tile_count, win_start = segments_from_sorted_cells(
+            sorted_cell, num_cells, num_tiles
+        )
+    else:
+        seg_start, counts, tile_count, win_start = segments_from_cells(
+            cell_of_pair, num_cells, num_tiles
+        )
 
     return {
         "pair_tri": sorted_tri,
@@ -403,6 +416,26 @@ def segments_from_cells(cell_of_pair, num_cells: int, num_tiles: int):
     counts = counts[:num_cells]
     seg_start = jnp.cumsum(counts) - counts
 
+    tile_count = counts.reshape(num_tiles, 16).sum(axis=1)
+    first = seg_start.reshape(num_tiles, 16)[:, 0]
+    win_start = (first // 16) * 16
+    return seg_start, counts, tile_count, win_start
+
+
+def segments_from_sorted_cells(sorted_cell, num_cells: int, num_tiles: int):
+    """``segments_from_cells`` computed from the cell-SORTED pair list via
+    num_cells + 1 searchsorted boundaries instead of a P-sized scatter-add:
+    seg_start[i] = #pairs with cell < i (searchsorted-left), counts = the
+    boundary differences. Same values bit-for-bit (the sentinel tail sorts
+    past every real cell). O(num_cells log P) compares vs the histogram's
+    O(P) scatter — which wins depends on P/num_cells; staged for a
+    hardware A/B."""
+    i32 = jnp.int32
+    bounds = jnp.searchsorted(
+        sorted_cell, jnp.arange(num_cells + 1, dtype=i32), side="left"
+    ).astype(i32)
+    seg_start = bounds[:-1]
+    counts = bounds[1:] - bounds[:-1]
     tile_count = counts.reshape(num_tiles, 16).sum(axis=1)
     first = seg_start.reshape(num_tiles, 16)[:, 0]
     win_start = (first // 16) * 16

@@ -48,6 +48,7 @@ def render_frames_sharded(
     path: str = "auto",
     interpret: bool | None = None,
     effect_kind: int | None = None,
+    face_kd=None,  # (T, 3) f32 per-triangle diffuse (material extension)
 ):
     """Render K frames with the frame axis sharded over ``mesh``.
 
@@ -68,14 +69,14 @@ def render_frames_sharded(
     if K % n != 0:
         raise ValueError(f"frame count {K} not divisible by mesh size {n}")
 
-    def device_body(pos, nrm, uv, idx, stack_local):
+    def device_body(pos, nrm, uv, idx, stack_local, kd=None):
         def frame(carry, packed):
             vpos, vp, eff, lwp, lc, li = unpack_uniforms(packed, num_lights)
             rgba, _, overflow = tpu.render_frame(
                 pos, nrm, uv, idx, vp, vpos, lwp, lc, li, eff,
                 width=width, height=height, pair_cap=pair_cap,
                 tile_cap=tile_cap, path=path, interpret=interpret,
-                effect_kind=effect_kind,
+                effect_kind=effect_kind, face_kd=kd,
             )
             return jnp.maximum(carry, overflow), rgba
         needed, frames = jax.lax.scan(
@@ -83,14 +84,19 @@ def render_frames_sharded(
         )
         return frames, needed[None]
 
+    operands = (positions, normals, uvs, tri, packed_stack)
+    in_specs = (P(), P(), P(), P(), P(axis))
+    if face_kd is not None:
+        operands = operands + (face_kd,)
+        in_specs = in_specs + (P(),)
     return jax.shard_map(
         device_body,
         mesh=mesh,
         # Geometry replicated; only the frame axis is sharded.
-        in_specs=(P(), P(), P(), P(), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(axis), P(axis)),
         check_vma=False,
-    )(positions, normals, uvs, tri, packed_stack)
+    )(*operands)
 
 
 def render_frames(renderer, uniforms_seq, mesh: Mesh,
@@ -135,6 +141,7 @@ def render_frames(renderer, uniforms_seq, mesh: Mesh,
             num_lights=L, pair_cap=pair_cap, tile_cap=tile_cap,
             path=path,
             effect_kind=renderer.options.get("effect_kind"),
+            face_kd=renderer.face_kd,
         )
         need = np.asarray(needed).max(axis=0)
         if not need.any():

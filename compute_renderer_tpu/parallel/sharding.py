@@ -41,6 +41,7 @@ def _stripe_render(
     view_proj, view_position,
     light_world_pos, light_color, light_intensity,
     effect,
+    face_kd=None,
     *,
     width: int, height: int, tile_h: int, tile_w: int, nty_total: int,
     pair_cap: int, tile_cap: int, n_shards: int,
@@ -71,7 +72,8 @@ def _stripe_render(
     bins = binning.bin_triangles(local_setup, ntx, nty_local, pair_cap, tile_cap)
 
     tri_table = pallas_raster.build_tri_table(
-        screen, tri, uvs.astype(F32), normals.astype(F32), world
+        screen, tri, uvs.astype(F32), normals.astype(F32), world,
+        face_kd=face_kd,
     )
     pair_data = bins["bin_rows"] if bins["layout"] == "dense" else bins["pair_tri"]
     rgba_packed, best_key = pallas_raster.raster_shade_tiles(
@@ -93,6 +95,7 @@ def _stripe_render_micro(
     view_proj, view_position,
     light_world_pos, light_color, light_intensity,
     effect,
+    face_kd=None,
     *,
     width: int, height: int, nty_total: int,
     pair_cap: int, n_shards: int,
@@ -147,7 +150,7 @@ def _stripe_render_micro(
         tuple(nrm_soa[k, c] for c in range(3)) for k in range(3)
     )
     tri_table = pallas_micro.build_tri_table_c64(
-        screen_soa, nrm_tuples, world_soa
+        screen_soa, nrm_tuples, world_soa, face_kd=face_kd
     )
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
     rgba_packed, best_key = pallas_micro.raster_shade_micro(
@@ -158,6 +161,7 @@ def _stripe_render_micro(
         light_color.astype(F32), light_intensity.astype(F32),
         height_padded=nty_local * 8, width_padded=ntx * 128,
         interpret=interpret, y_offset=y_offset,
+        mat=tri_table.shape[1] > 16,  # c64 table: 16 base / 18 material
     )
     rgba = pallas_raster.unpack_rgba(rgba_packed)
     needed = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
@@ -169,7 +173,7 @@ def _stripe_render_sortmiddle(
     view_proj, view_position,
     light_world_pos, light_color, light_intensity,
     effect,
-    screen=None, world=None, tri_table=None,
+    face_kd=None, screen=None, world=None, tri_table=None,
     *,
     width: int, height: int, nty_total: int,
     pair_cap: int, bucket_cap: int, n_shards: int,
@@ -315,12 +319,23 @@ def _stripe_render_sortmiddle(
         nrm_tuples = tuple(
             tuple(nrm_soa[k, c] for c in range(3)) for k in range(3)
         )
+        kd_local = None
+        if face_kd is not None:
+            # kd rows slice exactly like the triangle slice (padded rows
+            # are dead: their pairs were killed in setup above).
+            kd_local = jax.lax.dynamic_slice(
+                jnp.concatenate(
+                    [face_kd.astype(F32),
+                     jnp.zeros((n_shards * Tl - T, 3), F32)]
+                ),
+                (shard * Tl, 0), (Tl, 3),
+            )
         table_local = pallas_micro.build_tri_table_c64(
-            screen_soa, nrm_tuples, world_soa
-        )  # (Tl, 16) c64
+            screen_soa, nrm_tuples, world_soa, face_kd=kd_local
+        )  # (Tl, 16|18) c64
         tri_table = jax.lax.all_gather(
             table_local, axis_name, axis=0, tiled=True
-        )  # (n_shards * Tl, 16) — padded-global triangle order
+        )  # (n_shards * Tl, 16|18) — padded-global triangle order
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, s_tri)
     rgba_packed, best_key = pallas_micro.raster_shade_micro(
         pair_coeffs, seg_start, seg_count, win_start, tile_count,
@@ -329,6 +344,9 @@ def _stripe_render_sortmiddle(
         light_color.astype(F32), light_intensity.astype(F32),
         height_padded=nty_local * 8, width_padded=ntx * 128,
         interpret=interpret, y_offset=y_offset,
+        # Width threshold depends on element type: injected tables are
+        # (T, 32|35) f32, the production table is (Tl, 16|18) c64.
+        mat=tri_table.shape[1] > (16 if jnp.iscomplexobj(tri_table) else 32),
     )
     rgba = pallas_raster.unpack_rgba(rgba_packed)
     needed = jnp.stack([
@@ -363,6 +381,7 @@ def render_frame_sharded(
     screen=None,
     world=None,
     tri_table=None,
+    face_kd=None,
 ):
     """Sharded render step. Returns ((H,W,4) u8 sharded over H, depth keys,
     overflow report (n_shards, 2) i32 of NEEDED [pair_cap, tile_cap]
@@ -459,6 +478,10 @@ def render_frame_sharded(
         positions, normals, uvs, tri, view_proj, view_position,
         light_world_pos, light_color, light_intensity, effect,
     )
+    extra_names = []
+    if face_kd is not None:
+        operands = operands + (face_kd,)
+        extra_names.append("face_kd")
     if screen is not None:
         if path != "sortmiddle" or world is None or tri_table is None:
             raise ValueError(
@@ -466,8 +489,14 @@ def render_frame_sharded(
                 "supported on the sortmiddle path only"
             )
         operands = operands + (screen, world, tri_table)
+        extra_names.extend(["screen", "world", "tri_table"])
+
+    def spmd_body(*ops):
+        kwargs = dict(zip(extra_names, ops[10:]))
+        return body(*ops[:10], **kwargs)
+
     rgba, keys, overflow = jax.shard_map(
-        body,
+        spmd_body,
         mesh=mesh,
         in_specs=(P(),) * len(operands),  # geometry + uniforms replicated
         out_specs=(P(axis_name), P(axis_name), P(axis_name)),

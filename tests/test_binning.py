@@ -143,3 +143,34 @@ def test_heuristics():
     assert cap == 128  # Suzanne-class: base < 128 floor
     cap_dense = binning.default_tile_cap(1_000_000, 1024, 768, 8, 128)
     assert cap_dense > 128 and cap_dense % 8 == 0
+
+
+def test_segments_boundaries_matches_histogram(rng):
+    # The searchsorted-boundary segment formulation (staged for a hardware
+    # A/B against the P-sized scatter histogram) must be bit-identical on
+    # real expanded cover data, including overflow (sentinel tail) and
+    # empty-cell runs.
+    from compute_renderer_tpu.backends import common
+    from compute_renderer_tpu.core.camera import Camera
+    from compute_renderer_tpu.core.effects import EffectUniform
+    from compute_renderer_tpu.io import procedural
+
+    W, H = 256, 128
+    mesh = procedural.icosphere(3)
+    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    eff = jnp.asarray(EffectUniform().as_array())
+    pos = jnp.asarray(mesh.positions)
+    tri = jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3)
+    _, screen = common.vertex_stage(pos, jnp.asarray(u.view_proj), eff, W, H)
+    setup = common.triangle_setup(screen, tri, eff, W, H, 8, 8)
+    ntx, nty = (W + 127) // 128, (H + 7) // 8
+    for pair_cap in (65536, 512):  # ample + overflowing
+        a = binning.bin_cells_sort(setup, ntx, nty, pair_cap,
+                                   segments="histogram")
+        b = binning.bin_cells_sort(setup, ntx, nty, pair_cap,
+                                   segments="boundaries")
+        for k in ("pair_tri", "seg_start", "seg_count", "win_start",
+                  "tile_count", "total_pairs", "pair_needed"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                          err_msg=f"{k} @ cap {pair_cap}")

@@ -295,3 +295,89 @@ def test_frame_parallel_overflow_retry(mesh8):
     single = Renderer(scene.mesh, W, H, backend="tpu",
                       path="micro").render(uniforms[0])
     np.testing.assert_array_equal(frames[0], single)
+
+
+def _colored(mesh, seed=7):
+    from compute_renderer_tpu.core.types import Mesh as CoreMesh
+
+    rng = np.random.default_rng(seed)
+    kd = rng.uniform(0.1, 1.0, size=(mesh.num_triangles, 3)).astype(F32)
+    return CoreMesh(positions=mesh.positions, normals=mesh.normals,
+                    uvs=mesh.uvs, indices=mesh.indices, face_kd=kd)
+
+
+def test_sharded_materials_tile_and_micro(mesh8):
+    # Material extension across the sharded stripe paths: same op
+    # structure as the single-device render (kd columns appended on both
+    # sides), so tile and micro stripes stay bitwise equal to it.
+    import jax.numpy as jnp
+
+    m = _colored(procedural.icosphere(2))
+    args = args_for(m)
+    kd = jnp.asarray(m.face_kd)
+    for path in ("tile", "micro"):
+        rgba_s, keys_s, overflow = render_frame_sharded(
+            *args, mesh=mesh8, width=W, height=H, path=path, face_kd=kd
+        )
+        rgba_1, keys_1, _ = tpu.render_frame(
+            *args, width=W, height=H, path=path, face_kd=kd
+        )
+        assert not bool(np.asarray(overflow).any()), path
+        np.testing.assert_array_equal(np.asarray(keys_s),
+                                      np.asarray(keys_1), err_msg=path)
+        np.testing.assert_array_equal(np.asarray(rgba_s),
+                                      np.asarray(rgba_1), err_msg=path)
+        # Materials actually changed the image vs the plain render.
+        plain, _, _ = tpu.render_frame(*args, width=W, height=H, path=path)
+        assert (np.asarray(rgba_1) != np.asarray(plain)).any()
+
+
+def test_sharded_materials_sortmiddle(mesh8):
+    # Sort-middle with materials: per-slice (Tl, 18) c64 tables all_gather
+    # into the full material table; <=1-LSB contract as the plain
+    # sortmiddle production path (FMA-contraction freedom).
+    import jax.numpy as jnp
+
+    m = _colored(procedural.icosphere(3), seed=11)
+    args = args_for(m)
+    kd = jnp.asarray(m.face_kd)
+    rgba_s, keys_s, overflow = render_frame_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="sortmiddle", face_kd=kd
+    )
+    rgba_1, _, _ = tpu.render_frame(*args, width=W, height=H, path="micro",
+                                    face_kd=kd)
+    assert not bool(np.asarray(overflow).any())
+    diff = np.abs(np.asarray(rgba_s).astype(int) - np.asarray(rgba_1).astype(int))
+    mism = (diff > 1).any(axis=-1)
+    assert mism.mean() < 0.001, f"{mism.sum()} px differ by >1"
+
+
+def test_frame_parallel_materials(mesh8):
+    # face_kd flows from the Renderer into the frame-parallel step; each
+    # sharded frame stays bitwise equal to the single-device material
+    # render.
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import FrameUniforms  # noqa: F401
+    from compute_renderer_tpu.parallel.frames import render_frames
+    from compute_renderer_tpu.core.camera import Camera
+
+    m = _colored(procedural.icosphere(2), seed=13)
+    r = Renderer(m, W, H, backend="tpu")
+    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    from compute_renderer_tpu.core.effects import EffectUniform
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+
+    lights = (np.array([[0, 0, 5.0]], F32), np.ones((1, 3), F32),
+              np.ones((1,), F32))
+    fu = FrameUniforms(
+        view_position=np.asarray(u.view_position, F32),
+        view_proj=np.asarray(u.view_proj, F32),
+        effect=np.asarray(EffectUniform().as_array(), F32),
+        light_world_pos=lights[0], light_color=lights[1],
+        light_intensity=lights[2],
+    )
+    frames = render_frames(r, [fu, fu], mesh8)
+    single = r.render(fu)
+    np.testing.assert_array_equal(frames[0], single)
+    np.testing.assert_array_equal(frames[1], single)
