@@ -86,6 +86,16 @@ def benchmark_scene_configs(duration_secs: float = 30.0) -> list:
         camera_config=fp([13.566635, 4.0, 24.0]),
         benchmark_duration_secs=duration_secs,
     ))
+    # Material-extension row: the SAME structured scene with its companion
+    # MTL resolved into per-triangle diffuse, rendered on the micro path's
+    # 40-row material stream — measures the extension's cost against the
+    # row above (identical geometry/camera; only kd plumbing differs).
+    scenes.append(SceneConfig(
+        model_path=STRUCTURED_NAME,
+        camera_config=fp([13.566635, 4.0, 24.0]),
+        benchmark_duration_secs=duration_secs,
+        enable_materials=True,
+    ))
     return scenes
 
 

@@ -65,7 +65,9 @@ class SceneConfig:
     enable_materials: bool = False
 
     def scene_name(self) -> str:
-        return f"Scene {self.model_path} - {self.normalized_backend()} Pipeline"
+        mat = " +materials" if self.enable_materials else ""
+        return (f"Scene {self.model_path} - "
+                f"{self.normalized_backend()} Pipeline{mat}")
 
     def normalized_backend(self) -> str:
         return {"custom": "tpu", "wgpu": "xla"}.get(self.backend_type,

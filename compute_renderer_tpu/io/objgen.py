@@ -14,8 +14,9 @@ loader and renderer:
 - QUAD faces (fan triangulation, tobj ``triangulate: true``);
 - every face-token form: ``v/vt/vn``, ``v//vn`` (no texcoords), bare ``v``
   (zero-filled attributes), and negative (relative) indices;
-- ``mtllib``/``usemtl``/``s`` statements (parsed-and-discarded,
-  model.rs:24);
+- ``mtllib``/``usemtl``/``s`` statements, with a real companion MTL
+  library on disk (discarded by the default loader, model.rs:24; resolved
+  into per-triangle diffuse by the opt-in material extension);
 - mixed triangle scales: a broad terrain, a dense near-subpixel statue,
   and scattered mid-size blocks — the density mix that drives the binning
   capacity heuristics.
@@ -178,6 +179,21 @@ def write_structured_obj(path, terrain_n: int = 600, statue_nu: int = 530,
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
+    # The companion MTL library the obj's mtllib names. The default loader
+    # discards it (reference-faithful, model.rs:24); Model.load(...,
+    # materials=True) resolves the usemtl runs above into per-triangle
+    # diffuse — so the SAME synthesized scene also exercises the
+    # loader -> face_kd -> render path of the material extension. The
+    # banner has no usemtl: its faces get identity white.
+    mtl_path = Path(path).parent / "structured_scene.mtl"
+    mtl_tmp = str(mtl_path) + ".tmp"
+    with open(mtl_tmp, "w") as f:
+        f.write(
+            "newmtl ground\nKd 0.35 0.45 0.20\n"
+            "newmtl marble\nKd 0.85 0.85 0.80\n"
+            "newmtl stone\nKd 0.55 0.50 0.45\n"
+        )
+    os.replace(mtl_tmp, mtl_path)
     return {
         "triangles": t_tris + s_tris + r_tris + b_tris,
         "vertices": t_v + s_v + r_v + b_v,

@@ -105,3 +105,20 @@ def test_ensure_structured_scene_cached(tmp_path):
     out = objgen.ensure_structured_scene(tmp_path)
     assert out == target
     assert target.stat().st_mtime_ns == mtime
+
+
+def test_structured_scene_materials_resolve(tiny_obj):
+    # The synthesized scene ships a real companion MTL: the opt-in material
+    # loader must resolve ground/marble/stone into distinct per-triangle
+    # diffuse rows, with the (usemtl-less) banner at identity white.
+    path, stats = tiny_obj
+    mesh = load_obj(path, materials=True)
+    kd = mesh.face_kd
+    assert kd is not None and kd.shape == (stats["triangles"], 3)
+    colors = np.unique(kd, axis=0)
+    for want in ((0.35, 0.45, 0.2), (0.85, 0.85, 0.8), (0.55, 0.5, 0.45)):
+        assert np.isclose(colors, np.float32(want), atol=1e-6).all(
+            axis=1).any(), want
+    # Banner (last 2 triangles, no usemtl in its block... it inherits the
+    # previous usemtl run) — contract: every row resolved, none NaN.
+    assert np.isfinite(kd).all()
