@@ -40,6 +40,9 @@ class MaterialInfo:
     shininess: float = 32.0
     dissolve: float = 1.0
     optical_density: float = 1.0
+    # Texture extension: map_Kd filename (relative to the MTL's directory),
+    # None when the material has no diffuse map.
+    diffuse_map: str | None = None
 
 
 @dataclass
@@ -54,14 +57,52 @@ class TextureInfo:
     height: int = 0
 
 
+# map_* option flags and how many arguments each consumes (MTL spec);
+# -o/-s/-t officially take "u [v] [w]" — handled by consuming numeric
+# tokens greedily (up to 3) so filenames are never eaten.
+_MAP_OPT_ARGC = {
+    "-blendu": 1, "-blendv": 1, "-cc": 1, "-clamp": 1, "-imfchan": 1,
+    "-texres": 1, "-bm": 1, "-boost": 1, "-mm": 2,
+}
+_MAP_OPT_VEC = {"-o", "-s", "-t"}
+
+
+def _map_filename(parts: list) -> str | None:
+    """Extract the filename from a ``map_Kd [options] file`` statement.
+    Returns None when only options are present (malformed line)."""
+    i = 1
+    n = len(parts)
+    while i < n:
+        tok = parts[i]
+        if tok in _MAP_OPT_VEC:
+            i += 1
+            taken = 0
+            while i < n and taken < 3:
+                try:
+                    float(parts[i])
+                except ValueError:
+                    break
+                i += 1
+                taken += 1
+        elif tok in _MAP_OPT_ARGC:
+            i += 1 + _MAP_OPT_ARGC[tok]
+        else:
+            # First non-option token starts the filename (names may
+            # contain spaces — join the rest).
+            return " ".join(parts[i:])
+    return None
+
+
 def parse_mtl(path) -> dict:
     """Parse a Wavefront MTL library into {name: MaterialInfo}.
 
     Covers the fields ``MaterialInfo`` mirrors from the reference
     (custom_pipeline/util.rs:35-60): Ka/Kd/Ks color triples, Ns shininess,
-    d / Tr dissolve (Tr = 1 - d), Ni optical density. Unknown statements
-    (illum, map_*, ...) are skipped; statements before the first ``newmtl``
-    are ignored. Missing fields keep ``MaterialInfo`` defaults."""
+    d / Tr dissolve (Tr = 1 - d), Ni optical density — plus ``map_Kd``
+    (the texture extension: filename into ``diffuse_map``, option flags
+    skipped). Other unknown statements (illum, other map_*, ...) are
+    skipped; statements before the first ``newmtl`` are ignored. Missing
+    fields keep ``MaterialInfo`` defaults."""
     materials: dict = {}
     cur = None
     with open(Path(path), "r", errors="replace") as f:
@@ -90,4 +131,6 @@ def parse_mtl(path) -> dict:
                 cur.dissolve = 1.0 - float(parts[1])
             elif tag == "Ni" and len(parts) >= 2:
                 cur.optical_density = float(parts[1])
+            elif tag == "map_Kd" and len(parts) >= 2:
+                cur.diffuse_map = _map_filename(parts)
     return materials
