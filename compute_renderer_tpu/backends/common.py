@@ -433,6 +433,40 @@ def resolve_attributes(best_tri, tri, screen, world, normals, uvs, effect,
 
 
 # ---------------------------------------------------------------------------
+# Texture sampling (extension; the reference's TextureInfo is never bound)
+# ---------------------------------------------------------------------------
+
+def sample_atlas(texels, tex_table, face_tex, best_tri, flag, uv):
+    """Nearest-neighbor, repeat-wrap sample of the flat texel atlas.
+
+    The atlas is the reference's (unbound) TextureInfo layout made live
+    (custom_pipeline/util.rs:75-85): ``texels`` (P, 3) f32 pool, top image
+    row first; ``tex_table`` (M, 3) i32 {offset, width, height} rows;
+    ``face_tex`` (T,) i32 slot per triangle (-1 = untextured). ``uv`` is
+    the interpolated (H, W, 2) texcoord — V already flipped at load
+    (model.rs:64), so v'=0 addresses the top row directly.
+
+    Returns ``(texel (H, W, 3) f32, has (H, W) bool)`` — white (the
+    modulation identity) wherever ``has`` is False, so callers can
+    unconditionally multiply."""
+    tid = face_tex[jnp.where(flag, best_tri, 0)]
+    has = flag & (tid >= 0)
+    t0 = jnp.where(has, tid, 0)
+    off = tex_table[t0, 0]
+    tw = tex_table[t0, 1]
+    th = tex_table[t0, 2]
+    u = uv[..., 0]
+    v = uv[..., 1]
+    fu = u - jnp.floor(u)
+    fv = v - jnp.floor(v)
+    tx = jnp.minimum((fu * tw.astype(F32)).astype(jnp.int32), tw - 1)
+    ty = jnp.minimum((fv * th.astype(F32)).astype(jnp.int32), th - 1)
+    idx = off + ty * tw + tx
+    texel = texels[jnp.where(has, idx, 0)]
+    return jnp.where(has[..., None], texel, F32(1.0)), has
+
+
+# ---------------------------------------------------------------------------
 # Stage 4: deferred Phong shading
 # ---------------------------------------------------------------------------
 

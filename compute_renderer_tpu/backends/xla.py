@@ -56,12 +56,19 @@ def render_frame(
     world=None,
     tri_table=None,
     face_kd=None,  # (T, 3) f32 per-triangle diffuse (material extension)
+    face_tex=None,  # (T,) i32 texture slot (texture extension)
+    texels=None,  # (P, 3) f32 flat atlas pool
+    tex_table=None,  # (M, 3) i32 {offset, width, height}
 ):
     """Render one frame; returns ((H, W, 4) uint8 RGBA, depth_key (H,W) u32).
 
     ``face_kd`` (optional) enables the material extension: the winning
     triangle's diffuse color modulates ambient + diffuse in ``common.shade``
     (specular unmodulated); None keeps the reference formula bitwise.
+    ``face_tex``/``texels``/``tex_table`` (optional, together) enable the
+    texture extension: the winner's diffuse is further modulated by an
+    atlas sample at the interpolated uv (``common.sample_atlas``). Not
+    compatible with ``tri_table`` injection (the table carries no uv).
 
     ``screen``/``world``/``tri_table`` may be injected (normally they are
     computed here). Injection exists for the cross-backend bitwise parity
@@ -207,10 +214,25 @@ def render_frame(
             "normal": jnp.where(flag[..., None], nrm, zero),
             "world_pos": jnp.where(flag[..., None], wpos, zero),
         }
-    if face_kd is not None:
+    if face_kd is not None or face_tex is not None:
         flag = gbuffer["flag"]
-        kd = face_kd.astype(F32)[jnp.where(flag, best_tri, 0)]
-        gbuffer["kd"] = jnp.where(flag[..., None], kd, F32(1.0))
+        if face_kd is not None:
+            kd = face_kd.astype(F32)[jnp.where(flag, best_tri, 0)]
+            kd = jnp.where(flag[..., None], kd, F32(1.0))
+        else:
+            kd = jnp.ones(flag.shape + (3,), F32)
+        if face_tex is not None:
+            if tri_table is not None:
+                raise ValueError(
+                    "textures require the uv-carrying resolve "
+                    "(tri_table injection unsupported)"
+                )
+            texel, has = common.sample_atlas(
+                texels, tex_table, face_tex.astype(jnp.int32), best_tri,
+                flag, gbuffer["uv"],
+            )
+            kd = jnp.where(has[..., None], kd * texel, kd)
+        gbuffer["kd"] = kd
     elif tri_table is not None and tri_table.shape[1] > 32:
         # Material-extension table (35-wide, kd in 32:35) injected by the
         # cross-backend parity tests: read the winner's kd from the rows,
@@ -247,5 +269,14 @@ def render(mesh, camera_uniform, lights, effect, width, height,
         chunk=chunk,
         face_kd=(jnp.asarray(mesh.face_kd)
                  if getattr(mesh, "face_kd", None) is not None else None),
+        **(
+            {
+                "face_tex": jnp.asarray(mesh.face_tex),
+                "texels": jnp.asarray(mesh.texels),
+                "tex_table": jnp.asarray(mesh.tex_table),
+            }
+            if getattr(mesh, "has_textures", False)
+            else {}
+        ),
     )
     return np.asarray(rgba)

@@ -186,11 +186,18 @@ def render_golden(
     tile_size: int = 8,
     return_gbuffer: bool = False,
     face_kd: np.ndarray | None = None,  # (T, 3) per-tri diffuse (extension)
+    face_tex: np.ndarray | None = None,  # (T,) i32 texture slot (extension)
+    texels: np.ndarray | None = None,  # (P, 3) f32 flat atlas pool
+    tex_table: np.ndarray | None = None,  # (M, 3) i32 {offset, width, height}
 ) -> np.ndarray:
     """Render one frame; returns (H, W, 4) uint8 RGBA.
 
     ``face_kd`` enables the material extension (per-triangle diffuse
-    modulating ambient + diffuse; see backends/common.py ``shade``)."""
+    modulating ambient + diffuse; see backends/common.py ``shade``);
+    ``face_tex``/``texels``/``tex_table`` the texture extension (the
+    winner's diffuse additionally modulated by a nearest-neighbor
+    repeat-wrap atlas sample at the interpolated uv — same formula as
+    backends/common.sample_atlas)."""
     effect = np.asarray(effect, dtype=F32)
     world_pos, screen = vertex_stage(
         mesh_positions, view_proj, effect, width, height
@@ -206,7 +213,9 @@ def render_golden(
     frag_pos = np.zeros((height, width, 3), dtype=F32)
     frag_flag = np.zeros((height, width), dtype=bool)
     frag_kd = (np.ones((height, width, 3), dtype=F32)
-               if face_kd is not None else None)
+               if face_kd is not None or face_tex is not None else None)
+    frag_tex = (np.full((height, width), -1, dtype=np.int32)
+                if face_tex is not None else None)
 
     etype = int(effect[0])
     # Voxelize inflation threshold (rasteriser.wgsl:127-131).
@@ -278,8 +287,29 @@ def render_golden(
         )
         frag_pos[sel] = b1 * world_pos[i1] + b2 * world_pos[i2] + b3 * world_pos[i3]
         frag_flag[sel] = True
-        if frag_kd is not None:
+        if frag_kd is not None and face_kd is not None:
             frag_kd[sel] = face_kd[t].astype(F32)
+        if frag_tex is not None:
+            frag_tex[sel] = face_tex[t]
+
+    if frag_tex is not None:
+        # Texture pass: nearest/repeat atlas sample at the winner's uv,
+        # multiplied into the per-pixel diffuse (same formula as
+        # backends/common.sample_atlas, kept in sync for bit parity).
+        has = frag_flag & (frag_tex >= 0)
+        t0 = np.where(has, frag_tex, 0)
+        off = tex_table[t0, 0]
+        tw = tex_table[t0, 1]
+        th = tex_table[t0, 2]
+        u = frag_uv[..., 0]
+        v = frag_uv[..., 1]
+        fu = (u - np.floor(u)).astype(F32)
+        fv = (v - np.floor(v)).astype(F32)
+        tx = np.minimum((fu * tw.astype(F32)).astype(np.int32), tw - 1)
+        ty = np.minimum((fv * th.astype(F32)).astype(np.int32), th - 1)
+        idx = off + ty * tw + tx
+        texel = np.asarray(texels, dtype=F32)[np.where(has, idx, 0)]
+        frag_kd = np.where(has[..., None], frag_kd * texel, frag_kd)
 
     rgba = shade_fragments(
         frag_flag, frag_normal, frag_pos,

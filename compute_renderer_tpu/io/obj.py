@@ -71,7 +71,7 @@ class _SubMesh:
         return not self.indices
 
 
-def load_obj(path, materials: bool = False) -> Mesh:
+def load_obj(path, materials: bool = False, textures: bool = False) -> Mesh:
     """Load an OBJ file into a single concatenated SoA Mesh.
 
     ``materials=False`` (default) matches the reference exactly: MTL
@@ -79,7 +79,13 @@ def load_obj(path, materials: bool = False) -> Mesh:
     opt-in extension — parses ``mtllib`` libraries (relative to the OBJ's
     directory) and resolves ``usemtl`` runs into a per-triangle diffuse
     color ``Mesh.face_kd``; faces without a (resolvable) material get
-    white (1, 1, 1), the identity under the material shading extension."""
+    white (1, 1, 1), the identity under the material shading extension.
+
+    ``textures=True`` (implies ``materials``) additionally decodes every
+    referenced ``map_Kd`` image into one flat atlas (``Mesh.texels`` /
+    ``Mesh.tex_table``, the reference's TextureInfo layout) and records the
+    per-triangle texture slot in ``Mesh.face_tex`` (-1 = untextured)."""
+    materials = materials or textures
     path = Path(path)
     positions = []  # raw v records
     texcoords = []  # raw vt records
@@ -188,4 +194,43 @@ def load_obj(path, materials: bool = False) -> Mesh:
             )
         )
 
-    return Mesh.concatenate(meshes)
+    mesh = Mesh.concatenate(meshes)
+    if not textures:
+        return mesh
+
+    # Texture pass: one atlas for the whole OBJ. Each distinct map_Kd file
+    # gets one slot (materials sharing a file share the slot); triangles
+    # inherit their material's slot, -1 when it has no (resolvable) map.
+    from compute_renderer_tpu.io.textures import build_atlas
+
+    slot_by_file: dict = {}
+    slot_by_mtl: dict = {}
+    for name, info in mtl_lib.items():
+        if info.diffuse_map is None:
+            continue
+        f = str(path.parent / info.diffuse_map)
+        if f not in slot_by_file:
+            slot_by_file[f] = len(slot_by_file)
+        slot_by_mtl[name] = slot_by_file[f]
+    if not slot_by_file:
+        return mesh
+
+    face_tex = np.full((mesh.num_triangles,), -1, dtype=np.int32)
+    ti = 0
+    for sm in submeshes:
+        for name in sm.tri_mtl:
+            if name in slot_by_mtl:
+                face_tex[ti] = slot_by_mtl[name]
+            ti += 1
+    assert ti == mesh.num_triangles
+    texels, tex_table = build_atlas(list(slot_by_file))
+    return Mesh(
+        positions=mesh.positions,
+        normals=mesh.normals,
+        uvs=mesh.uvs,
+        indices=mesh.indices,
+        face_kd=mesh.face_kd,
+        face_tex=face_tex,
+        texels=texels,
+        tex_table=tex_table,
+    )

@@ -74,6 +74,82 @@ def test_atlas_offsets_and_fallback(tmp_path):
     np.testing.assert_allclose(texels[7], [0, 20 / 255, 0], rtol=1e-6)
 
 
+def _write_textured_obj(d, two_objects=False):
+    """Two-material OBJ: material 'tex' has a 2x2 map, 'plain' has none."""
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = [255, 0, 0]
+    img[0, 1] = [0, 255, 0]
+    img[1, 0] = [0, 0, 255]
+    img[1, 1] = [255, 255, 255]
+    textures.write_ppm(d / "checker.ppm", img)
+    (d / "lib.mtl").write_text(
+        "newmtl tex\nKd 1 1 1\nmap_Kd checker.ppm\n"
+        "newmtl plain\nKd 0.2 0.9 0.2\n"
+    )
+    split = "o second\n" if two_objects else ""
+    (d / "m.obj").write_text(
+        "mtllib lib.mtl\n"
+        "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "vn 0 0 1\n"
+        "usemtl tex\nf 1/1/1 2/2/1 3/3/1\n"
+        + split +
+        "usemtl plain\nf 1/1/1 3/3/1 4/4/1\n"
+    )
+    return d / "m.obj"
+
+
+def test_load_obj_textures(tmp_path):
+    from compute_renderer_tpu.io.obj import load_obj
+
+    mesh = load_obj(_write_textured_obj(tmp_path), textures=True)
+    assert mesh.has_textures
+    np.testing.assert_array_equal(mesh.face_tex, [0, -1])
+    np.testing.assert_array_equal(mesh.tex_table, [[0, 2, 2]])
+    assert mesh.texels.shape == (4, 3)
+    # textures=True implies the material pass: plain faces keep their Kd.
+    np.testing.assert_allclose(mesh.face_kd[1], [0.2, 0.9, 0.2], rtol=1e-6)
+    # Default load stays reference-faithful (no texture fields at all).
+    plain = load_obj(tmp_path / "m.obj")
+    assert plain.face_tex is None and plain.texels is None
+
+
+def test_load_obj_textures_across_submeshes(tmp_path):
+    from compute_renderer_tpu.io.obj import load_obj
+
+    mesh = load_obj(_write_textured_obj(tmp_path, two_objects=True),
+                    textures=True)
+    np.testing.assert_array_equal(mesh.face_tex, [0, -1])
+    assert mesh.tex_table.shape == (1, 3)
+
+
+def test_mesh_concatenate_merges_atlases():
+    from compute_renderer_tpu.core.types import Mesh
+
+    def tri(face_tex, texels, tex_table):
+        return Mesh(
+            positions=np.zeros((3, 3), dtype=F32),
+            normals=np.zeros((3, 3), dtype=F32),
+            uvs=np.zeros((3, 2), dtype=F32),
+            indices=np.arange(3, dtype=np.uint32),
+            face_tex=face_tex, texels=texels, tex_table=tex_table,
+        )
+
+    a = tri(np.array([0], np.int32), np.full((4, 3), 0.25, F32),
+            np.array([[0, 2, 2]], np.int32))
+    b = tri(None, None, None)
+    c = tri(np.array([1], np.int32), np.full((3, 3), 0.5, F32),
+            np.array([[0, 1, 1], [1, 2, 1]], np.int32))
+    m = Mesh.concatenate([a, b, c])
+    # a's slot 0 stays 0; c's slot 1 shifts by a's 1 table row -> 2; the
+    # texture-less middle mesh contributes -1.
+    np.testing.assert_array_equal(m.face_tex, [0, -1, 2])
+    np.testing.assert_array_equal(
+        m.tex_table, [[0, 2, 2], [4, 1, 1], [5, 2, 1]]
+    )
+    assert m.texels.shape == (7, 3)
+
+
 def test_load_image_top_row_first(tmp_path):
     img = np.zeros((2, 1, 3), dtype=np.uint8)
     img[0] = [255, 0, 0]  # top row red
@@ -82,3 +158,135 @@ def test_load_image_top_row_first(tmp_path):
     out = textures.load_image(tmp_path / "t.ppm")
     np.testing.assert_allclose(out[0, 0], [1, 0, 0])
     np.testing.assert_allclose(out[1, 0], [0, 0, 1])
+
+
+# ---------------------------------------------------------------------------
+# Rendering stages (golden oracle <-> xla <-> tpu)
+# ---------------------------------------------------------------------------
+
+from compute_renderer_tpu.core.camera import Camera  # noqa: E402
+from compute_renderer_tpu.core.effects import EffectUniform  # noqa: E402
+from compute_renderer_tpu.core.types import Mesh  # noqa: E402
+
+W, H = 128, 96
+
+
+def lights_at_camera():
+    return (
+        np.array([[0.0, 0.0, 5.0]], dtype=F32),
+        np.array([[1.0, 1.0, 1.0]], dtype=F32),
+        np.array([1.0], dtype=F32),
+    )
+
+
+def checker_atlas(n=4):
+    """One n x n checkerboard texture in an atlas with a leading 1x1 decoy
+    (so slot/offset arithmetic is actually exercised)."""
+    img = np.zeros((n, n, 3), dtype=F32)
+    yy, xx = np.mgrid[0:n, 0:n]
+    img[(yy + xx) % 2 == 0] = (1.0, 0.2, 0.2)
+    img[(yy + xx) % 2 == 1] = (0.2, 0.2, 1.0)
+    decoy = np.full((1, 3), 0.5, dtype=F32)
+    texels = np.concatenate([decoy, img.reshape(-1, 3)], axis=0)
+    table = np.array([[0, 1, 1], [1, n, n]], dtype=np.int32)
+    return texels, table
+
+
+def textured_quad(slot=1, kd=None):
+    """Screen-facing quad with uv in [0, 1]^2 (v pre-flipped, as the loader
+    emits). Vertices are slightly perturbed so no edge lies exactly on a
+    pixel-center row/column — exact-edge coverage flips with the 1-ULP
+    FMA-contraction differences between numpy and XLA:CPU (see
+    xla.render_frame's docstring) and is not what these tests probe."""
+    pos = np.array(
+        [[-1.013, -1.027, 0], [1.019, -1.008, 0],
+         [1.004, 1.011, 0], [-1.021, 1.017, 0]], dtype=F32
+    )
+    nrm = np.tile(np.array([[0, 0, 1]], dtype=F32), (4, 1))
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], dtype=F32)
+    idx = np.array([0, 1, 2, 0, 2, 3], dtype=np.uint32)
+    texels, table = checker_atlas()
+    return Mesh(
+        positions=pos, normals=nrm, uvs=uv, indices=idx,
+        face_kd=kd,
+        face_tex=np.array([slot, slot], dtype=np.int32),
+        texels=texels, tex_table=table,
+    )
+
+
+def render_golden_mesh(mesh, w=W, h=H):
+    from compute_renderer_tpu.golden.rasterizer import render_golden
+
+    camera = Camera.first_person([0, 0, 2.0], aspect=w / h)
+    u = camera.uniform()
+    lwp, lc, li = lights_at_camera()
+    return render_golden(
+        mesh.positions, mesh.normals, mesh.uvs, mesh.indices,
+        u.view_proj, u.view_position, lwp, lc, li,
+        EffectUniform().as_array(), w, h,
+        face_kd=mesh.face_kd, face_tex=mesh.face_tex,
+        texels=mesh.texels, tex_table=mesh.tex_table,
+    )
+
+
+def render_xla_mesh(mesh, w=W, h=H, tile_h=8, tile_w=8):
+    from compute_renderer_tpu.backends import xla
+
+    camera = Camera.first_person([0, 0, 2.0], aspect=w / h)
+    u = camera.uniform()
+    return xla.render(mesh, u, lights_at_camera(),
+                      EffectUniform().as_array(), w, h,
+                      tile_h=tile_h, tile_w=tile_w)
+
+
+def _covered(img):
+    # Background is exactly (0, 0, 255); lit blue checker cells saturate B
+    # but keep R/G well above 0.
+    return ~((img[..., 0] == 0) & (img[..., 1] == 0) & (img[..., 2] == 255))
+
+
+def test_textured_quad_shows_checker_xla():
+    img = render_xla_mesh(textured_quad())
+    covered = _covered(img)
+    assert covered.any()
+    reds = (img[..., 0] > img[..., 2]) & covered
+    blues = (img[..., 2] > img[..., 0]) & covered
+    # Both checker colors visible, roughly balanced.
+    assert reds.sum() > 0.2 * covered.sum()
+    assert blues.sum() > 0.2 * covered.sum()
+
+
+def test_golden_vs_xla_textured():
+    mesh = textured_quad()
+    gold = render_golden_mesh(mesh)
+    ours = render_xla_mesh(mesh)
+    diff = np.abs(gold.astype(int) - ours.astype(int))
+    assert (diff <= 1).all()
+
+
+def test_golden_vs_xla_textured_with_kd():
+    kd = np.array([[0.9, 0.8, 0.2], [0.2, 0.8, 0.9]], dtype=F32)
+    mesh = textured_quad(kd=kd)
+    gold = render_golden_mesh(mesh)
+    ours = render_xla_mesh(mesh)
+    diff = np.abs(gold.astype(int) - ours.astype(int))
+    assert (diff <= 1).all()
+
+
+def test_uv_wrap_repeats():
+    mesh = textured_quad()
+    # uvs outside [0,1): repeat-wrap must tile the checker, not clamp.
+    mesh2 = Mesh(
+        positions=mesh.positions, normals=mesh.normals,
+        uvs=mesh.uvs * 2.0 + 3.0, indices=mesh.indices,
+        face_tex=mesh.face_tex, texels=mesh.texels,
+        tex_table=mesh.tex_table,
+    )
+    img1 = render_xla_mesh(mesh)
+    img2 = render_xla_mesh(mesh2)
+    covered = _covered(img1)
+    assert (img1[covered] != img2[covered]).any()  # denser tiling differs
+    # Still both checker colors present (wrap, not clamp-to-edge streaks).
+    reds = (img2[..., 0] > img2[..., 2]) & covered
+    blues = (img2[..., 2] > img2[..., 0]) & covered
+    assert reds.any() and blues.any()
