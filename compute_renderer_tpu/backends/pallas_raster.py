@@ -168,6 +168,7 @@ def _raster_kernel(
     num_lights: int,
     dense_rows: bool,
     has_materials: bool = False,
+    vis: bool = False,
 ):
     ti = pl.program_id(0)  # tile row
     tj = pl.program_id(1)  # tile col
@@ -251,12 +252,16 @@ def _raster_kernel(
             return jnp.where(slot == 0, idx_a[i], idx_b[i])
 
     # Empty tiles (most of the screen for typical scenes) take the constant
-    # fast path: background color, cleared depth. No wait, no shading.
+    # fast path: background color (no-winner id in vis mode), cleared depth.
+    # No wait, no shading.
     @pl.when(count == 0)
     def _():
-        rgba_ref[:, :] = jnp.full(
-            (tile_h, tile_w), 0xFFFF0000, jnp.uint32  # blue, alpha 1
-        )
+        if vis:
+            rgba_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+        else:
+            rgba_ref[:, :] = jnp.full(
+                (tile_h, tile_w), 0xFFFF0000, jnp.uint32  # blue, alpha 1
+            )
         key_ref[:, :] = jnp.full((tile_h, tile_w), DEPTH_CLEAR_BITS, jnp.uint32)
 
     @pl.when(count > 0)
@@ -266,7 +271,7 @@ def _raster_kernel(
             rgba_ref, key_ref,
             wait_list, read_slot, ti, tj, count,
             tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
-            has_materials=has_materials,
+            has_materials=has_materials, vis=vis,
         )
 
 
@@ -276,6 +281,7 @@ def _raster_tile(
     wait_list, read_slot, ti, tj, count,
     *, tile_h: int, tile_w: int, num_lights: int,
     has_materials: bool = False,
+    vis: bool = False,
 ):
     threshold = params_ref[0, 0]
     melt_threshold = params_ref[0, 1]
@@ -300,6 +306,40 @@ def _raster_tile(
     wait_list()
 
     zero = jnp.zeros((tile_h, tile_w), F32)
+
+    if vis:
+        # Visibility-only walk (the deferred-texturing front half): carry
+        # the winner's triangle id instead of interpolated attributes —
+        # attribute resolve, atlas sampling, and shading run as a plain-XLA
+        # tail over the (tri, key) output (backends/tpu.py).
+        def body_vis(k, carry):
+            best_key, best_t = carry
+            t = read_slot(k)
+            row = tri_table_ref[t, :]
+            dx = px - row[30]
+            dy = py - row[31]
+            bc1 = row[0] + row[1] * dx + row[2] * dy
+            bc2 = row[3] + row[4] * dx + row[5] * dy
+            bc3 = row[6] + row[7] * dx + row[8] * dy
+            mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
+            min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
+            mask &= min_bc >= melt_threshold
+            z = row[9] + row[10] * dx + row[11] * dy
+            mask &= jnp.isfinite(z)
+            key = jnp.where(mask, pltpu.bitcast(z, jnp.uint32),
+                            DEPTH_CLEAR_BITS)
+            win = key < best_key
+            return (jnp.where(win, key, best_key),
+                    jnp.where(win, t, best_t))
+
+        init = (
+            jnp.full((tile_h, tile_w), DEPTH_CLEAR_BITS, jnp.uint32),
+            jnp.full((tile_h, tile_w), -1, jnp.int32),
+        )
+        best_key, best_t = jax.lax.fori_loop(0, count, body_vis, init)
+        rgba_ref[:, :] = best_t
+        key_ref[:, :] = best_key
+        return
 
     def body(k, carry):
         best_key, attrs = carry
@@ -455,6 +495,7 @@ def _raster_kernel_wl(
     num_lights: int,
     dense_rows: bool,
     has_materials: bool = False,
+    vis: bool = False,
 ):
     """Work-list variant of ``_raster_kernel``: the grid is the (dynamic)
     number of OCCUPIED tiles; step i renders tile ``wl[i]``. Empty tiles —
@@ -540,7 +581,7 @@ def _raster_kernel_wl(
         rgba_ref, key_ref,
         wait_list, read_slot, ti, tj, count,
         tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
-        has_materials=has_materials,
+        has_materials=has_materials, vis=vis,
     )
 
 
@@ -562,7 +603,7 @@ def occupied_worklist(seg_count):
 @functools.partial(
     jax.jit,
     static_argnames=("height_padded", "width_padded", "tile_h", "tile_w",
-                     "tile_cap", "layout", "interpret", "worklist"),
+                     "tile_cap", "layout", "interpret", "worklist", "vis"),
 )
 def raster_shade_tiles(
     tri_table,  # (T, 32) f32
@@ -583,6 +624,7 @@ def raster_shade_tiles(
     layout: str = "flat",
     interpret: bool = False,
     worklist: bool = False,
+    vis: bool = False,
     y_offset=0,
 ):
     """Run the fused raster+shade kernel over the padded framebuffer.
@@ -595,7 +637,12 @@ def raster_shade_tiles(
     from a pre-cleared framebuffer aliased into the outputs (bitwise the
     same image; see ``_raster_kernel_wl``).
 
-    Returns (rgba_packed (Hp,Wp) u32, best_key (Hp,Wp) u32)."""
+    Returns (rgba_packed (Hp,Wp) u32, best_key (Hp,Wp) u32).
+
+    ``vis=True`` runs the visibility-only walk (deferred texturing): the
+    first output is the winning triangle id (Hp,Wp) i32 (-1 = background)
+    instead of shaded RGBA; attribute resolve + atlas sample + shading run
+    as a plain-XLA tail over it (backends/tpu.py)."""
     nty = height_padded // tile_h
     ntx = width_padded // tile_w
 
@@ -630,8 +677,9 @@ def raster_shade_tiles(
     has_materials = tri_table.shape[1] > TRI_TABLE_WIDTH
     kernel = functools.partial(
         _raster_kernel, tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
-        dense_rows=dense_rows, has_materials=has_materials,
+        dense_rows=dense_rows, has_materials=has_materials, vis=vis,
     )
+    out0_dtype = jnp.int32 if vis else jnp.uint32
     if dense_rows:
         scratch_shapes = [
             pltpu.SMEM((8, pair_tri.shape[1]), jnp.int32),
@@ -651,10 +699,13 @@ def raster_shade_tiles(
         wl_kernel = functools.partial(
             _raster_kernel_wl, tile_h=tile_h, tile_w=tile_w, ntx=ntx,
             num_lights=num_lights, dense_rows=dense_rows,
-            has_materials=has_materials,
+            has_materials=has_materials, vis=vis,
         )
-        rgba_clear = jnp.full((height_padded, width_padded), 0xFFFF0000,
-                              jnp.uint32)
+        rgba_clear = (
+            jnp.full((height_padded, width_padded), -1, jnp.int32)
+            if vis else
+            jnp.full((height_padded, width_padded), 0xFFFF0000, jnp.uint32)
+        )
         key_clear = jnp.full((height_padded, width_padded), DEPTH_CLEAR_BITS,
                              jnp.uint32)
         hbm = pl.ANY if interpret else pltpu.HBM
@@ -689,7 +740,7 @@ def raster_shade_tiles(
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((height_padded, width_padded),
-                                     jnp.uint32),
+                                     out0_dtype),
                 jax.ShapeDtypeStruct((height_padded, width_padded),
                                      jnp.uint32),
             ],
@@ -725,7 +776,7 @@ def raster_shade_tiles(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
+            jax.ShapeDtypeStruct((height_padded, width_padded), out0_dtype),
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
         ],
         scratch_shapes=scratch_shapes,

@@ -246,6 +246,14 @@ def render_frame(
     # to 40-row superblocks); None keeps every default path bitwise
     # unchanged.
     face_kd=None,
+    # Texture extension (Mesh.face_tex/texels/tex_table, together): the
+    # kernel runs its visibility-only walk (winner tri id per pixel) and a
+    # plain-XLA tail resolves attributes, samples the flat atlas at the
+    # interpolated uv, and shades — deferred texturing. Tile path only
+    # (textured scenes force path="tile"; chunking composes).
+    face_tex=None,
+    texels=None,
+    tex_table=None,
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
     overflow (2,) i32 = [pair_cap_needed, tile_cap_needed] where 0 means
@@ -270,7 +278,7 @@ def render_frame(
         interpret = _use_interpret()
 
     T = int(tri.shape[0])
-    if resolve_path(path, T, tri_chunk) == "micro":
+    if face_tex is None and resolve_path(path, T, tri_chunk) == "micro":
         return render_frame_micro(
             positions, normals, uvs, tri, view_proj, view_position,
             light_world_pos, light_color, light_intensity, effect,
@@ -297,6 +305,7 @@ def render_frame(
     normals32 = normals.astype(F32)
     num_chunks = (T + tri_chunk - 1) // tri_chunk
 
+    vis = face_tex is not None
     rgba_packed = best_key_p = overflow = None
     for c in range(num_chunks):
         c0 = c * tri_chunk
@@ -316,9 +325,11 @@ def render_frame(
 
         # Stage 3+4: fused Pallas raster + attribute interpolation +
         # shading over the padded tile grid (chunk-local triangle ids).
+        # Visibility mode only reads the coverage/depth rows, so the table
+        # stays 32-wide (kd applies in the deferred tail instead).
         tri_table = pallas_raster.build_tri_table(
             screen, tri[c0:c1], uvs32, normals32, world,
-            face_kd=None if face_kd is None else face_kd[c0:c1],
+            face_kd=(None if face_kd is None or vis else face_kd[c0:c1]),
         )
         pair_data = (
             bins["bin_rows"] if bins["layout"] == "dense" else bins["pair_tri"]
@@ -341,7 +352,11 @@ def render_frame(
             layout=bins["layout"],
             interpret=interpret,
             worklist=worklist,
+            vis=vis,
         )
+        if vis:
+            # Chunk-local winner ids -> global triangle ids before merging.
+            rgba_c = jnp.where(rgba_c >= 0, rgba_c + c0, -1)
         chunk_flags = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
         if rgba_packed is None:
             rgba_packed, best_key_p, overflow = rgba_c, key_c, chunk_flags
@@ -351,8 +366,36 @@ def render_frame(
             best_key_p = jnp.where(win, key_c, best_key_p)
             overflow = jnp.maximum(overflow, chunk_flags)
 
-    rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
     best_key = best_key_p[:height, :width]
+    if not vis:
+        rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
+        return rgba, best_key, overflow
+
+    # Deferred texturing tail (plain XLA — one gather-heavy pixel pass,
+    # exactly the work the reference's fragment pass would do if its
+    # TextureInfo plumbing were wired): resolve the winner's attributes,
+    # sample the flat atlas at the interpolated uv, modulate kd, shade.
+    best_tri = rgba_packed[:height, :width]
+    gbuffer = common.resolve_attributes(
+        best_tri, tri.astype(jnp.int32), screen, world, normals32, uvs32,
+        effect, width, height,
+    )
+    flag = gbuffer["flag"]
+    if face_kd is not None:
+        kd = face_kd.astype(F32)[jnp.where(flag, best_tri, 0)]
+        kd = jnp.where(flag[..., None], kd, F32(1.0))
+    else:
+        kd = jnp.ones(flag.shape + (3,), F32)
+    texel, has = common.sample_atlas(
+        texels, tex_table, face_tex.astype(jnp.int32), best_tri, flag,
+        gbuffer["uv"],
+    )
+    kd = jnp.where(has[..., None], kd * texel, kd)
+    gbuffer["kd"] = kd
+    rgba = common.shade(
+        gbuffer, view_position, light_world_pos.astype(F32),
+        light_color.astype(F32), light_intensity.astype(F32),
+    )
     return rgba, best_key, overflow
 
 
@@ -400,7 +443,8 @@ def render(mesh, camera_uniform, lights, effect, width, height,
     light_world_pos, light_color, light_intensity = lights
     T = max(mesh.indices.shape[0] // 3, 1)
     face_kd = getattr(mesh, "face_kd", None)
-    path = resolve_path(path, T)
+    textured = bool(getattr(mesh, "has_textures", False))
+    path = "tile" if textured else resolve_path(path, T)
     caps = default_caps(path, T, width, height, tile_h, tile_w)
     pc = pair_cap or caps["pair_cap"]
     if path != "micro":
@@ -433,11 +477,19 @@ def render(mesh, camera_uniform, lights, effect, width, height,
                 **micro_kwargs,
             )
         else:
+            tex_kwargs = {}
+            if textured:
+                tex_kwargs = {
+                    "face_tex": jnp.asarray(mesh.face_tex),
+                    "texels": jnp.asarray(mesh.texels),
+                    "tex_table": jnp.asarray(mesh.tex_table),
+                }
             rgba, _, overflow = render_frame(
                 *args, width=width, height=height, tile_h=tile_h,
                 tile_w=tile_w, pair_cap=pc, tile_cap=tc, path="tile",
                 worklist=worklist,
                 face_kd=None if face_kd is None else jnp.asarray(face_kd),
+                **tex_kwargs,
             )
         flags = np.asarray(overflow)
         if not flags.any():

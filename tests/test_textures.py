@@ -273,6 +273,58 @@ def test_golden_vs_xla_textured_with_kd():
     assert (diff <= 1).all()
 
 
+def render_tpu_mesh(mesh, w=W, h=H, **kw):
+    from compute_renderer_tpu.backends import tpu
+
+    camera = Camera.first_person([0, 0, 2.0], aspect=w / h)
+    u = camera.uniform()
+    return tpu.render(mesh, u, lights_at_camera(),
+                      EffectUniform().as_array(), w, h, **kw)
+
+
+def test_xla_vs_tpu_textured():
+    mesh = textured_quad()
+    ref = render_xla_mesh(mesh, tile_h=16, tile_w=256)
+    ours = render_tpu_mesh(mesh)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_xla_vs_tpu_textured_with_kd_no_worklist():
+    kd = np.array([[0.9, 0.8, 0.2], [0.2, 0.8, 0.9]], dtype=F32)
+    mesh = textured_quad(kd=kd)
+    ref = render_xla_mesh(mesh, tile_h=16, tile_w=256)
+    ours = render_tpu_mesh(mesh, worklist=False)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_tpu_textured_chunked_matches_single_pass():
+    # Force multi-chunk rendering: the vis-mode chunk merge must map local
+    # winner ids to global ones before the depth-key merge.
+    mesh = textured_quad()
+    one = render_tpu_mesh(mesh)
+    from compute_renderer_tpu.backends import tpu
+    from compute_renderer_tpu.core.camera import Camera as Cam
+    import jax.numpy as jnp
+
+    camera = Cam.first_person([0, 0, 2.0], aspect=W / H)
+    u = camera.uniform()
+    lwp, lc, li = lights_at_camera()
+    rgba, _, overflow = tpu.render_frame(
+        jnp.asarray(mesh.positions), jnp.asarray(mesh.normals),
+        jnp.asarray(mesh.uvs),
+        jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3),
+        jnp.asarray(u.view_proj), jnp.asarray(u.view_position),
+        jnp.asarray(lwp), jnp.asarray(lc), jnp.asarray(li),
+        jnp.asarray(EffectUniform().as_array()),
+        width=W, height=H, tri_chunk=1, path="tile",
+        face_tex=jnp.asarray(mesh.face_tex),
+        texels=jnp.asarray(mesh.texels),
+        tex_table=jnp.asarray(mesh.tex_table),
+    )
+    assert not np.asarray(overflow).any()
+    np.testing.assert_array_equal(np.asarray(rgba), one)
+
+
 def test_uv_wrap_repeats():
     mesh = textured_quad()
     # uvs outside [0,1): repeat-wrap must tile the checker, not clamp.
