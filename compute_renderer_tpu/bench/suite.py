@@ -96,6 +96,18 @@ def benchmark_scene_configs(duration_secs: float = 30.0) -> list:
         benchmark_duration_secs=duration_secs,
         enable_materials=True,
     ))
+    # Texture-extension row: a smaller (~36k tri, single-chunk tile path)
+    # build of the structured scene whose MTL carries generated map_Kd
+    # images — parse -> image decode -> atlas -> vis kernel -> deferred
+    # sampling tail, end-to-end from disk.
+    from compute_renderer_tpu.io.objgen import STRUCTURED_TEX_NAME
+
+    scenes.append(SceneConfig(
+        model_path=STRUCTURED_TEX_NAME,
+        camera_config=fp([13.566635, 4.0, 24.0]),
+        benchmark_duration_secs=duration_secs,
+        enable_textures=True,
+    ))
     return scenes
 
 

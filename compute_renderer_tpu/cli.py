@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--materials", action="store_true",
                    help="Resolve MTL diffuse colors into per-triangle "
                    "shading (extension; the reference discards materials)")
+    p.add_argument("--textures", action="store_true",
+                   help="Decode map_Kd images into a flat atlas and sample "
+                   "them at the interpolated uv (extension; implies "
+                   "--materials)")
 
     sub = p.add_subparsers(dest="command")
 
@@ -164,6 +168,7 @@ def scene_config_from_args(args) -> SceneConfig:
         backend_type=backend,
         effect=effect_from_args(args),
         enable_materials=getattr(args, "materials", False),
+        enable_textures=getattr(args, "textures", False),
     )
 
 

@@ -11,9 +11,11 @@ additionally wires the surface end-to-end behind an opt-in flag
 (``load_obj(materials=True)`` / ``SceneConfig.enable_materials``): ``parse_mtl``
 reads the MTL library, the OBJ loader resolves ``usemtl`` runs into a
 per-triangle diffuse color, and the shading epilogues modulate ambient +
-diffuse by it (see backends/common.py ``shade``). ``TextureInfo`` remains the
-documented-but-unwired half (no texture sampling stage yet), matching the
-reference's own unbound struct.
+diffuse by it (see backends/common.py ``shade``). The texture half is live
+too (``load_obj(textures=True)`` / ``SceneConfig.enable_textures``): every
+``map_Kd`` image packs into one flat texel pool addressed by exactly the
+``TextureInfo{offset,width,height}`` rows below (io/textures.py), sampled
+nearest/repeat at the interpolated uv (backends/common.sample_atlas).
 """
 
 from __future__ import annotations
@@ -49,8 +51,10 @@ class MaterialInfo:
 class TextureInfo:
     """Atlas-style texture record: offset into a flat texel pool + extent.
 
-    Documented-but-unwired, matching the reference's own unbound struct
-    (custom_pipeline/util.rs:75-85): no texture sampling stage exists."""
+    Mirrors the reference's unbound struct (custom_pipeline/util.rs:75-85);
+    this build wires it live — ``Mesh.tex_table`` rows are exactly these
+    fields, built by io/textures.build_atlas and consumed by
+    backends/common.sample_atlas."""
 
     offset: int = 0
     width: int = 0

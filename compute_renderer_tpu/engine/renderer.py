@@ -88,13 +88,28 @@ class Renderer:
             if kd is not None and self.backend_name in ("tpu", "xla")
             else None
         )
+        # Texture extension: the flat atlas + per-triangle slots (both
+        # backends run the same deferred sampling tail; see
+        # common.sample_atlas).
+        self.textures = None
+        if (getattr(mesh, "has_textures", False)
+                and self.backend_name in ("tpu", "xla")):
+            self.textures = {
+                "face_tex": jnp.asarray(mesh.face_tex),
+                "texels": jnp.asarray(mesh.texels),
+                "tex_table": jnp.asarray(mesh.tex_table),
+            }
         # Corner-SoA geometry (3 corners, 3 comps, T) for the tpu backend's
         # micro (mega-scene) path: gathered + transposed ONCE at upload
         # (indices are static per mesh) so the per-frame front-end is
         # gather-free contiguous streaming work. ~72 MB/1M tris — only
         # built when this mesh will actually dispatch to the micro path.
         self.pos_soa = self.nrm_soa = None
-        if self.backend_name == "tpu" and self.num_triangles > 0:
+        # Textured meshes always take the tile path (vis kernel + deferred
+        # tail), so the micro-path corner-SoA prep and its pair-cap
+        # calibration would be wasted (and calibrate the wrong grid).
+        if (self.backend_name == "tpu" and self.num_triangles > 0
+                and self.textures is None):
             from compute_renderer_tpu.backends.tpu import resolve_path
 
             path = resolve_path(self.options.get("path", "auto"),
@@ -156,6 +171,8 @@ class Renderer:
                            nrm_soa=self.nrm_soa)
         if self.face_kd is not None:
             options = dict(options, face_kd=self.face_kd)
+        if self.textures is not None:
+            options = dict(options, **self.textures)
 
         @jax.jit
         def step(packed):

@@ -63,9 +63,13 @@ class SceneConfig:
     # Material extension (beyond the reference, which discards MTL data,
     # model.rs:24): resolve MTL diffuse colors into per-triangle shading.
     enable_materials: bool = False
+    # Texture extension (implies materials): decode map_Kd images into the
+    # flat atlas and sample them at the interpolated uv.
+    enable_textures: bool = False
 
     def scene_name(self) -> str:
-        mat = " +materials" if self.enable_materials else ""
+        mat = (" +textures" if self.enable_textures
+               else " +materials" if self.enable_materials else "")
         return (f"Scene {self.model_path} - "
                 f"{self.normalized_backend()} Pipeline{mat}")
 
@@ -105,7 +109,8 @@ class Scene:
         """Reference Scene::from_config (scene.rs:62-95)."""
         scene = Scene()
         scene.add_model(Model.load(config.model_path,
-                                   materials=config.enable_materials))
+                                   materials=config.enable_materials,
+                                   textures=config.enable_textures))
         for (position, color, intensity) in config.lights:
             scene.add_light(position, color, intensity)
         scene.effect = config.effect

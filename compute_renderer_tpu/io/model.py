@@ -23,11 +23,15 @@ class Model:
     source: str
 
     @staticmethod
-    def load(path: str, materials: bool = False) -> "Model":
+    def load(path: str, materials: bool = False,
+             textures: bool = False) -> "Model":
         """``materials=True`` (extension) resolves MTL diffuse colors into
         ``Mesh.face_kd`` — via the pure-Python loader, which owns the
         ``usemtl`` tracking (the native parser covers the reference-faithful
-        fast path, where materials are discarded)."""
+        fast path, where materials are discarded). ``textures=True``
+        (implies materials) additionally decodes map_Kd images into the
+        flat atlas (``Mesh.face_tex``/``texels``/``tex_table``)."""
+        materials = materials or textures
         try:
             resolved = get_asset_path(path)
         except FileNotFoundError:
@@ -39,6 +43,8 @@ class Model:
                 # --model-path, viewer, suite — gets the scene, and merely
                 # enumerating configs never writes 80 MB.
                 resolved = objgen.ensure_structured_scene()
+            elif path == objgen.STRUCTURED_TEX_NAME:
+                resolved = objgen.ensure_textured_scene()
             elif path in procedural.PROCEDURAL_MODELS:
                 return Model(mesh=procedural.make_model(path), source=f"procedural:{path}")
             else:
@@ -56,7 +62,8 @@ class Model:
                 pass
         from compute_renderer_tpu.io.obj import load_obj
 
-        return Model(mesh=load_obj(resolved, materials=materials),
+        return Model(mesh=load_obj(resolved, materials=materials,
+                                   textures=textures),
                      source=str(resolved))
 
     @property

@@ -36,6 +36,7 @@ from pathlib import Path
 import numpy as np
 
 STRUCTURED_NAME = "structured_scene.obj"
+STRUCTURED_TEX_NAME = "structured_scene_tex.obj"
 
 
 def _terrain_block(out, nu: int, nv: int, size: float):
@@ -161,11 +162,17 @@ def _banner_block(out):
 
 def write_structured_obj(path, terrain_n: int = 600, statue_nu: int = 530,
                          statue_nv: int = 284, ruins: int = 200,
-                         size: float = 60.0) -> dict:
-    """Write the deterministic multi-submesh scene; returns stats."""
+                         size: float = 60.0, mtl_name: str | None = None,
+                         mtl_text: str | None = None) -> dict:
+    """Write the deterministic multi-submesh scene; returns stats.
+
+    ``mtl_name``/``mtl_text`` override the companion MTL library (the
+    textured variant points its materials at generated map_Kd images)."""
+    if mtl_name is None:
+        mtl_name = "structured_scene.mtl"
     buf = io.BytesIO()
     buf.write(b"# synthesized structurally-real benchmark scene\n")
-    buf.write(b"mtllib structured_scene.mtl\n")
+    buf.write(b"mtllib %s\n" % mtl_name.encode())
     t_tris, t_v, t_vn = _terrain_block(buf, terrain_n, terrain_n, size)
     s_tris, s_v, s_vn = _statue_block(
         buf, statue_nu, statue_nv, radius=3.0, center=(8.0, 2.5, 5.0),
@@ -185,10 +192,12 @@ def write_structured_obj(path, terrain_n: int = 600, statue_nu: int = 530,
     # diffuse — so the SAME synthesized scene also exercises the
     # loader -> face_kd -> render path of the material extension. The
     # banner has no usemtl: its faces get identity white.
-    mtl_path = Path(path).parent / "structured_scene.mtl"
+    mtl_path = Path(path).parent / mtl_name
     mtl_tmp = str(mtl_path) + ".tmp"
     with open(mtl_tmp, "w") as f:
         f.write(
+            mtl_text
+            if mtl_text is not None else
             "newmtl ground\nKd 0.35 0.45 0.20\n"
             "newmtl marble\nKd 0.85 0.85 0.80\n"
             "newmtl stone\nKd 0.55 0.50 0.45\n"
@@ -199,6 +208,58 @@ def write_structured_obj(path, terrain_n: int = 600, statue_nu: int = 530,
         "vertices": t_v + s_v + r_v + b_v,
         "bytes": len(data),
     }
+
+
+def ensure_textured_scene(directory: Path | None = None) -> Path:
+    """Synthesize the textured suite scene (idempotent): a smaller build of
+    the structured scene (~36k tris — single-chunk on the tpu tile path)
+    whose MTL materials carry generated ``map_Kd`` images, so the suite row
+    exercises the full texture extension end-to-end: OBJ parse -> MTL ->
+    image decode -> atlas -> vis kernel -> deferred sampling tail."""
+    if directory is None:
+        from compute_renderer_tpu.io.assets import asset_search_dirs
+
+        directory = asset_search_dirs()[-1]
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    path = directory / STRUCTURED_TEX_NAME
+    if path.exists():
+        return path
+
+    from compute_renderer_tpu.io.textures import write_ppm
+
+    # Deterministic textures: a ground checker and a marble-ish gradient.
+    n = 64
+    yy, xx = np.mgrid[0:n, 0:n]
+    checker = np.where(
+        ((yy // 8 + xx // 8) % 2 == 0)[..., None],
+        np.array([0.45, 0.55, 0.25]),
+        np.array([0.25, 0.35, 0.15]),
+    )
+    write_ppm(directory / "structured_ground.ppm", checker)
+    m = 32
+    gy, gx = np.mgrid[0:m, 0:m]
+    marble = np.stack(
+        [0.75 + 0.2 * np.sin(gx * 0.7 + gy * 0.3),
+         0.75 + 0.2 * np.sin(gx * 0.5 + 1.0),
+         0.72 + 0.2 * np.cos(gy * 0.6)],
+        axis=-1,
+    ).clip(0, 1)
+    write_ppm(directory / "structured_marble.ppm", marble)
+    mtl_text = (
+        "newmtl ground\nKd 1 1 1\nmap_Kd structured_ground.ppm\n"
+        "newmtl marble\nKd 0.95 0.95 0.9\nmap_Kd structured_marble.ppm\n"
+        "newmtl stone\nKd 0.55 0.50 0.45\n"
+    )
+    stats = write_structured_obj(
+        path, terrain_n=120, statue_nu=80, statue_nv=44, ruins=40,
+        mtl_name="structured_scene_tex.mtl", mtl_text=mtl_text,
+    )
+    print(
+        f"[objgen] synthesized {path} "
+        f"({stats['triangles']} tris, {stats['bytes'] / 1e6:.1f} MB)"
+    )
+    return path
 
 
 def ensure_structured_scene(directory: Path | None = None) -> Path:

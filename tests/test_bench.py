@@ -85,8 +85,9 @@ def test_suite_configs_match_reference():
     # Reference's 8 rows (main.rs:150-232) + 4 extension rows (the round-1
     # small stand-ins, kept for continuity) + the structured real-loader
     # row (a synthesized multi-submesh OBJ loaded from disk, VERDICT r2 #7)
-    # + its material-extension twin (same geometry, MTL resolved).
-    assert len(scenes) == 14
+    # + its material-extension twin (same geometry, MTL resolved) + the
+    # textured small structured scene (map_Kd atlas end-to-end).
+    assert len(scenes) == 15
     # Order: San Miguel, Exterior, Suzanne, Vokselia x (tpu, xla)
     assert "San_Miguel" in scenes[0].model_path
     assert scenes[0].normalized_backend() == "tpu"
@@ -99,6 +100,9 @@ def test_suite_configs_match_reference():
     assert scenes[13].model_path == "structured_scene.obj"
     assert scenes[13].enable_materials and not scenes[12].enable_materials
     assert scenes[12].scene_name() != scenes[13].scene_name()
+    assert scenes[14].model_path == "structured_scene_tex.obj"
+    assert scenes[14].enable_textures
+    assert "+textures" in scenes[14].scene_name()
     # Enumerating configs is side-effect-free: the 80 MB structured asset
     # is synthesized lazily by run_scene, not here (tests/test_objgen.py
     # covers the synthesis + caching contract).

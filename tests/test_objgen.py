@@ -122,3 +122,24 @@ def test_structured_scene_materials_resolve(tiny_obj):
     # Banner (last 2 triangles, no usemtl in its block... it inherits the
     # previous usemtl run) — contract: every row resolved, none NaN.
     assert np.isfinite(kd).all()
+
+
+def test_ensure_textured_scene(tmp_path):
+    # Synthesizes the textured suite asset (small structured build +
+    # generated map_Kd images) and loads it through the texture extension:
+    # both generated maps must land in the atlas and terrain/statue faces
+    # must carry their slots (stone/banner untextured -> -1).
+    path = objgen.ensure_textured_scene(tmp_path)
+    assert path.exists()
+    assert (tmp_path / "structured_ground.ppm").exists()
+    mesh = load_obj(path, textures=True)
+    assert mesh.has_textures
+    assert mesh.tex_table.shape[0] == 2
+    slots = np.unique(mesh.face_tex)
+    assert set(slots.tolist()) == {-1, 0, 1}
+    # Single-chunk on the tpu tile path (the suite-row cost contract).
+    assert mesh.num_triangles < 98_000
+    # Cached: second call must not rewrite.
+    mtime = path.stat().st_mtime_ns
+    assert objgen.ensure_textured_scene(tmp_path) == path
+    assert path.stat().st_mtime_ns == mtime

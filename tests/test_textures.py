@@ -325,6 +325,48 @@ def test_tpu_textured_chunked_matches_single_pass():
     np.testing.assert_array_equal(np.asarray(rgba), one)
 
 
+def test_scene_renderer_textures(tmp_path):
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import (
+        CameraConfig, Scene, SceneConfig,
+    )
+
+    obj = _write_textured_obj(tmp_path)
+    cfg = SceneConfig(model_path=str(obj),
+                      camera_config=CameraConfig.first_person((0, 0, 3.0)),
+                      enable_textures=True)
+    assert "+textures" in cfg.scene_name()
+    scene = Scene.from_config(cfg, 64, 48)
+    assert scene.mesh.has_textures
+
+    r = Renderer(scene.mesh, 64, 48, backend="tpu",
+                 **scene.renderer_options())
+    img = r.render(scene.update(0.0))
+    assert img.shape == (48, 64, 4)
+    covered = _covered(img)
+    assert covered.any()
+    # The 2x2 checker map has distinct per-pixel colors; a materials-only
+    # load of the same scene shades each face with one flat Kd.
+    cfg_mat = SceneConfig(model_path=str(obj),
+                          camera_config=cfg.camera_config,
+                          enable_materials=True)
+    scene_mat = Scene.from_config(cfg_mat, 64, 48)
+    r_mat = Renderer(scene_mat.mesh, 64, 48, backend="tpu",
+                     **scene_mat.renderer_options())
+    img_mat = r_mat.render(scene_mat.update(0.0))
+    assert (img != img_mat).any()
+
+
+def test_cli_textures_flag():
+    from compute_renderer_tpu.cli import build_parser, scene_config_from_args
+
+    args = build_parser().parse_args(["--textures", "--model-path", "x.obj"])
+    cfg = scene_config_from_args(args)
+    assert cfg.enable_textures
+    args = build_parser().parse_args(["--model-path", "x.obj"])
+    assert not scene_config_from_args(args).enable_textures
+
+
 def test_uv_wrap_repeats():
     mesh = textured_quad()
     # uvs outside [0,1): repeat-wrap must tile the checker, not clamp.
