@@ -109,6 +109,7 @@ def _micro_kernel(
     num_lights: int,
     skip_mirage: bool = False,
     mat: bool = False,
+    vis: bool = False,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -134,7 +135,10 @@ def _micro_kernel(
 
     @pl.when(count == 0)
     def _():
-        rgba_ref[:, :] = jnp.full((8, 128), 0xFFFF0000, jnp.uint32)
+        if vis:
+            rgba_ref[:, :] = jnp.full((8, 128), PAIR_IDX_CLEAR, jnp.int32)
+        else:
+            rgba_ref[:, :] = jnp.full((8, 128), 0xFFFF0000, jnp.uint32)
         key_ref[:, :] = jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32)
 
     @pl.when(count > 0)
@@ -149,7 +153,7 @@ def _micro_kernel(
             params_ref, lights_ref, seg_start_ref, seg_count_ref,
             coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
             w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
-            skip_mirage=skip_mirage, mat=mat,
+            skip_mirage=skip_mirage, mat=mat, vis=vis,
         )
 
 
@@ -180,6 +184,7 @@ def _micro_kernel_wl(
     num_lights: int,
     skip_mirage: bool = False,
     mat: bool = False,
+    vis: bool = False,
 ):
     """Work-list variant of ``_micro_kernel`` (the micro-path analog of
     pallas_raster._raster_kernel_wl): the grid is the dynamic count of
@@ -209,7 +214,7 @@ def _micro_kernel_wl(
         params_ref, lights_ref, seg_start_ref, seg_count_ref,
         coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
         w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
-        skip_mirage=skip_mirage, mat=mat,
+        skip_mirage=skip_mirage, mat=mat, vis=vis,
     )
 
 
@@ -218,6 +223,7 @@ def _raster_tile_micro(
     rgba_ref, key_ref, win_a, win_b, sem_a, sem_b, w0, nchunks,
     ti, tj, tile_id,
     *, num_lights: int, skip_mirage: bool = False, mat: bool = False,
+    vis: bool = False,
 ):
     threshold = params_ref[0, 0]
     melt_threshold = params_ref[0, 1]
@@ -229,7 +235,10 @@ def _raster_tile_micro(
 
     W = win_a.shape[0]
     rows = _sb_rows(mat)
-    nattr = 9 if mat else 6  # [nx ny nz wx wy wz] (+ per-tri kd r g b)
+    # [nx ny nz wx wy wz] (+ per-tri kd r g b); the visibility-only walk
+    # (deferred texturing) carries no attributes at all — the winner's PAIR
+    # index is the output and the XLA tail resolves everything from it.
+    nattr = 0 if vis else (9 if mat else 6)
     CP = (W // rows) * 128  # pairs per chunk
     sel = _selection_matrix()
 
@@ -243,6 +252,8 @@ def _raster_tile_micro(
     # Per-tile accumulated framebuffer state.
     acc_key = jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32)
     acc_attrs = tuple(jnp.zeros((8, 128), F32) for _ in range(nattr))
+    acc_pair = (jnp.full((8, 128), PAIR_IDX_CLEAR, jnp.int32)
+                if vis else None)
     # Chunk currently resident (-1: chunk 0 issued but not yet waited on).
     # Blocks walk pairs in non-decreasing order across cells (segments are
     # contiguous), each 16-pair block lies inside ONE chunk (16 | 128 | CP
@@ -260,7 +271,10 @@ def _raster_tile_micro(
         # clear values the accumulator already holds. Bitwise-equivalent:
         # group c of the accumulator is only ever written by cell c.
         def do_cell(carry, c=c, s=s, n=n):
-            acc_key, acc_attrs, cur = carry
+            if vis:
+                acc_key, acc_pair, acc_attrs, cur = carry
+            else:
+                acc_key, acc_attrs, cur = carry
             base0 = (s // 16) * 16
             nblocks = (s + n - base0 + 15) // 16
 
@@ -365,17 +379,19 @@ def _raster_tile_micro(
                 best_key = jnp.where(win, key, best_key)
                 best_pair = jnp.where(win, pair_idx, best_pair)
                 new_attrs = []
-                for ch in range(6):
-                    interp = (coef(12 + ch * 3) + coef(13 + ch * 3) * dx
-                              + coef(14 + ch * 3) * dy)
-                    new_attrs.append(jnp.where(win, interp, attrs[ch]))
-                if mat:
-                    # Winner's per-triangle diffuse: constant rows 32:35
-                    # (broadcast, not interpolated — pallas_raster layout).
-                    for ch in range(3):
-                        new_attrs.append(
-                            jnp.where(win, coef(32 + ch), attrs[6 + ch])
-                        )
+                if not vis:
+                    for ch in range(6):
+                        interp = (coef(12 + ch * 3) + coef(13 + ch * 3) * dx
+                                  + coef(14 + ch * 3) * dy)
+                        new_attrs.append(jnp.where(win, interp, attrs[ch]))
+                    if mat:
+                        # Winner's per-triangle diffuse: constant rows 32:35
+                        # (broadcast, not interpolated — pallas_raster
+                        # layout).
+                        for ch in range(3):
+                            new_attrs.append(
+                                jnp.where(win, coef(32 + ch), attrs[6 + ch])
+                            )
                 return best_key, best_pair, tuple(new_attrs), ck
 
             init = (
@@ -409,11 +425,28 @@ def _raster_tile_micro(
                 jnp.where(in_cell, cattrs[ch], acc_attrs[ch])
                 for ch in range(nattr)
             )
+            if vis:
+                new_pair = jnp.where(in_cell, cpair, acc_pair)
+                return new_key, new_pair, new_attrs, cur
             return new_key, new_attrs, cur
 
-        acc_key, acc_attrs, cur = jax.lax.cond(
-            n > 0, do_cell, lambda carry: carry, (acc_key, acc_attrs, cur)
-        )
+        if vis:
+            acc_key, acc_pair, acc_attrs, cur = jax.lax.cond(
+                n > 0, do_cell, lambda carry: carry,
+                (acc_key, acc_pair, acc_attrs, cur)
+            )
+        else:
+            acc_key, acc_attrs, cur = jax.lax.cond(
+                n > 0, do_cell, lambda carry: carry,
+                (acc_key, acc_attrs, cur)
+            )
+
+    if vis:
+        # Visibility output: the winner's absolute PAIR index (the XLA tail
+        # maps it to a triangle id via the sorted pair list) + depth key.
+        rgba_ref[:, :] = acc_pair
+        key_ref[:, :] = acc_key
+        return
 
     # -- shading epilogue: identical to pallas_raster._raster_tile ----------
     nx, ny, nz = acc_attrs[0], acc_attrs[1], acc_attrs[2]
@@ -569,7 +602,7 @@ def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int | None = None):
 @functools.partial(
     jax.jit,
     static_argnames=("height_padded", "width_padded", "chunk_rows",
-                     "interpret", "effect_kind", "worklist", "mat"),
+                     "interpret", "effect_kind", "worklist", "mat", "vis"),
 )
 def raster_shade_micro(
     pair_coeffs,  # (P_pad, 128) f32
@@ -591,8 +624,15 @@ def raster_shade_micro(
     effect_kind: int | None = None,
     worklist: bool = True,
     mat: bool = False,
+    vis: bool = False,
 ):
     """Run the micro kernel over the padded framebuffer.
+
+    ``vis`` (static): visibility-only walk (deferred texturing) — the
+    first output is the winner's absolute PAIR index (Hp,Wp) i32
+    (PAIR_IDX_CLEAR where uncovered; map to a triangle via the sorted pair
+    list) instead of shaded RGBA. Mutually exclusive with ``mat`` (kd
+    applies in the deferred tail).
 
     ``effect_kind`` (static, optional): the scene's EFFECT_* code, fixed
     per SceneConfig. Declaring a non-mirage kind compiles the sample warp
@@ -642,6 +682,10 @@ def raster_shade_micro(
     # compiles WITHOUT the per-cell sin/cos sample warp. effect_kind=None
     # (unknown) keeps the branchless dynamic form — always correct.
     skip_mirage = effect_kind is not None and effect_kind != EFFECT_MIRAGE
+    if vis and mat:
+        raise ValueError("vis and mat are mutually exclusive (kd applies "
+                         "in the deferred tail)")
+    out0_dtype = jnp.int32 if vis else jnp.uint32
 
     scratch_shapes = [
         pltpu.VMEM((chunk_rows, 128), F32),
@@ -657,10 +701,14 @@ def raster_shade_micro(
         wl, k = occupied_worklist(tile_count.astype(jnp.int32))
         wl_kernel = functools.partial(
             _micro_kernel_wl, ntx=ntx, num_lights=num_lights,
-            skip_mirage=skip_mirage, mat=mat,
+            skip_mirage=skip_mirage, mat=mat, vis=vis,
         )
-        rgba_clear = jnp.full((height_padded, width_padded), 0xFFFF0000,
-                              jnp.uint32)
+        rgba_clear = (
+            jnp.full((height_padded, width_padded), PAIR_IDX_CLEAR,
+                     jnp.int32)
+            if vis else
+            jnp.full((height_padded, width_padded), 0xFFFF0000, jnp.uint32)
+        )
         key_clear = jnp.full((height_padded, width_padded),
                              DEPTH_CLEAR_BITS, jnp.uint32)
         hbm = pl.ANY if interpret else pltpu.HBM
@@ -696,7 +744,7 @@ def raster_shade_micro(
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((height_padded, width_padded),
-                                     jnp.uint32),
+                                     out0_dtype),
                 jax.ShapeDtypeStruct((height_padded, width_padded),
                                      jnp.uint32),
             ],
@@ -712,7 +760,7 @@ def raster_shade_micro(
         return rgba, best_key
 
     kernel = functools.partial(_micro_kernel, num_lights=num_lights,
-                               skip_mirage=skip_mirage, mat=mat)
+                               skip_mirage=skip_mirage, mat=mat, vis=vis)
     rgba, best_key = pl.pallas_call(
         kernel,
         grid=(nty, ntx),
@@ -732,7 +780,7 @@ def raster_shade_micro(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
+            jax.ShapeDtypeStruct((height_padded, width_padded), out0_dtype),
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
         ],
         scratch_shapes=scratch_shapes,

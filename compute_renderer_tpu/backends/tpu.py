@@ -91,6 +91,13 @@ def render_frame_micro(
     nrm_soa=None,
     effect_kind: int | None = None,  # static EFFECT_* code per scene config
     face_kd=None,  # (T, 3) f32 per-triangle diffuse (material extension)
+    # Texture extension (together): the kernel runs its visibility-only
+    # walk (winner PAIR index per pixel, mapped to a triangle through the
+    # sorted pair list) and a plain-XLA tail resolves attributes from the
+    # corner-SoA geometry, samples the flat atlas, and shades.
+    face_tex=None,
+    texels=None,
+    tex_table=None,
 ):
     """Mega-scene path: 8x8-cell binning (ONE global sort) + the lane-packed
     micro kernel (pallas_micro). Coefficients stream from HBM, so there is
@@ -154,6 +161,8 @@ def render_frame_micro(
     bins = binning.bin_cells_sort(setup, ntx, nty, pair_cap,
                                    interpret=interpret)
 
+    vis = face_tex is not None
+    nrm_tuples = None
     if tri_table is None:
         if nrm_soa is None:
             nrm_soa = normals[tri].transpose(1, 2, 0)
@@ -163,8 +172,11 @@ def render_frame_micro(
         )
         # complex64-packed table: halves the pair-order gather's element
         # count (the frame's most expensive op at mega scale) — bit-exact.
+        # Visibility mode only reads the coverage/depth columns, so the
+        # table stays 16-wide (kd applies in the deferred tail instead).
         tri_table = pallas_micro.build_tri_table_c64(
-            screen_soa, nrm_tuples, world_soa, face_kd=face_kd
+            screen_soa, nrm_tuples, world_soa,
+            face_kd=None if vis else face_kd,
         )
     # Static: material tables are wider than the 32-coefficient base form
     # ((T, 35) f32 or (T, 18) c64) and select the 40-row stream + the
@@ -187,10 +199,64 @@ def render_frame_micro(
         interpret=interpret,
         effect_kind=effect_kind,
         mat=mat,
+        vis=vis,
     )
-    rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
     best_key = best_key_p[:height, :width]
     overflow = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
+    if not vis:
+        rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
+        return rgba, best_key, overflow
+
+    # Deferred texturing tail (plain XLA). The kernel reports the winner's
+    # PAIR index; the sorted pair list maps it to a triangle. Attribute
+    # resolve reuses common.resolve_attributes on virtual per-corner vertex
+    # arrays (vertex id 3t+k = corner k of triangle t) built from the same
+    # corner-SoA values the kernel's coefficients came from — identical
+    # numbers, so the resolve matches the tile/xla tails wherever coverage
+    # granularity agrees.
+    if nrm_tuples is None:
+        if nrm_soa is None:
+            nrm_soa = normals[tri].transpose(1, 2, 0)
+        nrm_tuples = tuple(
+            tuple(nrm_soa[k, c].astype(F32) for c in range(3))
+            for k in range(3)
+        )
+    best_pair = rgba_packed[:height, :width]
+    flag = best_key != common.DEPTH_CLEAR_BITS
+    pair_safe = jnp.where(flag, best_pair, 0)
+    best_tri = jnp.where(flag, bins["pair_tri"][pair_safe], common.NO_TRI)
+    scr_v = jnp.stack(
+        [jnp.stack([screen_soa[k][c] for c in range(4)], axis=-1)
+         for k in range(3)], axis=1,
+    ).reshape(3 * T, 4)
+    wld_v = jnp.stack(
+        [jnp.stack([world_soa[k][c] for c in range(3)], axis=-1)
+         for k in range(3)], axis=1,
+    ).reshape(3 * T, 3)
+    nrm_v = jnp.stack(
+        [jnp.stack([nrm_tuples[k][c] for c in range(3)], axis=-1)
+         for k in range(3)], axis=1,
+    ).reshape(3 * T, 3)
+    uv_v = uvs.astype(F32)[tri].reshape(3 * T, 2)
+    tri_v = jnp.arange(3 * T, dtype=jnp.int32).reshape(T, 3)
+    gbuffer = common.resolve_attributes(
+        best_tri, tri_v, scr_v, wld_v, nrm_v, uv_v, effect, width, height,
+    )
+    if face_kd is not None:
+        kd = face_kd.astype(F32)[jnp.where(flag, best_tri, 0)]
+        kd = jnp.where(flag[..., None], kd, F32(1.0))
+    else:
+        kd = jnp.ones(flag.shape + (3,), F32)
+    texel, has = common.sample_atlas(
+        texels, tex_table, face_tex.astype(jnp.int32), best_tri, flag,
+        gbuffer["uv"],
+    )
+    kd = jnp.where(has[..., None], kd * texel, kd)
+    gbuffer["kd"] = kd
+    rgba = common.shade(
+        gbuffer, view_position, light_world_pos.astype(F32),
+        light_color.astype(F32), light_intensity.astype(F32),
+    )
     return rgba, best_key, overflow
 
 
@@ -247,10 +313,11 @@ def render_frame(
     # unchanged.
     face_kd=None,
     # Texture extension (Mesh.face_tex/texels/tex_table, together): the
-    # kernel runs its visibility-only walk (winner tri id per pixel) and a
+    # kernel runs its visibility-only walk (winner id per pixel) and a
     # plain-XLA tail resolves attributes, samples the flat atlas at the
-    # interpolated uv, and shades — deferred texturing. Tile path only
-    # (textured scenes force path="tile"; chunking composes).
+    # interpolated uv, and shades — deferred texturing. Both paths: the
+    # tile kernel reports winner TRIANGLE ids (chunking composes), the
+    # micro kernel winner PAIR ids mapped through the sorted pair list.
     face_tex=None,
     texels=None,
     tex_table=None,
@@ -278,13 +345,14 @@ def render_frame(
         interpret = _use_interpret()
 
     T = int(tri.shape[0])
-    if face_tex is None and resolve_path(path, T, tri_chunk) == "micro":
+    if resolve_path(path, T, tri_chunk) == "micro":
         return render_frame_micro(
             positions, normals, uvs, tri, view_proj, view_position,
             light_world_pos, light_color, light_intensity, effect,
             width=width, height=height, pair_cap=pair_cap,
             interpret=interpret, pos_soa=pos_soa, nrm_soa=nrm_soa,
             effect_kind=effect_kind, face_kd=face_kd,
+            face_tex=face_tex, texels=texels, tex_table=tex_table,
         )
     if tri_chunk == 0:
         tri_chunk = MAX_TRI_TABLE_BYTES // (pallas_raster.TRI_TABLE_WIDTH * 4)
@@ -444,7 +512,7 @@ def render(mesh, camera_uniform, lights, effect, width, height,
     T = max(mesh.indices.shape[0] // 3, 1)
     face_kd = getattr(mesh, "face_kd", None)
     textured = bool(getattr(mesh, "has_textures", False))
-    path = "tile" if textured else resolve_path(path, T)
+    path = resolve_path(path, T)
     caps = default_caps(path, T, width, height, tile_h, tile_w)
     pc = pair_cap or caps["pair_cap"]
     if path != "micro":
@@ -469,21 +537,21 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             "pos_soa": args[0][args[3]].transpose(1, 2, 0),
             "nrm_soa": args[1][args[3]].transpose(1, 2, 0),
         }
+    tex_kwargs = {}
+    if textured:
+        tex_kwargs = {
+            "face_tex": jnp.asarray(mesh.face_tex),
+            "texels": jnp.asarray(mesh.texels),
+            "tex_table": jnp.asarray(mesh.tex_table),
+        }
     for _ in range(max_retries):
         if path == "micro":
             rgba, _, overflow = render_frame_micro(
                 *args, width=width, height=height, pair_cap=pc,
                 face_kd=None if face_kd is None else jnp.asarray(face_kd),
-                **micro_kwargs,
+                **micro_kwargs, **tex_kwargs,
             )
         else:
-            tex_kwargs = {}
-            if textured:
-                tex_kwargs = {
-                    "face_tex": jnp.asarray(mesh.face_tex),
-                    "texels": jnp.asarray(mesh.texels),
-                    "tex_table": jnp.asarray(mesh.tex_table),
-                }
             rgba, _, overflow = render_frame(
                 *args, width=width, height=height, tile_h=tile_h,
                 tile_w=tile_w, pair_cap=pc, tile_cap=tc, path="tile",

@@ -105,11 +105,7 @@ class Renderer:
         # gather-free contiguous streaming work. ~72 MB/1M tris — only
         # built when this mesh will actually dispatch to the micro path.
         self.pos_soa = self.nrm_soa = None
-        # Textured meshes always take the tile path (vis kernel + deferred
-        # tail), so the micro-path corner-SoA prep and its pair-cap
-        # calibration would be wasted (and calibrate the wrong grid).
-        if (self.backend_name == "tpu" and self.num_triangles > 0
-                and self.textures is None):
+        if self.backend_name == "tpu" and self.num_triangles > 0:
             from compute_renderer_tpu.backends.tpu import resolve_path
 
             path = resolve_path(self.options.get("path", "auto"),

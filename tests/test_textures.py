@@ -367,6 +367,18 @@ def test_cli_textures_flag():
     assert not scene_config_from_args(args).enable_textures
 
 
+def test_tpu_textured_micro_path():
+    # The mega-scene path's visibility mode: winner PAIR ids mapped through
+    # the sorted pair list, attributes resolved from corner-SoA virtual
+    # vertex arrays. Micro coverage clips to 8x8 cells = the xla baseline
+    # at tile_h=tile_w=8 (PARITY.md), so the comparison is exact there.
+    mesh = textured_quad(kd=np.array([[0.9, 0.8, 0.2], [0.2, 0.8, 0.9]],
+                                     dtype=F32))
+    ref = render_xla_mesh(mesh, tile_h=8, tile_w=8)
+    ours = render_tpu_mesh(mesh, path="micro")
+    np.testing.assert_array_equal(ours, ref)
+
+
 def test_uv_wrap_repeats():
     mesh = textured_quad()
     # uvs outside [0,1): repeat-wrap must tile the checker, not clamp.
