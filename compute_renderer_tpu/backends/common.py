@@ -466,6 +466,33 @@ def sample_atlas(texels, tex_table, face_tex, best_tri, flag, uv):
     return jnp.where(has[..., None], texel, F32(1.0)), has
 
 
+def textured_shade(gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
+                   view_position, light_world_pos, light_color,
+                   light_intensity):
+    """Deferred-texturing shade tail shared by every visibility-mode
+    consumer (tpu.render_frame / render_frame_micro, the sharded stripe
+    bodies, and the frame-parallel path): look up the winner's per-triangle
+    kd, sample the flat atlas at the interpolated uv, modulate, and run the
+    reference fragment formula (fragment.wgsl:50-93). ``gbuffer`` comes
+    from ``resolve_attributes`` on the same screen/world/normal values the
+    visibility kernel's coefficients were built from."""
+    flag = gbuffer["flag"]
+    if face_kd is not None:
+        kd = face_kd.astype(F32)[jnp.where(flag, best_tri, 0)]
+        kd = jnp.where(flag[..., None], kd, F32(1.0))
+    else:
+        kd = jnp.ones(flag.shape + (3,), F32)
+    texel, has = sample_atlas(
+        texels, tex_table, face_tex.astype(jnp.int32), best_tri, flag, uv=gbuffer["uv"],
+    )
+    kd = jnp.where(has[..., None], kd * texel, kd)
+    gbuffer["kd"] = kd
+    return shade(
+        gbuffer, view_position, light_world_pos.astype(F32),
+        light_color.astype(F32), light_intensity.astype(F32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stage 4: deferred Phong shading
 # ---------------------------------------------------------------------------

@@ -207,13 +207,6 @@ def render_frame_micro(
         rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
         return rgba, best_key, overflow
 
-    # Deferred texturing tail (plain XLA). The kernel reports the winner's
-    # PAIR index; the sorted pair list maps it to a triangle. Attribute
-    # resolve reuses common.resolve_attributes on virtual per-corner vertex
-    # arrays (vertex id 3t+k = corner k of triangle t) built from the same
-    # corner-SoA values the kernel's coefficients came from — identical
-    # numbers, so the resolve matches the tile/xla tails wherever coverage
-    # granularity agrees.
     if nrm_tuples is None:
         if nrm_soa is None:
             nrm_soa = normals[tri].transpose(1, 2, 0)
@@ -221,10 +214,27 @@ def render_frame_micro(
             tuple(nrm_soa[k, c].astype(F32) for c in range(3))
             for k in range(3)
         )
-    best_pair = rgba_packed[:height, :width]
-    flag = best_key != common.DEPTH_CLEAR_BITS
-    pair_safe = jnp.where(flag, best_pair, 0)
-    best_tri = jnp.where(flag, bins["pair_tri"][pair_safe], common.NO_TRI)
+    rgba = micro_vis_tail(
+        rgba_packed[:height, :width], best_key, bins["pair_tri"],
+        screen_soa, world_soa, nrm_tuples, uvs.astype(F32)[tri], effect,
+        width, height,
+        face_kd, face_tex, texels, tex_table,
+        view_position, light_world_pos, light_color, light_intensity,
+    )
+    return rgba, best_key, overflow
+
+
+def corner_vertex_arrays(screen_soa, world_soa, nrm_tuples, uv_corners):
+    """Virtual per-corner vertex arrays for the micro path's deferred-
+    texturing tail: vertex id 3t+k = corner k of triangle t, built from the
+    same corner-SoA values the kernel's coefficients came from — identical
+    numbers, so ``common.resolve_attributes`` over them matches the
+    tile/xla tails wherever coverage granularity agrees. ``uv_corners`` is
+    the pre-gathered (T, 3, 2) texcoord block (``uvs[tri]``).
+
+    Returns (scr_v (3T,4), wld_v (3T,3), nrm_v (3T,3), uv_v (3T,2),
+    tri_v (T,3))."""
+    T = uv_corners.shape[0]
     scr_v = jnp.stack(
         [jnp.stack([screen_soa[k][c] for c in range(4)], axis=-1)
          for k in range(3)], axis=1,
@@ -237,27 +247,42 @@ def render_frame_micro(
         [jnp.stack([nrm_tuples[k][c] for c in range(3)], axis=-1)
          for k in range(3)], axis=1,
     ).reshape(3 * T, 3)
-    uv_v = uvs.astype(F32)[tri].reshape(3 * T, 2)
+    uv_v = uv_corners.astype(F32).reshape(3 * T, 2)
     tri_v = jnp.arange(3 * T, dtype=jnp.int32).reshape(T, 3)
+    return scr_v, wld_v, nrm_v, uv_v, tri_v
+
+
+def micro_vis_tail(
+    best_pair, best_key, pair_tri,
+    screen_soa, world_soa, nrm_tuples, uv_corners, effect,
+    width: int, height: int,
+    face_kd, face_tex, texels, tex_table,
+    view_position, light_world_pos, light_color, light_intensity,
+    x_offset=0, y_offset=0, corners=None,
+):
+    """Deferred texturing tail of the micro path (plain XLA). The kernel
+    reports the winner's PAIR index per pixel; the sorted pair list maps it
+    to a triangle, ``common.resolve_attributes`` interpolates attributes
+    from the virtual corner arrays, and ``common.textured_shade`` samples
+    the atlas and shades. ``x/y_offset`` give the window's global pixel
+    coordinates when shading a sharded stripe; ``corners`` injects prebuilt
+    ``corner_vertex_arrays`` output (the sort-middle path assembles them by
+    all_gather of per-slice builds, in padded-global triangle order —
+    matching its pair ids) in which case the SoA/uv args are unused."""
+    flag = best_key != common.DEPTH_CLEAR_BITS
+    pair_safe = jnp.where(flag, best_pair, 0)
+    best_tri = jnp.where(flag, pair_tri[pair_safe], common.NO_TRI)
+    scr_v, wld_v, nrm_v, uv_v, tri_v = corners if corners is not None else (
+        corner_vertex_arrays(screen_soa, world_soa, nrm_tuples, uv_corners)
+    )
     gbuffer = common.resolve_attributes(
         best_tri, tri_v, scr_v, wld_v, nrm_v, uv_v, effect, width, height,
+        x_offset, y_offset,
     )
-    if face_kd is not None:
-        kd = face_kd.astype(F32)[jnp.where(flag, best_tri, 0)]
-        kd = jnp.where(flag[..., None], kd, F32(1.0))
-    else:
-        kd = jnp.ones(flag.shape + (3,), F32)
-    texel, has = common.sample_atlas(
-        texels, tex_table, face_tex.astype(jnp.int32), best_tri, flag,
-        gbuffer["uv"],
+    return common.textured_shade(
+        gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
+        view_position, light_world_pos, light_color, light_intensity,
     )
-    kd = jnp.where(has[..., None], kd * texel, kd)
-    gbuffer["kd"] = kd
-    rgba = common.shade(
-        gbuffer, view_position, light_world_pos.astype(F32),
-        light_color.astype(F32), light_intensity.astype(F32),
-    )
-    return rgba, best_key, overflow
 
 
 def resolve_path(path: str, num_triangles: int, tri_chunk: int = 0) -> str:
@@ -448,21 +473,9 @@ def render_frame(
         best_tri, tri.astype(jnp.int32), screen, world, normals32, uvs32,
         effect, width, height,
     )
-    flag = gbuffer["flag"]
-    if face_kd is not None:
-        kd = face_kd.astype(F32)[jnp.where(flag, best_tri, 0)]
-        kd = jnp.where(flag[..., None], kd, F32(1.0))
-    else:
-        kd = jnp.ones(flag.shape + (3,), F32)
-    texel, has = common.sample_atlas(
-        texels, tex_table, face_tex.astype(jnp.int32), best_tri, flag,
-        gbuffer["uv"],
-    )
-    kd = jnp.where(has[..., None], kd * texel, kd)
-    gbuffer["kd"] = kd
-    rgba = common.shade(
-        gbuffer, view_position, light_world_pos.astype(F32),
-        light_color.astype(F32), light_intensity.astype(F32),
+    rgba = common.textured_shade(
+        gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
+        view_position, light_world_pos, light_color, light_intensity,
     )
     return rgba, best_key, overflow
 

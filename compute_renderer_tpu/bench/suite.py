@@ -108,6 +108,17 @@ def benchmark_scene_configs(duration_secs: float = 30.0) -> list:
         benchmark_duration_secs=duration_secs,
         enable_textures=True,
     ))
+    # Mega-texture row: the ~1M-tri structured scene with its map_Kd
+    # images — the micro (mega-scene) path's visibility-only walk + the
+    # deferred sampling tail at scale. Compare against the plain and
+    # materials rows above (identical geometry/camera) for the
+    # extension's cost on the HBM-streamed kernel.
+    scenes.append(SceneConfig(
+        model_path=STRUCTURED_NAME,
+        camera_config=fp([13.566635, 4.0, 24.0]),
+        benchmark_duration_secs=duration_secs,
+        enable_textures=True,
+    ))
     return scenes
 
 

@@ -226,9 +226,28 @@ def ensure_textured_scene(directory: Path | None = None) -> Path:
     if path.exists():
         return path
 
+    # Deterministic textures: a ground checker and a marble-ish gradient.
+    _write_shared_textures(directory)
+    mtl_text = (
+        "newmtl ground\nKd 1 1 1\nmap_Kd structured_ground.ppm\n"
+        "newmtl marble\nKd 0.95 0.95 0.9\nmap_Kd structured_marble.ppm\n"
+        "newmtl stone\nKd 0.55 0.50 0.45\n"
+    )
+    stats = write_structured_obj(
+        path, terrain_n=120, statue_nu=80, statue_nv=44, ruins=40,
+        mtl_name="structured_scene_tex.mtl", mtl_text=mtl_text,
+    )
+    print(
+        f"[objgen] synthesized {path} "
+        f"({stats['triangles']} tris, {stats['bytes'] / 1e6:.1f} MB)"
+    )
+    return path
+
+
+def _write_shared_textures(directory: Path) -> None:
+    """The two deterministic map_Kd images both structured scenes name."""
     from compute_renderer_tpu.io.textures import write_ppm
 
-    # Deterministic textures: a ground checker and a marble-ish gradient.
     n = 64
     yy, xx = np.mgrid[0:n, 0:n]
     checker = np.where(
@@ -246,20 +265,17 @@ def ensure_textured_scene(directory: Path | None = None) -> Path:
         axis=-1,
     ).clip(0, 1)
     write_ppm(directory / "structured_marble.ppm", marble)
-    mtl_text = (
-        "newmtl ground\nKd 1 1 1\nmap_Kd structured_ground.ppm\n"
-        "newmtl marble\nKd 0.95 0.95 0.9\nmap_Kd structured_marble.ppm\n"
-        "newmtl stone\nKd 0.55 0.50 0.45\n"
-    )
-    stats = write_structured_obj(
-        path, terrain_n=120, statue_nu=80, statue_nv=44, ruins=40,
-        mtl_name="structured_scene_tex.mtl", mtl_text=mtl_text,
-    )
-    print(
-        f"[objgen] synthesized {path} "
-        f"({stats['triangles']} tris, {stats['bytes'] / 1e6:.1f} MB)"
-    )
-    return path
+
+
+# The mega scene's MTL: Kd rows for the material extension, map_Kd images
+# for the texture extension (both ignored by the default reference-faithful
+# loader). Kd values match the original material-row library so the
+# materials suite row is unaffected by the map_Kd additions.
+_STRUCTURED_MTL = (
+    "newmtl ground\nKd 0.35 0.45 0.20\nmap_Kd structured_ground.ppm\n"
+    "newmtl marble\nKd 0.85 0.85 0.80\nmap_Kd structured_marble.ppm\n"
+    "newmtl stone\nKd 0.55 0.50 0.45\n"
+)
 
 
 def ensure_structured_scene(directory: Path | None = None) -> Path:
@@ -272,10 +288,17 @@ def ensure_structured_scene(directory: Path | None = None) -> Path:
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     path = directory / STRUCTURED_NAME
+    mtl_path = directory / "structured_scene.mtl"
     if not path.exists():
-        stats = write_structured_obj(path)
+        stats = write_structured_obj(path, mtl_text=_STRUCTURED_MTL)
         print(
             f"[objgen] synthesized {path} "
             f"({stats['triangles']} tris, {stats['bytes'] / 1e6:.1f} MB)"
         )
+    elif (not mtl_path.exists()
+          or "map_Kd" not in mtl_path.read_text()):
+        # Scene cached by an older build whose MTL predates the texture
+        # row: refresh the library in place (geometry unchanged).
+        mtl_path.write_text(_STRUCTURED_MTL)
+    _write_shared_textures(directory)
     return path

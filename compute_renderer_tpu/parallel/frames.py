@@ -49,6 +49,11 @@ def render_frames_sharded(
     interpret: bool | None = None,
     effect_kind: int | None = None,
     face_kd=None,  # (T, 3) f32 per-triangle diffuse (material extension)
+    # Texture extension (together, replicated): each device's frames run
+    # the single-device deferred-texturing pipeline unchanged.
+    face_tex=None,
+    texels=None,
+    tex_table=None,
 ):
     """Render K frames with the frame axis sharded over ``mesh``.
 
@@ -69,14 +74,16 @@ def render_frames_sharded(
     if K % n != 0:
         raise ValueError(f"frame count {K} not divisible by mesh size {n}")
 
-    def device_body(pos, nrm, uv, idx, stack_local, kd=None):
+    def device_body(pos, nrm, uv, idx, stack_local, *extra):
+        kwargs = dict(zip(extra_names, extra))
+
         def frame(carry, packed):
             vpos, vp, eff, lwp, lc, li = unpack_uniforms(packed, num_lights)
             rgba, _, overflow = tpu.render_frame(
                 pos, nrm, uv, idx, vp, vpos, lwp, lc, li, eff,
                 width=width, height=height, pair_cap=pair_cap,
                 tile_cap=tile_cap, path=path, interpret=interpret,
-                effect_kind=effect_kind, face_kd=kd,
+                effect_kind=effect_kind, **kwargs,
             )
             return jnp.maximum(carry, overflow), rgba
         needed, frames = jax.lax.scan(
@@ -86,9 +93,15 @@ def render_frames_sharded(
 
     operands = (positions, normals, uvs, tri, packed_stack)
     in_specs = (P(), P(), P(), P(), P(axis))
+    extra_names = []
     if face_kd is not None:
         operands = operands + (face_kd,)
         in_specs = in_specs + (P(),)
+        extra_names.append("face_kd")
+    if face_tex is not None:
+        operands = operands + (face_tex, texels, tex_table)
+        in_specs = in_specs + (P(), P(), P())
+        extra_names.extend(["face_tex", "texels", "tex_table"])
     return jax.shard_map(
         device_body,
         mesh=mesh,
@@ -142,6 +155,7 @@ def render_frames(renderer, uniforms_seq, mesh: Mesh,
             path=path,
             effect_kind=renderer.options.get("effect_kind"),
             face_kd=renderer.face_kd,
+            **(renderer.textures or {}),
         )
         need = np.asarray(needed).max(axis=0)
         if not need.any():

@@ -41,14 +41,19 @@ def _stripe_render(
     view_proj, view_position,
     light_world_pos, light_color, light_intensity,
     effect,
-    face_kd=None,
+    face_kd=None, face_tex=None, texels=None, tex_table=None,
     *,
     width: int, height: int, tile_h: int, tile_w: int, nty_total: int,
     pair_cap: int, tile_cap: int, n_shards: int,
     axis_name: str, interpret: bool,
 ):
     """Per-device body run under shard_map. All inputs replicated; outputs
-    are this device's horizontal stripe."""
+    are this device's horizontal stripe.
+
+    Texture extension (``face_tex``/``texels``/``tex_table`` together,
+    replicated): the kernel runs its visibility-only walk and each device
+    shades its own stripe with the deferred tail at its global pixel
+    offset — no extra communication."""
     shard = jax.lax.axis_index(axis_name)
 
     ntx = (width + tile_w - 1) // tile_w
@@ -71,9 +76,10 @@ def _stripe_render(
 
     bins = binning.bin_triangles(local_setup, ntx, nty_local, pair_cap, tile_cap)
 
+    vis = face_tex is not None
     tri_table = pallas_raster.build_tri_table(
         screen, tri, uvs.astype(F32), normals.astype(F32), world,
-        face_kd=face_kd,
+        face_kd=None if vis else face_kd,
     )
     pair_data = bins["bin_rows"] if bins["layout"] == "dense" else bins["pair_tri"]
     rgba_packed, best_key = pallas_raster.raster_shade_tiles(
@@ -84,9 +90,23 @@ def _stripe_render(
         height_padded=nty_local * tile_h, width_padded=ntx * tile_w,
         tile_h=tile_h, tile_w=tile_w, tile_cap=tile_cap,
         layout=bins["layout"], interpret=interpret, y_offset=y_offset,
+        vis=vis,
     )
-    rgba = pallas_raster.unpack_rgba(rgba_packed)
     needed = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
+    if vis:
+        # Deferred texturing over this stripe at its global pixel offset.
+        best_tri = rgba_packed
+        gbuffer = common.resolve_attributes(
+            best_tri, tri.astype(jnp.int32), screen, world,
+            normals.astype(F32), uvs.astype(F32), effect,
+            ntx * tile_w, nty_local * tile_h, y_offset=y_offset,
+        )
+        rgba = common.textured_shade(
+            gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
+            view_position, light_world_pos, light_color, light_intensity,
+        )
+    else:
+        rgba = pallas_raster.unpack_rgba(rgba_packed)
     return rgba, best_key, needed[None]
 
 
@@ -95,7 +115,7 @@ def _stripe_render_micro(
     view_proj, view_position,
     light_world_pos, light_color, light_intensity,
     effect,
-    face_kd=None,
+    face_kd=None, face_tex=None, texels=None, tex_table=None,
     *,
     width: int, height: int, nty_total: int,
     pair_cap: int, n_shards: int,
@@ -145,12 +165,14 @@ def _stripe_render_micro(
                                   interpret=interpret,
                                   use_pallas_expand=False)
 
+    vis = face_tex is not None
     nrm_soa = normals[tri].astype(F32).transpose(1, 2, 0)
     nrm_tuples = tuple(
         tuple(nrm_soa[k, c] for c in range(3)) for k in range(3)
     )
     tri_table = pallas_micro.build_tri_table_c64(
-        screen_soa, nrm_tuples, world_soa, face_kd=face_kd
+        screen_soa, nrm_tuples, world_soa,
+        face_kd=None if vis else face_kd,
     )
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
     rgba_packed, best_key = pallas_micro.raster_shade_micro(
@@ -162,9 +184,25 @@ def _stripe_render_micro(
         height_padded=nty_local * 8, width_padded=ntx * 128,
         interpret=interpret, y_offset=y_offset,
         mat=tri_table.shape[1] > 16,  # c64 table: 16 base / 18 material
+        vis=vis,
     )
-    rgba = pallas_raster.unpack_rgba(rgba_packed)
     needed = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
+    if vis:
+        # Deferred texturing over this stripe: pair ids map through the
+        # stripe-local sorted pair list to GLOBAL triangle ids (expansion
+        # ran over the full scene with stripe-clipped cell ranges).
+        from compute_renderer_tpu.backends.tpu import micro_vis_tail
+
+        rgba = micro_vis_tail(
+            rgba_packed, best_key, bins["pair_tri"],
+            screen_soa, world_soa, nrm_tuples, uvs.astype(F32)[tri],
+            effect, ntx * 128, nty_local * 8,
+            face_kd, face_tex, texels, tex_table,
+            view_position, light_world_pos, light_color, light_intensity,
+            y_offset=y_offset,
+        )
+    else:
+        rgba = pallas_raster.unpack_rgba(rgba_packed)
     return rgba, best_key, needed[None]
 
 
@@ -173,7 +211,8 @@ def _stripe_render_sortmiddle(
     view_proj, view_position,
     light_world_pos, light_color, light_intensity,
     effect,
-    face_kd=None, screen=None, world=None, tri_table=None,
+    face_kd=None, face_tex=None, texels=None, tex_table=None,
+    screen=None, world=None, tri_table=None,
     *,
     width: int, height: int, nty_total: int,
     pair_cap: int, bucket_cap: int, n_shards: int,
@@ -314,13 +353,15 @@ def _stripe_render_sortmiddle(
     # 16 B * T / n per link per step, riding ICI alongside the pair
     # exchange. (Previously the full-T table build was replicated —
     # VERDICT r2 weak #4.)
+    vis = face_tex is not None
+    nrm_tuples = None
     if tri_table is None:
         nrm_soa = normals[tri_local].astype(F32).transpose(1, 2, 0)
         nrm_tuples = tuple(
             tuple(nrm_soa[k, c] for c in range(3)) for k in range(3)
         )
         kd_local = None
-        if face_kd is not None:
+        if not vis and face_kd is not None:
             # kd rows slice exactly like the triangle slice (padded rows
             # are dead: their pairs were killed in setup above).
             kd_local = jax.lax.dynamic_slice(
@@ -347,8 +388,43 @@ def _stripe_render_sortmiddle(
         # Width threshold depends on element type: injected tables are
         # (T, 32|35) f32, the production table is (Tl, 16|18) c64.
         mat=tri_table.shape[1] > (16 if jnp.iscomplexobj(tri_table) else 32),
+        vis=vis,
     )
-    rgba = pallas_raster.unpack_rgba(rgba_packed)
+    if vis:
+        # Deferred texturing tail: pair ids are padded-global triangle ids
+        # (tri_base + local), so the corner arrays must be padded-global
+        # too — each device builds its slice's rows (O(T/n) compute, every
+        # corner computed exactly once, same values as the coefficient
+        # build) and one all_gather assembles them, riding ICI alongside
+        # the table gather.
+        from compute_renderer_tpu.backends.tpu import (
+            corner_vertex_arrays, micro_vis_tail,
+        )
+
+        if nrm_tuples is None:  # injected-table runs still need normals
+            nrm_soa = normals[tri_local].astype(F32).transpose(1, 2, 0)
+            nrm_tuples = tuple(
+                tuple(nrm_soa[k, c] for c in range(3)) for k in range(3)
+            )
+        uv_slice = uvs.astype(F32)[tri_local]  # (Tl, 3, 2)
+        scr_l, wld_l, nrm_l, uv_l, _ = corner_vertex_arrays(
+            screen_soa, world_soa, nrm_tuples, uv_slice
+        )
+        gathered = [
+            jax.lax.all_gather(a, axis_name, axis=0, tiled=True)
+            for a in (scr_l, wld_l, nrm_l, uv_l)
+        ]
+        tri_v = jnp.arange(3 * n_shards * Tl, dtype=i32).reshape(-1, 3)
+        rgba = micro_vis_tail(
+            rgba_packed, best_key, s_tri,
+            None, None, None, None, effect,
+            ntx * 128, nty_local * 8,
+            face_kd, face_tex, texels, tex_table,
+            view_position, light_world_pos, light_color, light_intensity,
+            y_offset=y_offset, corners=tuple(gathered) + (tri_v,),
+        )
+    else:
+        rgba = pallas_raster.unpack_rgba(rgba_packed)
     needed = jnp.stack([
         jnp.where(total_local > pair_cap, total_local, 0).astype(i32),
         jnp.where(bucket_needed > bucket_cap, bucket_needed, 0).astype(i32),
@@ -382,6 +458,9 @@ def render_frame_sharded(
     world=None,
     tri_table=None,
     face_kd=None,
+    face_tex=None,
+    texels=None,
+    tex_table=None,
 ):
     """Sharded render step. Returns ((H,W,4) u8 sharded over H, depth keys,
     overflow report (n_shards, 2) i32 of NEEDED [pair_cap, tile_cap]
@@ -482,6 +561,11 @@ def render_frame_sharded(
     if face_kd is not None:
         operands = operands + (face_kd,)
         extra_names.append("face_kd")
+    if face_tex is not None:
+        # Texture extension: atlas + slot table replicated; every stripe
+        # body runs the visibility kernel + its own deferred tail.
+        operands = operands + (face_tex, texels, tex_table)
+        extra_names.extend(["face_tex", "texels", "tex_table"])
     if screen is not None:
         if path != "sortmiddle" or world is None or tri_table is None:
             raise ValueError(

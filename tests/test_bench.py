@@ -86,8 +86,10 @@ def test_suite_configs_match_reference():
     # small stand-ins, kept for continuity) + the structured real-loader
     # row (a synthesized multi-submesh OBJ loaded from disk, VERDICT r2 #7)
     # + its material-extension twin (same geometry, MTL resolved) + the
-    # textured small structured scene (map_Kd atlas end-to-end).
-    assert len(scenes) == 15
+    # textured small structured scene (map_Kd atlas end-to-end) + the
+    # textured MEGA row (same ~1M-tri scene, micro-path deferred
+    # texturing).
+    assert len(scenes) == 16
     # Order: San Miguel, Exterior, Suzanne, Vokselia x (tpu, xla)
     assert "San_Miguel" in scenes[0].model_path
     assert scenes[0].normalized_backend() == "tpu"
@@ -103,6 +105,12 @@ def test_suite_configs_match_reference():
     assert scenes[14].model_path == "structured_scene_tex.obj"
     assert scenes[14].enable_textures
     assert "+textures" in scenes[14].scene_name()
+    assert scenes[15].model_path == "structured_scene.obj"
+    assert scenes[15].enable_textures
+    assert scenes[15].scene_name() not in (
+        scenes[12].scene_name(), scenes[13].scene_name(),
+        scenes[14].scene_name(),
+    )
     # Enumerating configs is side-effect-free: the 80 MB structured asset
     # is synthesized lazily by run_scene, not here (tests/test_objgen.py
     # covers the synthesis + caching contract).

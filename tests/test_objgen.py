@@ -143,3 +143,28 @@ def test_ensure_textured_scene(tmp_path):
     mtime = path.stat().st_mtime_ns
     assert objgen.ensure_textured_scene(tmp_path) == path
     assert path.stat().st_mtime_ns == mtime
+
+
+def test_structured_scene_mtl_refresh_and_textures(tmp_path):
+    # The mega scene's MTL carries map_Kd rows (the textured-mega suite
+    # row); a scene cached by an older build (MTL without map_Kd) must get
+    # its library refreshed in place without rewriting the geometry.
+    target = tmp_path / objgen.STRUCTURED_NAME
+    objgen.write_structured_obj(target, **TINY)  # default (old-style) MTL
+    mtl = tmp_path / "structured_scene.mtl"
+    assert "map_Kd" not in mtl.read_text()
+    mtime = target.stat().st_mtime_ns
+    out = objgen.ensure_structured_scene(tmp_path)
+    assert out == target
+    assert target.stat().st_mtime_ns == mtime  # geometry untouched
+    assert "map_Kd" in mtl.read_text()
+    assert (tmp_path / "structured_ground.ppm").exists()
+    mesh = load_obj(target, textures=True)
+    assert mesh.has_textures
+    assert set(np.unique(mesh.face_tex).tolist()) == {-1, 0, 1}
+    # Kd rows unchanged: the materials suite row is unaffected.
+    kd_mesh = load_obj(target, materials=True)
+    colors = np.unique(kd_mesh.face_kd, axis=0)
+    for want in ((0.35, 0.45, 0.2), (0.85, 0.85, 0.8), (0.55, 0.5, 0.45)):
+        assert np.isclose(colors, np.float32(want), atol=1e-6).all(
+            axis=1).any(), want

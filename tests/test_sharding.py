@@ -381,3 +381,104 @@ def test_frame_parallel_materials(mesh8):
     single = r.render(fu)
     np.testing.assert_array_equal(frames[0], single)
     np.testing.assert_array_equal(frames[1], single)
+
+
+def _textured(kd=False):
+    from tests.test_textures import textured_quad
+
+    kd_arr = (np.array([[0.9, 0.8, 0.2], [0.2, 0.8, 0.9]], F32)
+              if kd else None)
+    return textured_quad(kd=kd_arr)
+
+
+def _tex_kwargs(m):
+    import jax.numpy as jnp
+
+    kw = {
+        "face_tex": jnp.asarray(m.face_tex),
+        "texels": jnp.asarray(m.texels),
+        "tex_table": jnp.asarray(m.tex_table),
+    }
+    if m.face_kd is not None:
+        kw["face_kd"] = jnp.asarray(m.face_kd)
+    return kw
+
+
+def test_sharded_textured_tile_and_micro(mesh8):
+    # Texture extension across the sharded stripe paths: the kernel runs
+    # its visibility-only walk per stripe and each device shades its own
+    # stripe with the deferred tail at its global pixel offset. Same op
+    # structure as the single-device vis render -> bitwise equal.
+    m = _textured(kd=True)
+    args = args_for(m)
+    tex = _tex_kwargs(m)
+    for path in ("tile", "micro"):
+        rgba_s, keys_s, overflow = render_frame_sharded(
+            *args, mesh=mesh8, width=W, height=H, path=path, **tex
+        )
+        rgba_1, keys_1, _ = tpu.render_frame(
+            *args, width=W, height=H, path=path, **tex
+        )
+        assert not bool(np.asarray(overflow).any()), path
+        np.testing.assert_array_equal(np.asarray(keys_s),
+                                      np.asarray(keys_1), err_msg=path)
+        np.testing.assert_array_equal(np.asarray(rgba_s),
+                                      np.asarray(rgba_1), err_msg=path)
+        # The checker atlas actually shows (vs the untextured render).
+        plain, _, _ = tpu.render_frame(*args, width=W, height=H, path=path)
+        assert (np.asarray(rgba_1) != np.asarray(plain)).any()
+
+
+def test_sharded_textured_sortmiddle(mesh8):
+    # Sort-middle with textures: per-slice corner arrays all_gather into
+    # padded-global order (matching the exchanged pair ids); <=1-LSB
+    # contract as the plain sortmiddle production path.
+    m = _textured()
+    args = args_for(m)
+    tex = _tex_kwargs(m)
+    rgba_s, keys_s, overflow = render_frame_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="sortmiddle", **tex
+    )
+    rgba_1, _, _ = tpu.render_frame(
+        *args, width=W, height=H, path="micro", **tex
+    )
+    assert not bool(np.asarray(overflow).any())
+    diff = np.abs(np.asarray(rgba_s).astype(int)
+                  - np.asarray(rgba_1).astype(int))
+    mism = (diff > 1).any(axis=-1)
+    assert mism.mean() < 0.001, f"{mism.sum()} px differ by >1"
+    # Texture visible through the sortmiddle path too.
+    plain_args = args_for(m)
+    plain, _, _ = render_frame_sharded(
+        *plain_args, mesh=mesh8, width=W, height=H, path="sortmiddle"
+    )
+    assert (np.asarray(rgba_s) != np.asarray(plain)).any()
+
+
+def test_frame_parallel_textured(mesh8):
+    # face_tex/texels/tex_table flow from the Renderer into the
+    # frame-parallel step; each sharded frame stays bitwise equal to the
+    # single-device textured render.
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.parallel.frames import render_frames
+    from compute_renderer_tpu.core.camera import Camera
+    from compute_renderer_tpu.core.effects import EffectUniform
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+
+    m = _textured(kd=True)
+    r = Renderer(m, W, H, backend="tpu")
+    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    lights = (np.array([[0, 0, 5.0]], F32), np.ones((1, 3), F32),
+              np.ones((1,), F32))
+    fu = FrameUniforms(
+        view_position=np.asarray(u.view_position, F32),
+        view_proj=np.asarray(u.view_proj, F32),
+        effect=np.asarray(EffectUniform().as_array(), F32),
+        light_world_pos=lights[0], light_color=lights[1],
+        light_intensity=lights[2],
+    )
+    frames = render_frames(r, [fu, fu], mesh8)
+    single = r.render(fu)
+    np.testing.assert_array_equal(frames[0], single)
+    np.testing.assert_array_equal(frames[1], single)

@@ -396,3 +396,29 @@ def test_uv_wrap_repeats():
     reds = (img2[..., 0] > img2[..., 2]) & covered
     blues = (img2[..., 2] > img2[..., 0]) & covered
     assert reds.any() and blues.any()
+
+
+def test_engine_textured_micro_calibration():
+    # Renderer-level mega-path texturing: forcing path="micro" on a
+    # textured mesh exercises the engine's corner-SoA upload + pair-cap
+    # calibration with the visibility kernel, and must match the
+    # backend-level render exactly.
+    from compute_renderer_tpu.core.effects import EffectUniform
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+
+    mesh = textured_quad()
+    camera = Camera.first_person([0, 0, 2.0], aspect=W / H)
+    u = camera.uniform()
+    lwp, lc, li = lights_at_camera()
+    fu = FrameUniforms(
+        view_position=np.asarray(u.view_position, F32),
+        view_proj=np.asarray(u.view_proj, F32),
+        effect=np.asarray(EffectUniform().as_array(), F32),
+        light_world_pos=lwp, light_color=lc, light_intensity=li,
+    )
+    r = Renderer(mesh, W, H, backend="tpu", path="micro")
+    assert r.pos_soa is not None  # corner-SoA prepared for textured micro
+    img = r.render(fu)
+    ref = render_tpu_mesh(mesh, path="micro")
+    np.testing.assert_array_equal(img, ref)
