@@ -54,6 +54,28 @@ FALLBACK_BATCHES = (8, 16)
 FALLBACK_ROUNDS = 2
 
 
+def probe_tpu(timeout_s: float) -> bool:
+    """Bounded child that just initializes the backend. When the relay is
+    down, ``import jax`` hangs forever; when it is up, ``jax.devices()``
+    returns in seconds. Probing first turns a dead tunnel's cost per
+    attempt from CHILD_TIMEOUT_S (sized for remote compiles, 900 s) into
+    PROBE_TIMEOUT_S — the difference between ~1 h and ~15 min of dead time
+    before the CPU fallback when the driver runs this at round end."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "assert d and d[0].platform != 'cpu', d"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0
+
+
+PROBE_TIMEOUT_S = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "210"))
+
+
 def supervise() -> int:
     """Run the measurement in a child with timeout + retry/backoff, so a
     hung tunnel bootstrap or a transient PJRT init failure doesn't zero the
@@ -69,6 +91,10 @@ def supervise() -> int:
                 file=sys.stderr,
             )
             time.sleep(delay)
+        if "_BENCH_FAKE" not in env and not probe_tpu(PROBE_TIMEOUT_S):
+            last_err = "[bench] TPU probe failed (tunnel down?)"
+            print(last_err, file=sys.stderr)
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

@@ -380,7 +380,14 @@ def render_frame(
             face_tex=face_tex, texels=texels, tex_table=tex_table,
         )
     if tri_chunk == 0:
-        tri_chunk = MAX_TRI_TABLE_BYTES // (pallas_raster.TRI_TABLE_WIDTH * 4)
+        # Size chunks for the table that will actually be built: the
+        # material table is MAT_TRI_TABLE_WIDTH (35) columns, not 32 —
+        # sizing by 32 would overshoot the VMEM budget ~9% on chunked
+        # material scenes.
+        table_width = (pallas_raster.MAT_TRI_TABLE_WIDTH
+                       if face_kd is not None and face_tex is None
+                       else pallas_raster.TRI_TABLE_WIDTH)
+        tri_chunk = MAX_TRI_TABLE_BYTES // (table_width * 4)
     if tile_h == 0 or tile_w == 0:
         tile_h, tile_w = choose_tile(T, width, height)
 

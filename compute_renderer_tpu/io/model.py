@@ -32,21 +32,32 @@ class Model:
         (implies materials) additionally decodes map_Kd images into the
         flat atlas (``Mesh.face_tex``/``texels``/``tex_table``)."""
         materials = materials or textures
+        from compute_renderer_tpu.io import objgen
+
+        ensure = {
+            objgen.STRUCTURED_NAME: objgen.ensure_structured_scene,
+            objgen.STRUCTURED_TEX_NAME: objgen.ensure_textured_scene,
+        }.get(path)
         try:
             resolved = get_asset_path(path)
+            if ensure is not None:
+                # Synthesized benchmark asset found on disk: run ensure_*
+                # against ITS directory anyway — it refreshes the companion
+                # MTL / map_Kd images an older synthesis may lack (cheap
+                # no-op when everything is present), so the materials/
+                # textures suite rows can't silently degrade to plain
+                # renders behind a stale cache.
+                resolved = ensure(resolved.parent)
         except FileNotFoundError:
-            from compute_renderer_tpu.io import objgen
-
-            if path == objgen.STRUCTURED_NAME:
-                # Synthesized-on-first-use benchmark asset (cached on
-                # disk): resolving it here means EVERY loader path — CLI
-                # --model-path, viewer, suite — gets the scene, and merely
-                # enumerating configs never writes 80 MB.
-                resolved = objgen.ensure_structured_scene()
-            elif path == objgen.STRUCTURED_TEX_NAME:
-                resolved = objgen.ensure_textured_scene()
+            if ensure is not None:
+                # Synthesized-on-first-use (cached on disk): resolving it
+                # here means EVERY loader path — CLI --model-path, viewer,
+                # suite — gets the scene, and merely enumerating configs
+                # never writes 80 MB.
+                resolved = ensure()
             elif path in procedural.PROCEDURAL_MODELS:
-                return Model(mesh=procedural.make_model(path), source=f"procedural:{path}")
+                return Model(mesh=procedural.make_model(path),
+                             source=f"procedural:{path}")
             else:
                 raise
         # Prefer the native parser; fall back to pure Python. Material

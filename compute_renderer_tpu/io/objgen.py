@@ -223,16 +223,22 @@ def ensure_textured_scene(directory: Path | None = None) -> Path:
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     path = directory / STRUCTURED_TEX_NAME
-    if path.exists():
-        return path
-
     # Deterministic textures: a ground checker and a marble-ish gradient.
+    # Written BEFORE the cached-OBJ early return (idempotent): if the
+    # gitignored PPMs were cleaned while the OBJ survived, the atlas would
+    # otherwise silently degrade every texture to a 1x1 white texel.
     _write_shared_textures(directory)
     mtl_text = (
         "newmtl ground\nKd 1 1 1\nmap_Kd structured_ground.ppm\n"
         "newmtl marble\nKd 0.95 0.95 0.9\nmap_Kd structured_marble.ppm\n"
         "newmtl stone\nKd 0.55 0.50 0.45\n"
     )
+    if path.exists():
+        mtl_path = directory / "structured_scene_tex.mtl"
+        if not mtl_path.exists():
+            mtl_path.write_text(mtl_text)
+        return path
+
     stats = write_structured_obj(
         path, terrain_n=120, statue_nu=80, statue_nv=44, ruins=40,
         mtl_name="structured_scene_tex.mtl", mtl_text=mtl_text,

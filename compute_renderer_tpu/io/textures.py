@@ -112,7 +112,17 @@ def build_atlas(paths: list) -> tuple:
     for slot, p in enumerate(paths):
         try:
             img = load_image(p)
-        except (OSError, ValueError, ImportError):
+        except (OSError, ValueError, ImportError) as e:
+            # Degrade, but never silently: a missing decoder (Pillow) or an
+            # unreadable file turning every texture white is otherwise
+            # indistinguishable from a correct render of white textures.
+            import warnings
+
+            warnings.warn(
+                f"texture {p!r} unusable ({type(e).__name__}: {e}); "
+                "degrading to 1x1 white texel",
+                stacklevel=2,
+            )
             img = np.ones((1, 1, 3), dtype=F32)
         h, w = img.shape[:2]
         table[slot] = (offset, w, h)

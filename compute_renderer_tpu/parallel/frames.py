@@ -33,7 +33,8 @@ from compute_renderer_tpu.backends import tpu
 @partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "num_lights", "pair_cap",
-                     "tile_cap", "path", "interpret", "effect_kind"),
+                     "tile_cap", "path", "interpret", "effect_kind",
+                     "tile_h", "tile_w", "tri_chunk", "worklist"),
 )
 def render_frames_sharded(
     positions, normals, uvs, tri,
@@ -48,6 +49,14 @@ def render_frames_sharded(
     path: str = "auto",
     interpret: bool | None = None,
     effect_kind: int | None = None,
+    # Forwarded single-device kernel options: a Renderer constructed with
+    # custom tile dimensions / chunking / work-list choice must render the
+    # SAME image per frame here as renderer.render does (tile size is
+    # observable: coverage-expanding effects clip to the tile-rect union).
+    tile_h: int = 0,
+    tile_w: int = 0,
+    tri_chunk: int = 0,
+    worklist: bool = True,
     face_kd=None,  # (T, 3) f32 per-triangle diffuse (material extension)
     # Texture extension (together, replicated): each device's frames run
     # the single-device deferred-texturing pipeline unchanged.
@@ -83,7 +92,8 @@ def render_frames_sharded(
                 pos, nrm, uv, idx, vp, vpos, lwp, lc, li, eff,
                 width=width, height=height, pair_cap=pair_cap,
                 tile_cap=tile_cap, path=path, interpret=interpret,
-                effect_kind=effect_kind, **kwargs,
+                effect_kind=effect_kind, tile_h=tile_h, tile_w=tile_w,
+                tri_chunk=tri_chunk, worklist=worklist, **kwargs,
             )
             return jnp.maximum(carry, overflow), rgba
         needed, frames = jax.lax.scan(
@@ -154,6 +164,10 @@ def render_frames(renderer, uniforms_seq, mesh: Mesh,
             num_lights=L, pair_cap=pair_cap, tile_cap=tile_cap,
             path=path,
             effect_kind=renderer.options.get("effect_kind"),
+            tile_h=renderer.options.get("tile_h", 0),
+            tile_w=renderer.options.get("tile_w", 0),
+            tri_chunk=renderer.options.get("tri_chunk", 0),
+            worklist=renderer.options.get("worklist", True),
             face_kd=renderer.face_kd,
             **(renderer.textures or {}),
         )

@@ -383,6 +383,37 @@ def test_frame_parallel_materials(mesh8):
     np.testing.assert_array_equal(frames[1], single)
 
 
+def test_frame_parallel_forwards_kernel_options(mesh8):
+    # A Renderer constructed with non-default tile dimensions must render
+    # the SAME frames through the frame-parallel path as single-device.
+    # Tile size is observable under a coverage-expanding effect (voxelize
+    # inflation clips to the tile-rect union), so dropping the options
+    # (the pre-fix behavior) would change pixels.
+    from compute_renderer_tpu.core.camera import Camera
+    from compute_renderer_tpu.core.effects import Effect
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+    from compute_renderer_tpu.parallel.frames import render_frames
+
+    m = procedural.icosphere(2)
+    r = Renderer(m, W, H, backend="tpu", path="tile", tile_h=8, tile_w=128)
+    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    eff = Effect.voxelize(0.35, 1.0).uniform(0.5).as_array()
+    lights = (np.array([[0, 0, 5.0]], F32), np.ones((1, 3), F32),
+              np.ones((1,), F32))
+    fu = FrameUniforms(
+        view_position=np.asarray(u.view_position, F32),
+        view_proj=np.asarray(u.view_proj, F32),
+        effect=np.asarray(eff, F32),
+        light_world_pos=lights[0], light_color=lights[1],
+        light_intensity=lights[2],
+    )
+    frames = render_frames(r, [fu], mesh8)
+    single = r.render(fu)
+    np.testing.assert_array_equal(frames[0], single)
+
+
 def _textured(kd=False):
     from tests.test_textures import textured_quad
 
