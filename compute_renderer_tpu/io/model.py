@@ -26,11 +26,13 @@ class Model:
     def load(path: str, materials: bool = False,
              textures: bool = False) -> "Model":
         """``materials=True`` (extension) resolves MTL diffuse colors into
-        ``Mesh.face_kd`` — via the pure-Python loader, which owns the
-        ``usemtl`` tracking (the native parser covers the reference-faithful
-        fast path, where materials are discarded). ``textures=True``
-        (implies materials) additionally decodes map_Kd images into the
-        flat atlas (``Mesh.face_tex``/``texels``/``tex_table``)."""
+        ``Mesh.face_kd``; ``textures=True`` (implies materials)
+        additionally decodes map_Kd images into the flat atlas
+        (``Mesh.face_tex``/``texels``/``tex_table``). Both ride the native
+        parser when its material ABI is available (usemtl slots recorded
+        in C++, MTL resolution vectorized in Python), falling back to the
+        pure-Python loader — the two are parity-pinned by
+        tests/test_native.py."""
         materials = materials or textures
         from compute_renderer_tpu.io import objgen
 
@@ -60,17 +62,23 @@ class Model:
                              source=f"procedural:{path}")
             else:
                 raise
-        # Prefer the native parser; fall back to pure Python. Material
-        # loading always takes the Python path.
-        if not materials:
-            try:
-                from compute_renderer_tpu.io import native
+        # Prefer the native parser; fall back to pure Python. Materials/
+        # textures ride the native path too (a stale pre-material-ABI .so
+        # falls back) — the ~1M-tri structured suite rows would otherwise
+        # pay the pure-Python parse just to resolve usemtl runs.
+        try:
+            from compute_renderer_tpu.io import native
 
-                if native.available():
-                    return Model(mesh=native.load_obj(resolved),
-                                 source=str(resolved))
-            except ImportError:
-                pass
+            if native.available() and (
+                not materials or native.supports_materials()
+            ):
+                return Model(
+                    mesh=native.load_obj(resolved, materials=materials,
+                                         textures=textures),
+                    source=str(resolved),
+                )
+        except ImportError:
+            pass
         from compute_renderer_tpu.io.obj import load_obj
 
         return Model(mesh=load_obj(resolved, materials=materials,

@@ -6,10 +6,17 @@
 //   - polygon faces fan-triangulated (v0, v_i, v_i+1)
 //   - single-index: (v, vt, vn) triples deduplicated per sub-mesh
 //   - sub-meshes split on 'o'/'g'; concatenated with index offsetting
-//   - MTL ignored (the reference discards materials)
+//   - MTL ignored on the default path (the reference discards materials)
 //   - V texcoord flip (1 - v), applied to the zero-filled value when a
 //     corner has no vt but the sub-mesh has texcoords
 //   - negative (relative) indices per the OBJ spec
+//
+// Material extension: usemtl/mtllib statements are RECORDED (per-triangle
+// material slot + interned name table + library list, exposed via
+// crt_mesh_counts2/crt_mesh_fill_mtl) so the binding can resolve MTL
+// diffuse colors / map_Kd atlases in Python without re-parsing the OBJ —
+// the semantics (whitespace-normalized names, empty name = none, slots in
+// encounter order) match io/obj.py's cur_mtl tracking, its oracle.
 //
 // Exposed via a minimal C ABI consumed by ctypes (io/native.py).
 
@@ -43,6 +50,7 @@ struct SubMesh {
   std::unordered_map<Triple, uint32_t, TripleHash> dedup;
   std::vector<Triple> triples;
   std::vector<uint32_t> indices;
+  std::vector<int32_t> tri_mtl;  // material slot per emitted triangle, -1 none
 
   uint32_t corner(const Triple& tr) {
     auto it = dedup.find(tr);
@@ -54,6 +62,24 @@ struct SubMesh {
   }
 };
 
+// Whitespace-normalized remainder of a statement line: tokens split on
+// blanks, re-joined with single spaces, stopping at '#' or end of line —
+// exactly Python's ``" ".join(line.split("#")[0].split()[1:])``.
+std::string normalized_rest(const char* p) {
+  std::string out;
+  while (true) {
+    while (*p == ' ' || *p == '\t' || *p == '\r') ++p;
+    if (*p == '\0' || *p == '\n' || *p == '#') break;
+    const char* start = p;
+    while (*p && *p != ' ' && *p != '\t' && *p != '\r' && *p != '\n' &&
+           *p != '#')
+      ++p;
+    if (!out.empty()) out += ' ';
+    out.append(start, p);
+  }
+  return out;
+}
+
 }  // namespace
 
 struct CrtMesh {
@@ -61,6 +87,10 @@ struct CrtMesh {
   std::vector<float> normals;    // (N, 3)
   std::vector<float> uvs;        // (N, 2)
   std::vector<uint32_t> indices;
+  // Material extension (see header comment).
+  std::vector<int32_t> tri_mtl;  // (ntris,) slot per triangle, -1 none
+  std::string mtl_names;         // '\n'-joined usemtl names, slot order
+  std::string mtl_libs;          // '\n'-joined mtllib file names, in order
 };
 
 static const char* skip_ws(const char* p) {
@@ -107,6 +137,11 @@ CrtMesh* crt_load_obj(const char* path) {
   std::vector<float> vs, vts, vns;  // raw records
   std::vector<SubMesh> submeshes;
   SubMesh current;
+
+  std::unordered_map<std::string, int32_t> mtl_slots;
+  std::vector<std::string> slot_names;  // interned usemtl names, slot order
+  std::vector<std::string> libs;        // mtllib names, encounter order
+  int32_t cur_mtl = -1;
 
   std::vector<Triple> corners;
   corners.reserve(8);
@@ -159,9 +194,39 @@ CrtMesh* crt_load_obj(const char* path) {
         current.indices.push_back(current.corner(corners[0]));
         current.indices.push_back(current.corner(corners[i]));
         current.indices.push_back(current.corner(corners[i + 1]));
+        current.tri_mtl.push_back(cur_mtl);
+      }
+    } else if (strncmp(p, "usemtl", 6) == 0 &&
+               (p[6] == ' ' || p[6] == '\t' || p[6] == '\n' || p[6] == '\0' ||
+                p[6] == '#' || p[6] == '\r')) {
+      std::string name = normalized_rest(p + 6);
+      if (name.empty()) {
+        cur_mtl = -1;  // bare 'usemtl' clears the active material
+      } else {
+        auto it = mtl_slots.find(name);
+        if (it != mtl_slots.end()) {
+          cur_mtl = it->second;
+        } else {
+          cur_mtl = static_cast<int32_t>(slot_names.size());
+          mtl_slots.emplace(name, cur_mtl);
+          slot_names.push_back(std::move(name));
+        }
+      }
+    } else if (strncmp(p, "mtllib", 6) == 0 &&
+               (p[6] == ' ' || p[6] == '\t')) {
+      // Each whitespace-separated token is one library file name.
+      const char* q = p + 6;
+      while (true) {
+        while (*q == ' ' || *q == '\t' || *q == '\r') ++q;
+        if (*q == '\0' || *q == '\n' || *q == '#') break;
+        const char* start = q;
+        while (*q && *q != ' ' && *q != '\t' && *q != '\r' && *q != '\n' &&
+               *q != '#')
+          ++q;
+        libs.emplace_back(start, q);
       }
     }
-    // mtllib/usemtl/s/l/p: ignored.
+    // s/l/p: ignored.
   }
   fclose(f);
   if (!current.indices.empty()) submeshes.push_back(std::move(current));
@@ -206,7 +271,17 @@ CrtMesh* crt_load_obj(const char* path) {
     for (uint32_t idx : sm.indices) {
       mesh->indices.push_back(idx + vertex_offset);
     }
+    mesh->tri_mtl.insert(mesh->tri_mtl.end(), sm.tri_mtl.begin(),
+                         sm.tri_mtl.end());
     vertex_offset += static_cast<uint32_t>(sm.triples.size());
+  }
+  for (size_t i = 0; i < slot_names.size(); ++i) {
+    if (i) mesh->mtl_names += '\n';
+    mesh->mtl_names += slot_names[i];
+  }
+  for (size_t i = 0; i < libs.size(); ++i) {
+    if (i) mesh->mtl_libs += '\n';
+    mesh->mtl_libs += libs[i];
   }
   return mesh;
 }
@@ -224,6 +299,23 @@ void crt_mesh_fill(CrtMesh* mesh, float* positions, float* normals,
   memcpy(uvs, mesh->uvs.data(), mesh->uvs.size() * sizeof(float));
   memcpy(indices, mesh->indices.data(),
          mesh->indices.size() * sizeof(uint32_t));
+}
+
+// Material extension ABI: sizes for the per-triangle slot array and the
+// '\n'-joined name/library strings (bytes, no NUL), then the fill.
+void crt_mesh_counts2(CrtMesh* mesh, int64_t* ntris, int64_t* names_len,
+                      int64_t* libs_len) {
+  *ntris = static_cast<int64_t>(mesh->tri_mtl.size());
+  *names_len = static_cast<int64_t>(mesh->mtl_names.size());
+  *libs_len = static_cast<int64_t>(mesh->mtl_libs.size());
+}
+
+void crt_mesh_fill_mtl(CrtMesh* mesh, int32_t* tri_mtl, char* names,
+                       char* libs) {
+  memcpy(tri_mtl, mesh->tri_mtl.data(),
+         mesh->tri_mtl.size() * sizeof(int32_t));
+  memcpy(names, mesh->mtl_names.data(), mesh->mtl_names.size());
+  memcpy(libs, mesh->mtl_libs.data(), mesh->mtl_libs.size());
 }
 
 void crt_mesh_free(CrtMesh* mesh) { delete mesh; }

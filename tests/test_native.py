@@ -156,6 +156,71 @@ def test_native_matches_python_at_scale(tmp_path):
     np.testing.assert_array_equal(py.uvs, nat.uvs)
 
 
+def _write_material_scene(tmp_path, with_map=True):
+    (tmp_path / "lib.mtl").write_text(
+        "newmtl red\nKd 0.8 0.1 0.1\n"
+        + ("map_Kd tex.ppm\n" if with_map else "")
+        + "newmtl two words\nKd 0.1 0.8 0.2\n"
+        "newmtl blue\nKd 0.2 0.2 0.9\n"
+        + ("map_Kd tex.ppm\n" if with_map else "")
+    )
+    if with_map:
+        from compute_renderer_tpu.io.textures import write_ppm
+
+        write_ppm(tmp_path / "tex.ppm",
+                  np.arange(12, dtype=np.uint8).reshape(2, 2, 3))
+    p = tmp_path / "mat.obj"
+    p.write_text(
+        """
+mtllib lib.mtl missing.mtl
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+vt 0 0
+vt 1 0
+vt 0 1
+usemtl red
+f 1/1 2/2 3/3
+usemtl  two   words # comment
+f 2/2 4/1 3/3
+o next
+usemtl ghost
+f 1/1 2/2 4/3
+usemtl
+f 1 2 3
+usemtl red
+f 1/1 2/2 3/3 4/1
+"""
+    )
+    return p
+
+
+@pytest.mark.parametrize("textures", [False, True])
+def test_native_materials_match_python(tmp_path, textures):
+    # The material extension through the native parser: usemtl runs (with
+    # multi-word names, comments, re-use across sub-meshes, bare usemtl
+    # clearing, unresolvable names) and the map_Kd atlas must match the
+    # Python loader exactly — including on quad fan-triangulation where
+    # one face emits two triangles with the same material.
+    if not native.supports_materials():
+        pytest.skip("native material ABI not built")
+    p = _write_material_scene(tmp_path, with_map=textures)
+    py = load_obj(p, materials=True, textures=textures)
+    nat = native.load_obj(p, materials=True, textures=textures)
+    np.testing.assert_array_equal(py.indices, nat.indices)
+    np.testing.assert_array_equal(py.face_kd, nat.face_kd)
+    # The fixture exercises every resolution class.
+    assert len(np.unique(py.face_kd, axis=0)) >= 3
+    if textures:
+        np.testing.assert_array_equal(py.face_tex, nat.face_tex)
+        np.testing.assert_array_equal(py.texels, nat.texels)
+        np.testing.assert_array_equal(py.tex_table, nat.tex_table)
+        assert (nat.face_tex >= 0).any() and (nat.face_tex == -1).any()
+    else:
+        assert nat.face_tex is None
+
+
 def test_loaders_tolerate_trailing_comments_and_oor_indices(tmp_path):
     # Both loaders must accept what the other accepts (oracle contract).
     p = tmp_path / "messy.obj"
