@@ -38,6 +38,22 @@ import numpy as np
 STRUCTURED_NAME = "structured_scene.obj"
 STRUCTURED_TEX_NAME = "structured_scene_tex.obj"
 
+# Bumped whenever the synthesized geometry changes, so cached assets from
+# older builds regenerate (the header's version line is the check).
+# v2: terrain quads re-wound up-facing (v1's were back-face-culled from
+# above-ground cameras).
+OBJGEN_VERSION = 2
+_HEADER = b"# synthesized structurally-real benchmark scene v%d\n"
+
+
+def _asset_current(path: Path) -> bool:
+    """True when ``path`` exists and carries the current version header."""
+    try:
+        with open(path, "rb") as f:
+            return f.readline() == _HEADER % OBJGEN_VERSION
+    except OSError:
+        return False
+
 
 def _terrain_block(out, nu: int, nv: int, size: float):
     """Shared-vertex height-field terrain as QUAD faces, full v/vt/vn."""
@@ -65,9 +81,12 @@ def _terrain_block(out, nu: int, nv: int, size: float):
     j = np.arange(nv, dtype=np.int64)[None, :]
     a = (i * (nv + 1) + j + 1).ravel()  # 1-based
     b = a + (nv + 1)
-    # Cyclic quad (a, b, b+1, a+1): fan-triangulates to the same facing as
-    # procedural.grid_plane's two triangles.
-    quad = np.stack([a, b, b + 1, a + 1], axis=1)
+    # Cyclic quad (a, a+1, b+1, b): fan-triangulates to UP-facing (+y)
+    # triangles, agreeing with the analytic up-facing vn records above —
+    # the flipped order shipped through round 3 made the whole terrain
+    # back-face-culled from any above-ground camera (v1 assets carry it;
+    # the ensure_* version check regenerates them).
+    quad = np.stack([a, a + 1, b + 1, b], axis=1)
     np.savetxt(
         out, np.repeat(quad, 3, axis=1),
         fmt="f %d/%d/%d %d/%d/%d %d/%d/%d %d/%d/%d",
@@ -171,7 +190,7 @@ def write_structured_obj(path, terrain_n: int = 600, statue_nu: int = 530,
     if mtl_name is None:
         mtl_name = "structured_scene.mtl"
     buf = io.BytesIO()
-    buf.write(b"# synthesized structurally-real benchmark scene\n")
+    buf.write(_HEADER % OBJGEN_VERSION)
     buf.write(b"mtllib %s\n" % mtl_name.encode())
     t_tris, t_v, t_vn = _terrain_block(buf, terrain_n, terrain_n, size)
     s_tris, s_v, s_vn = _statue_block(
@@ -233,7 +252,7 @@ def ensure_textured_scene(directory: Path | None = None) -> Path:
         "newmtl marble\nKd 0.95 0.95 0.9\nmap_Kd structured_marble.ppm\n"
         "newmtl stone\nKd 0.55 0.50 0.45\n"
     )
-    if path.exists():
+    if _asset_current(path):
         mtl_path = directory / "structured_scene_tex.mtl"
         if not mtl_path.exists():
             mtl_path.write_text(mtl_text)
@@ -295,7 +314,7 @@ def ensure_structured_scene(directory: Path | None = None) -> Path:
     directory.mkdir(parents=True, exist_ok=True)
     path = directory / STRUCTURED_NAME
     mtl_path = directory / "structured_scene.mtl"
-    if not path.exists():
+    if not _asset_current(path):
         stats = write_structured_obj(path, mtl_text=_STRUCTURED_MTL)
         print(
             f"[objgen] synthesized {path} "

@@ -145,6 +145,42 @@ def test_ensure_textured_scene(tmp_path):
     assert path.stat().st_mtime_ns == mtime
 
 
+def test_terrain_faces_up(tiny_obj):
+    # The terrain's geometric winding must agree with its analytic
+    # up-facing vn records: a down-wound terrain is back-face-culled from
+    # every above-ground camera (shipped that way in v1 assets — the
+    # whole ground plane silently vanished from the benchmark workload).
+    path, _ = tiny_obj
+    mesh = load_obj(path, materials=True)
+    P = np.asarray(mesh.positions)
+    tri = np.asarray(mesh.indices).reshape(-1, 3)
+    ground = np.isclose(
+        np.asarray(mesh.face_kd), np.float32((0.35, 0.45, 0.2)), atol=1e-6
+    ).all(axis=1)
+    assert ground.any()
+    t = tri[ground]
+    n = np.cross(P[t[:, 1]] - P[t[:, 0]], P[t[:, 2]] - P[t[:, 0]])
+    assert (n[:, 1] > 0).all(), "terrain triangles must wind up-facing"
+
+
+def test_stale_version_regenerates(tmp_path, monkeypatch):
+    # A cached asset from an older generator (different header version)
+    # must be rewritten, not trusted.
+    orig = objgen.write_structured_obj
+    monkeypatch.setattr(
+        objgen, "write_structured_obj",
+        lambda path, **kw: orig(path, **{**kw, **TINY}),
+    )
+    target = tmp_path / objgen.STRUCTURED_NAME
+    target.write_text("# synthesized structurally-real benchmark scene\n")
+    out = objgen.ensure_structured_scene(tmp_path)
+    assert out == target
+    with open(target, "rb") as f:
+        assert f.readline().rstrip().endswith(
+            b"v%d" % objgen.OBJGEN_VERSION)
+    assert target.stat().st_size > 1000  # real geometry, not the stub
+
+
 def test_structured_scene_mtl_refresh_and_textures(tmp_path):
     # The mega scene's MTL carries map_Kd rows (the textured-mega suite
     # row); a scene cached by an older build (MTL without map_Kd) must get
