@@ -24,10 +24,18 @@ from compute_renderer_tpu.engine.scene import CameraConfig, SceneConfig
 
 def _enable_compilation_cache():
     """Persistent XLA compile cache: capacity-retry recompiles and repeated
-    CLI runs reuse executables across processes."""
+    CLI runs reuse executables across processes.
+
+    No-op when a cache dir is already configured: the test suite runs CLI
+    mains in-process under its own READ-ONLY cache regime
+    (tests/conftest.py — XLA:CPU segfaults order-dependently at cache
+    WRITE), and clobbering that config from inside one test poisoned the
+    rest of the pytest process (writes re-enabled + regimes mixed)."""
     import jax
 
     try:
+        if jax.config.jax_compilation_cache_dir:
+            return
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
