@@ -181,7 +181,9 @@ def measure() -> int:
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        from compute_renderer_tpu.cache import host_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", host_cache_dir("cli"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -532,6 +532,7 @@ def render(mesh, camera_uniform, lights, effect, width, height,
     T = max(mesh.indices.shape[0] // 3, 1)
     face_kd = getattr(mesh, "face_kd", None)
     textured = bool(getattr(mesh, "has_textures", False))
+    requested_path = path
     path = resolve_path(path, T)
     caps = default_caps(path, T, width, height, tile_h, tile_w)
     pc = pair_cap or caps["pair_cap"]
@@ -584,6 +585,22 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             return np.asarray(rgba)
         # Flags carry NEEDED capacities — jump straight to a sufficient
         # size (each retry is a recompile; minutes at mega scale).
+        if flags[1] > MAX_TILE_CAP and path != "micro" \
+                and requested_path == "auto":
+            # Density beyond the SMEM window at any legal tile_cap (a
+            # mid-size mesh filling few tiles — e.g. a 36k-tri scene at a
+            # thumbnail resolution). resolve_path's triangle-count split
+            # can't see screen-space density, so 'auto' falls back here to
+            # the micro path, whose pair windows stream from HBM with no
+            # per-tile ceiling. An explicit path="tile" still errors below.
+            path = "micro"
+            pc = pair_cap or default_caps(
+                "micro", T, width, height)["pair_cap"]
+            micro_kwargs = {
+                "pos_soa": args[0][args[3]].transpose(1, 2, 0),
+                "nrm_soa": args[1][args[3]].transpose(1, 2, 0),
+            }
+            continue
         if flags[0]:
             pc = grow_pair_cap(pc, int(flags[0]))
         if flags[1] and path != "micro":

@@ -33,10 +33,14 @@ def _enable_compilation_cache():
     rest of the pytest process (writes re-enabled + regimes mixed)."""
     import jax
 
+    from compute_renderer_tpu.cache import host_cache_dir
+
     try:
         if jax.config.jax_compilation_cache_dir:
             return
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        # Host-keyed: sessions migrate between hosts and XLA:CPU AOT
+        # executables are host-feature-specific (compute_renderer_tpu/cache.py).
+        jax.config.update("jax_compilation_cache_dir", host_cache_dir("cli"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -227,8 +227,11 @@ class Renderer:
         carries the NEEDED capacities, so a retry recompiles once with a
         sufficient size (doubling blindly cost minutes of recompiles per
         step at mega scale)."""
-        self._maybe_calibrate(uniforms)
         for _ in range(max_retries):
+            # Inside the loop: a tile->micro fallback (_grow_caps) re-arms
+            # calibration, and the micro pair capacity must be re-measured
+            # in cell units before the retry renders.
+            self._maybe_calibrate(uniforms)
             out = self.render_device(uniforms)
             if len(out) < 3:
                 return out
@@ -255,6 +258,19 @@ class Renderer:
         T = max(self.num_triangles, 1)
         path = resolve_path(self.options.get("path", "auto"), T,
                             self.options.get("tri_chunk", 0))
+        from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
+
+        if (path != "micro" and tile_needed > MAX_TILE_CAP
+                and self.options.get("path", "auto") == "auto"):
+            # The scene's screen-space density exceeds the tile kernel's
+            # SMEM window at any legal tile_cap (resolve_path's
+            # triangle-count split can't see density — e.g. a 36k-tri
+            # mesh at a thumbnail resolution packs >8192 triangles into
+            # one tile). Fall back to the micro path: its pair windows
+            # stream from HBM with no per-tile ceiling. An explicitly
+            # pinned path="tile" keeps the hard error (grow_tile_cap).
+            self._switch_to_micro()
+            return
         caps = default_caps(path, T, self.width, self.height,
                             self.options.get("tile_h", 0),
                             self.options.get("tile_w", 0))
@@ -274,6 +290,23 @@ class Renderer:
                                caps["tile_w"])
         self.options["pair_cap"] = pc
         self.options["tile_cap"] = tc
+        self._step_cache.clear()
+
+    def _switch_to_micro(self) -> None:
+        """Tile->micro fallback for over-dense scenes (see _grow_caps).
+        Tile-path capacities are dropped (micro pair units are 8x8 CELLS,
+        not tiles — stale values would mis-size every pair-sized stage) and
+        calibration re-arms so the next checked render measures the micro
+        pair need exactly."""
+        self.options["path"] = "micro"
+        for k in ("tile_cap", "tile_h", "tile_w", "worklist"):
+            self.options.pop(k, None)
+        if not self._user_pair_cap:
+            self.options.pop("pair_cap", None)
+            self._calibrate_pair_cap = True
+        if self.pos_soa is None and self.num_triangles > 0:
+            self.pos_soa = self.positions[self.tri].transpose(1, 2, 0)
+            self.nrm_soa = self.normals[self.tri].transpose(1, 2, 0)
         self._step_cache.clear()
 
     def _get_batch_step(self, num_lights: int):
@@ -314,13 +347,15 @@ class Renderer:
         uniforms_seq = list(uniforms_seq)
         packs = []
         L = None
-        if check and uniforms_seq:
-            self._maybe_calibrate(uniforms_seq[0])
         for u in uniforms_seq:
             p, L = self.pack_uniforms(u)
             packs.append(p)
         stack = jnp.asarray(np.stack(packs))
         for _ in range(max_retries):
+            if check and uniforms_seq:
+                # Inside the loop: a tile->micro fallback re-arms
+                # calibration mid-retry (see _checked).
+                self._maybe_calibrate(uniforms_seq[0])
             frames, overflow = self._get_batch_step(L)(stack)
             if not check:
                 self._pending_overflow = (

@@ -177,6 +177,19 @@ def render_frames(renderer, uniforms_seq, mesh: Mesh,
         if need[0]:
             pair_cap = grow_pair_cap(pair_cap, int(need[0]))
         if need[1] and path != "micro":
+            from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
+
+            if (int(need[1]) > MAX_TILE_CAP
+                    and renderer.options.get("path", "auto") == "auto"):
+                # Per-tile density beyond the SMEM window at any legal
+                # cap: fall back to the micro path (no per-tile ceiling),
+                # dropping tile-unit caps (micro pairs are 8x8 cells).
+                path = "micro"
+                caps = default_caps("micro", T, renderer.width,
+                                    renderer.height)
+                pair_cap = caps["pair_cap"]
+                tile_cap = 0
+                continue
             tile_cap = grow_tile_cap(tile_cap, int(need[1]),
                                      caps["tile_h"], caps["tile_w"])
     raise RuntimeError(

@@ -616,7 +616,8 @@ def render_sharded(
     )
 
     T = int(tri.shape[0])
-    path = options.get("path", "auto")
+    requested_path = options.get("path", "auto")
+    path = requested_path
     if path != "sortmiddle":
         path = resolve_path(path, T)
     options["path"] = path
@@ -650,6 +651,19 @@ def render_sharded(
                    or caps["pair_cap"])
             options["bucket_cap"] = grow_pair_cap(cur, int(needed[1]))
         elif needed[1] and path != "micro":
+            from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
+
+            if int(needed[1]) > MAX_TILE_CAP and requested_path == "auto":
+                # Density beyond the SMEM tile window at any legal cap:
+                # fall back to micro stripes (HBM-streamed pair windows,
+                # no per-tile ceiling) — the sharded analog of
+                # Renderer._switch_to_micro. Tile-unit caps are dropped
+                # (micro pair units are 8x8 cells).
+                path = options["path"] = "micro"
+                options.pop("tile_cap", None)
+                options.pop("pair_cap", None)
+                caps = default_caps("micro", T, width, height)
+                continue
             options["tile_cap"] = grow_tile_cap(
                 options.get("tile_cap") or caps["tile_cap"],
                 int(needed[1]), caps["tile_h"], caps["tile_w"],

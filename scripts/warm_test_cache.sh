@@ -1,5 +1,6 @@
 #!/usr/bin/env bash
-# Populate /tmp/jax_cache_cpu_tests safely: one pytest process per test
+# Populate the host-keyed test compile cache (cache.host_cache_dir
+# "cpu_tests") safely: one pytest process per test
 # file, with cache writes enabled (GRAFT_CACHE_WRITE=1). The XLA:CPU
 # executable.serialize() segfault that motivates this only reproduces when
 # certain sharded executables are compiled AFTER unrelated compiled state

@@ -72,11 +72,14 @@ if not _NEEDS_REEXEC:
     # Persistent compilation cache: this box has a single CPU core, so XLA
     # compile time dominates test wall-clock. Cache compiled executables
     # across runs. The directory is SEPARATE from the TPU/CLI cache
-    # (/tmp/jax_cache): the cache key captures neither the plugin's
-    # process-global codegen state nor CPU target features, so sharing a
-    # cache across regimes mixes 1-ULP-different executables and breaks the
-    # bitwise backend-parity tests.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_tests")
+    # (the cache key captures neither the plugin's process-global codegen
+    # state nor CPU target features, so sharing a cache across regimes mixes
+    # 1-ULP-different executables and breaks the bitwise backend-parity
+    # tests) and HOST-KEYED (sessions migrate between machines; a warm cache
+    # from another host's CPU features mis-executes — see cache.py).
+    from compute_renderer_tpu.cache import host_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", host_cache_dir("cpu_tests"))
     # Cache WRITES are opt-in: XLA:CPU's executable.serialize() segfaults
     # (order-dependently) on some 8-virtual-device sharded executables when
     # other compiled state precedes them in-process, killing the whole

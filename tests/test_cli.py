@@ -130,3 +130,17 @@ def test_png_writer_minimal(tmp_path):
         np.testing.assert_array_equal(img, rgba)
     except ImportError:
         pass
+
+
+def test_host_cache_dir_keyed_and_stable():
+    # Host-keyed compile-cache path: stable within one host, regime tag
+    # separates test/CLI caches, and the path never collides with the
+    # un-keyed legacy names a migrated host may have left behind.
+    from compute_renderer_tpu.cache import host_cache_dir
+
+    a = host_cache_dir("cpu_tests")
+    b = host_cache_dir("cpu_tests")
+    assert a == b
+    assert a != host_cache_dir("cli")
+    assert a.startswith("/tmp/jax_cache_cpu_tests_")
+    assert a not in ("/tmp/jax_cache", "/tmp/jax_cache_cpu_tests")

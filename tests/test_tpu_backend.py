@@ -319,3 +319,62 @@ def test_pair_cap_calibration_then_overflow_growth():
     assert r.options["pair_cap"] > settled
     r2 = Renderer(mesh, W, H, backend="tpu", path="micro")
     np.testing.assert_array_equal(img, r2.render(uniforms_at(1.3)))
+
+
+def _dense_tile_mesh(n):
+    # n coincident triangles in one screen tile — per-tile density n with a
+    # tiny total triangle count, the shape resolve_path's count split
+    # cannot see.
+    from compute_renderer_tpu.core.types import Mesh as MeshT
+
+    base = procedural.single_triangle(z=0.0)
+    pos = np.tile(base.positions, (n, 1))
+    pos[:, 2] += np.repeat(np.linspace(0, 0.5, n), 3)
+    return MeshT(pos, np.tile(base.normals, (n, 1)),
+                 np.tile(base.uvs, (n, 1)),
+                 np.arange(3 * n, dtype=np.uint32))
+
+
+def test_renderer_over_cap_density_falls_back_to_micro():
+    # >MAX_TILE_CAP triangles in ONE tile: no legal tile_cap fits the SMEM
+    # window, so the engine must fall back to the micro path (HBM-streamed
+    # pair windows, no per-tile ceiling) instead of raising. Observed in
+    # the wild: the ~36k-tri textured suite row at a 64x48 test resolution
+    # packed 16356 triangles into a single tile (2026-08-18).
+    from compute_renderer_tpu import Renderer
+    from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+
+    n = MAX_TILE_CAP + 300
+    mesh = _dense_tile_mesh(n)
+    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    lwp, lc, li = lights_default()
+    uniforms = FrameUniforms(
+        view_position=u.view_position, view_proj=u.view_proj,
+        light_world_pos=lwp, light_color=lc, light_intensity=li,
+        effect=EffectUniform().as_array(),
+    )
+    r = Renderer(mesh, W, H, backend="tpu")
+    img = r.render(uniforms)
+    assert r.options["path"] == "micro"
+    assert (img[..., 0] > 0).any()
+    # Bitwise-equal to the micro path chosen from the start.
+    r2 = Renderer(mesh, W, H, backend="tpu", path="micro")
+    np.testing.assert_array_equal(img, r2.render(uniforms))
+    # An explicit tile pin keeps the hard error.
+    r3 = Renderer(mesh, W, H, backend="tpu", path="tile")
+    with pytest.raises(RuntimeError, match="SMEM window"):
+        r3.render(uniforms)
+
+
+def test_render_entry_over_cap_density_falls_back_to_micro():
+    # Same density fallback through the functional tpu.render entry.
+    from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
+
+    mesh = _dense_tile_mesh(MAX_TILE_CAP + 300)
+    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    eff = EffectUniform().as_array()
+    img = tpu.render(mesh, u, lights_default(), eff, W, H)
+    assert (img[..., 0] > 0).any()
