@@ -163,6 +163,30 @@ def expand_pair_owners(starts, counts, pair_cap: int):
     return jax.lax.cummax(seed)
 
 
+def exact_tile_counts(setup, ntx: int, nty: int):
+    """Exact per-tile cover counts WITHOUT building the pair list.
+
+    Each triangle covers the half-open tile rect [x0, x1) x [y0, y1); the
+    per-tile count is a classic 2-D rectangle sum: scatter +1/-1 at the
+    rect corners into an (nty+1, ntx+1) grid, then a 2-D inclusive prefix
+    sum. O(T + num_tiles) — independent of pair_cap, so it stays exact
+    when the pair list itself overflows. Dead triangles scatter weight 0
+    (their coords can be arbitrary; mode="drop" guards the range)."""
+    i32 = jnp.int32
+    x0 = setup["tile_x0"].astype(i32)
+    x1 = setup["tile_x1"].astype(i32)
+    y0 = setup["tile_y0"].astype(i32)
+    y1 = setup["tile_y1"].astype(i32)
+    w = jnp.where(setup["alive"], 1, 0).astype(i32)
+    grid = jnp.zeros((nty + 1, ntx + 1), i32)
+    grid = grid.at[y0, x0].add(w, mode="drop")
+    grid = grid.at[y0, x1].add(-w, mode="drop")
+    grid = grid.at[y1, x0].add(-w, mode="drop")
+    grid = grid.at[y1, x1].add(w, mode="drop")
+    counts = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)
+    return counts[:nty, :ntx].reshape(-1)
+
+
 def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
     """Build the sorted (tile, triangle) pair list + per-tile segments.
 
@@ -230,8 +254,20 @@ def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
     pair_tri = jnp.concatenate([sorted_tri, jnp.zeros((pad,), i32)])
 
     pair_overflow = total > pair_cap
-    tile_overflow = jnp.any(count > tile_cap)
     max_count = jnp.max(count) if num_tiles > 0 else jnp.int32(0)
+    if num_tiles > 0:
+        # Per-tile counts above derive from the pair_cap-BOUNDED list, so
+        # they under-report when the pair list itself overflows — a retry
+        # sized from them could overflow tile_cap and recompile a second
+        # time (minutes at mega scale). On pair overflow, recompute the
+        # true max from the corner-scatter rectangle sum (lax.cond: frames
+        # within cap never execute it).
+        max_count = jax.lax.cond(
+            pair_overflow,
+            lambda: jnp.max(exact_tile_counts(setup, ntx, nty)),
+            lambda: max_count,
+        )
+    tile_overflow = max_count > tile_cap
     return {
         "pair_tri": pair_tri,
         "seg_start": seg_start,
@@ -240,10 +276,8 @@ def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
         "overflow": pair_overflow | tile_overflow,
         "pair_overflow": pair_overflow,
         "tile_overflow": tile_overflow,
-        # Needed capacities (0 = within cap). Note per-tile counts are
-        # derived from the pair_cap-bounded list, so tile_needed can
-        # under-report while pair_cap itself overflows; the retry loop
-        # converges in <= 2 recompiles.
+        # Needed capacities (0 = within cap) — exact even under pair
+        # overflow, so the retry jumps to sufficient sizes in ONE recompile.
         "pair_needed": jnp.where(pair_overflow, total, 0).astype(jnp.int32),
         "tile_needed": jnp.where(tile_overflow, max_count, 0).astype(jnp.int32),
         "layout": "flat",

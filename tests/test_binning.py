@@ -174,3 +174,41 @@ def test_segments_boundaries_matches_histogram(rng):
                   "tile_count", "total_pairs", "pair_needed"):
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
                                           err_msg=f"{k} @ cap {pair_cap}")
+
+
+def test_exact_tile_counts_matches_brute_force():
+    rng = np.random.default_rng(7)
+    ntx, nty, n = 6, 5, 40
+    x0 = rng.integers(0, ntx, n)
+    y0 = rng.integers(0, nty, n)
+    x1 = np.minimum(x0 + rng.integers(0, 4, n), ntx)
+    y1 = np.minimum(y0 + rng.integers(0, 4, n), nty)
+    alive = rng.random(n) > 0.2
+    setup = make_setup(x0, y0, x1, y1, alive=list(alive))
+    got = np.asarray(binning.exact_tile_counts(setup, ntx, nty))
+    want = np.zeros((nty, ntx), np.int32)
+    for t in range(n):
+        if alive[t]:
+            want[y0[t]:y1[t], x0[t]:x1[t]] += 1
+    np.testing.assert_array_equal(got, want.reshape(-1))
+
+
+def test_tile_needed_exact_under_pair_overflow():
+    # 20 triangles all covering tile (0,0), plus one spanning the whole
+    # 4x4 grid. pair_cap=8 overflows long before the truncated pair list
+    # can see all 21 triangles in tile 0 — tile_needed must still report
+    # the TRUE max (21) so the retry converges in ONE recompile.
+    n = 20
+    setup = make_setup([0] * n + [0], [0] * n + [0],
+                       [1] * n + [4], [1] * n + [4])
+    out = binning.bin_triangles_sort(setup, ntx=4, nty=4,
+                                     pair_cap=8, tile_cap=4)
+    assert bool(out["pair_overflow"])
+    assert int(out["pair_needed"]) == n + 16
+    assert bool(out["tile_overflow"])
+    assert int(out["tile_needed"]) == n + 1
+    # Within-cap frames never pay the corner-scatter branch; flags stay 0.
+    ok = binning.bin_triangles_sort(setup, ntx=4, nty=4,
+                                    pair_cap=64, tile_cap=32)
+    assert not bool(ok["overflow"])
+    assert int(ok["pair_needed"]) == 0 and int(ok["tile_needed"]) == 0
