@@ -436,8 +436,10 @@ def resolve_attributes(best_tri, tri, screen, world, normals, uvs, effect,
 # Texture sampling (extension; the reference's TextureInfo is never bound)
 # ---------------------------------------------------------------------------
 
-def sample_atlas(texels, tex_table, face_tex, best_tri, flag, uv):
-    """Nearest-neighbor, repeat-wrap sample of the flat texel atlas.
+def sample_atlas(texels, tex_table, face_tex, best_tri, flag, uv,
+                 bilinear: bool = False):
+    """Nearest-neighbor (default) or bilinear, repeat-wrap sample of the
+    flat texel atlas.
 
     The atlas is the reference's (unbound) TextureInfo layout made live
     (custom_pipeline/util.rs:75-85): ``texels`` (P, 3) f32 pool, top image
@@ -445,6 +447,13 @@ def sample_atlas(texels, tex_table, face_tex, best_tri, flag, uv):
     ``face_tex`` (T,) i32 slot per triangle (-1 = untextured). ``uv`` is
     the interpolated (H, W, 2) texcoord — V already flipped at load
     (model.rs:64), so v'=0 addresses the top row directly.
+
+    ``bilinear=True`` filters over the 2x2 texel neighborhood of the
+    half-texel-offset sample point (standard GL convention: the texel
+    center sits at (i + 0.5) / size), wrapping in repeat mode — an
+    EXTENSION past the reference, whose TextureInfo never binds a sampler
+    at all (custom_pipeline/util.rs:75-85). The lerp order is fixed and
+    mirrored verbatim by the golden rasterizer for parity.
 
     Returns ``(texel (H, W, 3) f32, has (H, W) bool)`` — white (the
     modulation identity) wherever ``has`` is False, so callers can
@@ -459,16 +468,38 @@ def sample_atlas(texels, tex_table, face_tex, best_tri, flag, uv):
     v = uv[..., 1]
     fu = u - jnp.floor(u)
     fv = v - jnp.floor(v)
-    tx = jnp.minimum((fu * tw.astype(F32)).astype(jnp.int32), tw - 1)
-    ty = jnp.minimum((fv * th.astype(F32)).astype(jnp.int32), th - 1)
-    idx = off + ty * tw + tx
-    texel = texels[jnp.where(has, idx, 0)]
+    safe_idx = lambda i: jnp.where(has, i, 0)
+    if not bilinear:
+        tx = jnp.minimum((fu * tw.astype(F32)).astype(jnp.int32), tw - 1)
+        ty = jnp.minimum((fv * th.astype(F32)).astype(jnp.int32), th - 1)
+        texel = texels[safe_idx(off + ty * tw + tx)]
+        return jnp.where(has[..., None], texel, F32(1.0)), has
+    pu = fu * tw.astype(F32) - F32(0.5)
+    pv = fv * th.astype(F32) - F32(0.5)
+    x0f = jnp.floor(pu)
+    y0f = jnp.floor(pv)
+    wx = (pu - x0f)[..., None]
+    wy = (pv - y0f)[..., None]
+    # jnp.mod keeps the divisor's sign, so the -1 left of texel 0 wraps to
+    # size-1 (repeat) with no branch.
+    x0 = jnp.mod(x0f.astype(jnp.int32), tw)
+    y0 = jnp.mod(y0f.astype(jnp.int32), th)
+    x1 = jnp.mod(x0 + 1, tw)
+    y1 = jnp.mod(y0 + 1, th)
+    t00 = texels[safe_idx(off + y0 * tw + x0)]
+    t10 = texels[safe_idx(off + y0 * tw + x1)]
+    t01 = texels[safe_idx(off + y1 * tw + x0)]
+    t11 = texels[safe_idx(off + y1 * tw + x1)]
+    one = F32(1.0)
+    top = t00 * (one - wx) + t10 * wx
+    bot = t01 * (one - wx) + t11 * wx
+    texel = top * (one - wy) + bot * wy
     return jnp.where(has[..., None], texel, F32(1.0)), has
 
 
 def textured_shade(gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
                    view_position, light_world_pos, light_color,
-                   light_intensity):
+                   light_intensity, tex_filter: str = "nearest"):
     """Deferred-texturing shade tail shared by every visibility-mode
     consumer (tpu.render_frame / render_frame_micro, the sharded stripe
     bodies, and the frame-parallel path): look up the winner's per-triangle
@@ -483,7 +514,8 @@ def textured_shade(gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
     else:
         kd = jnp.ones(flag.shape + (3,), F32)
     texel, has = sample_atlas(
-        texels, tex_table, face_tex.astype(jnp.int32), best_tri, flag, uv=gbuffer["uv"],
+        texels, tex_table, face_tex.astype(jnp.int32), best_tri, flag,
+        uv=gbuffer["uv"], bilinear=(tex_filter == "bilinear"),
     )
     kd = jnp.where(has[..., None], kd * texel, kd)
     gbuffer["kd"] = kd

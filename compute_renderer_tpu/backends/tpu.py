@@ -66,7 +66,7 @@ def choose_tile(num_triangles: int, width: int, height: int) -> tuple:
 @partial(
     jax.jit,
     static_argnames=("width", "height", "pair_cap", "interpret",
-                     "effect_kind"),
+                     "effect_kind", "tex_filter"),
 )
 def render_frame_micro(
     positions,
@@ -98,6 +98,9 @@ def render_frame_micro(
     face_tex=None,
     texels=None,
     tex_table=None,
+    # "nearest" | "bilinear" atlas filtering in the deferred tail
+    # (extension; the reference never binds a sampler).
+    tex_filter: str = "nearest",
 ):
     """Mega-scene path: 8x8-cell binning (ONE global sort) + the lane-packed
     micro kernel (pallas_micro). Coefficients stream from HBM, so there is
@@ -220,6 +223,7 @@ def render_frame_micro(
         width, height,
         face_kd, face_tex, texels, tex_table,
         view_position, light_world_pos, light_color, light_intensity,
+        tex_filter=tex_filter,
     )
     return rgba, best_key, overflow
 
@@ -258,7 +262,7 @@ def micro_vis_tail(
     width: int, height: int,
     face_kd, face_tex, texels, tex_table,
     view_position, light_world_pos, light_color, light_intensity,
-    x_offset=0, y_offset=0, corners=None,
+    x_offset=0, y_offset=0, corners=None, tex_filter: str = "nearest",
 ):
     """Deferred texturing tail of the micro path (plain XLA). The kernel
     reports the winner's PAIR index per pixel; the sorted pair list maps it
@@ -282,6 +286,7 @@ def micro_vis_tail(
     return common.textured_shade(
         gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
         view_position, light_world_pos, light_color, light_intensity,
+        tex_filter=tex_filter,
     )
 
 
@@ -300,7 +305,7 @@ def resolve_path(path: str, num_triangles: int, tri_chunk: int = 0) -> str:
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "pair_cap",
                      "tile_cap", "interpret", "tri_chunk", "path",
-                     "worklist", "effect_kind"),
+                     "worklist", "effect_kind", "tex_filter"),
 )
 def render_frame(
     positions,
@@ -346,6 +351,8 @@ def render_frame(
     face_tex=None,
     texels=None,
     tex_table=None,
+    # "nearest" | "bilinear" atlas filtering in the deferred tail.
+    tex_filter: str = "nearest",
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
     overflow (2,) i32 = [pair_cap_needed, tile_cap_needed] where 0 means
@@ -378,6 +385,7 @@ def render_frame(
             interpret=interpret, pos_soa=pos_soa, nrm_soa=nrm_soa,
             effect_kind=effect_kind, face_kd=face_kd,
             face_tex=face_tex, texels=texels, tex_table=tex_table,
+            tex_filter=tex_filter,
         )
     if tri_chunk == 0:
         # Size chunks for the table that will actually be built: the
@@ -483,6 +491,7 @@ def render_frame(
     rgba = common.textured_shade(
         gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
         view_position, light_world_pos, light_color, light_intensity,
+        tex_filter=tex_filter,
     )
     return rgba, best_key, overflow
 
@@ -524,7 +533,7 @@ def default_caps(path: str, num_triangles: int, width: int, height: int,
 def render(mesh, camera_uniform, lights, effect, width, height,
            tile_h: int = 0, tile_w: int = 0, pair_cap: int = 0,
            tile_cap: int = 0, max_retries: int = 3, path: str = "auto",
-           worklist: bool = True):
+           worklist: bool = True, tex_filter: str = "nearest"):
     """Host-level entry with automatic capacity retry: if the binning
     capacities overflow (detected, unlike the reference's silent OOB), double
     them and re-render."""
@@ -564,6 +573,7 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             "face_tex": jnp.asarray(mesh.face_tex),
             "texels": jnp.asarray(mesh.texels),
             "tex_table": jnp.asarray(mesh.tex_table),
+            "tex_filter": tex_filter,
         }
     for _ in range(max_retries):
         if path == "micro":

@@ -33,7 +33,8 @@ def _pad_tris(n: int, chunk: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_h", "tile_w", "chunk"),
+    static_argnames=("width", "height", "tile_h", "tile_w", "chunk",
+                     "tex_filter"),
 )
 def render_frame(
     positions,
@@ -59,6 +60,7 @@ def render_frame(
     face_tex=None,  # (T,) i32 texture slot (texture extension)
     texels=None,  # (P, 3) f32 flat atlas pool
     tex_table=None,  # (M, 3) i32 {offset, width, height}
+    tex_filter: str = "nearest",  # "nearest" | "bilinear" atlas filtering
 ):
     """Render one frame; returns ((H, W, 4) uint8 RGBA, depth_key (H,W) u32).
 
@@ -229,7 +231,7 @@ def render_frame(
                 )
             texel, has = common.sample_atlas(
                 texels, tex_table, face_tex.astype(jnp.int32), best_tri,
-                flag, gbuffer["uv"],
+                flag, gbuffer["uv"], bilinear=(tex_filter == "bilinear"),
             )
             kd = jnp.where(has[..., None], kd * texel, kd)
         gbuffer["kd"] = kd
@@ -248,7 +250,8 @@ def render_frame(
 
 
 def render(mesh, camera_uniform, lights, effect, width, height,
-           tile_h: int = 8, tile_w: int = 8, chunk: int = 8):
+           tile_h: int = 8, tile_w: int = 8, chunk: int = 8,
+           tex_filter: str = "nearest"):
     """Convenience host-level entry: numpy/dataclass in, numpy RGBA out."""
     light_world_pos, light_color, light_intensity = lights
     rgba, _ = render_frame(
@@ -274,6 +277,7 @@ def render(mesh, camera_uniform, lights, effect, width, height,
                 "face_tex": jnp.asarray(mesh.face_tex),
                 "texels": jnp.asarray(mesh.texels),
                 "tex_table": jnp.asarray(mesh.tex_table),
+                "tex_filter": tex_filter,
             }
             if getattr(mesh, "has_textures", False)
             else {}

@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Decode map_Kd images into a flat atlas and sample "
                    "them at the interpolated uv (extension; implies "
                    "--materials)")
+    p.add_argument("--texture-filter", type=str, default="nearest",
+                   choices=("nearest", "bilinear"),
+                   help="Atlas filtering for --textures (extension)")
 
     sub = p.add_subparsers(dest="command")
 
@@ -181,6 +184,7 @@ def scene_config_from_args(args) -> SceneConfig:
         effect=effect_from_args(args),
         enable_materials=getattr(args, "materials", False),
         enable_textures=getattr(args, "textures", False),
+        texture_filter=getattr(args, "texture_filter", "nearest"),
     )
 
 

@@ -63,6 +63,10 @@ class Renderer:
         if self.backend_name != "tpu":
             # Static-specialization hint consumed by the tpu backend only.
             options.pop("effect_kind", None)
+        if self.backend_name not in ("tpu", "xla"):
+            # Texture filtering rides the texture extension (tpu/xla only;
+            # wgpu-faithful models the reference's texture-less pipeline).
+            options.pop("tex_filter", None)
         self.options = options
         self._step_cache = {}
         self._pending_overflow = None

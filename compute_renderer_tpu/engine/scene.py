@@ -66,6 +66,8 @@ class SceneConfig:
     # Texture extension (implies materials): decode map_Kd images into the
     # flat atlas and sample them at the interpolated uv.
     enable_textures: bool = False
+    # Atlas filtering for the texture extension: "nearest" | "bilinear".
+    texture_filter: str = "nearest"
 
     def scene_name(self) -> str:
         mat = (" +textures" if self.enable_textures
@@ -103,6 +105,7 @@ class Scene:
         self.effect: Optional[Effect] = None
         self.time: float = 0.0
         self.total_tris: int = 0
+        self.texture_filter: str = "nearest"
 
     @staticmethod
     def from_config(config: SceneConfig, width: int, height: int) -> "Scene":
@@ -114,6 +117,7 @@ class Scene:
         for (position, color, intensity) in config.lights:
             scene.add_light(position, color, intensity)
         scene.effect = config.effect
+        scene.texture_filter = config.texture_filter
         aspect = width / height
         cc = config.camera_config
         if cc.mode is CameraMode.FIRST_PERSON:
@@ -163,7 +167,10 @@ class Scene:
         from compute_renderer_tpu.core.effects import EFFECT_NONE
 
         kind = self.effect.kind if self.effect is not None else EFFECT_NONE
-        return {"effect_kind": int(kind)}
+        opts = {"effect_kind": int(kind)}
+        if self.texture_filter != "nearest":
+            opts["tex_filter"] = self.texture_filter
+        return opts
 
     # -- per-frame update (pure w.r.t. device state) -------------------------
 

@@ -189,15 +189,16 @@ def render_golden(
     face_tex: np.ndarray | None = None,  # (T,) i32 texture slot (extension)
     texels: np.ndarray | None = None,  # (P, 3) f32 flat atlas pool
     tex_table: np.ndarray | None = None,  # (M, 3) i32 {offset, width, height}
+    tex_filter: str = "nearest",  # "nearest" | "bilinear"
 ) -> np.ndarray:
     """Render one frame; returns (H, W, 4) uint8 RGBA.
 
     ``face_kd`` enables the material extension (per-triangle diffuse
     modulating ambient + diffuse; see backends/common.py ``shade``);
     ``face_tex``/``texels``/``tex_table`` the texture extension (the
-    winner's diffuse additionally modulated by a nearest-neighbor
-    repeat-wrap atlas sample at the interpolated uv — same formula as
-    backends/common.sample_atlas)."""
+    winner's diffuse additionally modulated by a repeat-wrap atlas sample
+    at the interpolated uv, nearest or bilinear per ``tex_filter`` — same
+    formulas as backends/common.sample_atlas)."""
     effect = np.asarray(effect, dtype=F32)
     world_pos, screen = vertex_stage(
         mesh_positions, view_proj, effect, width, height
@@ -293,9 +294,10 @@ def render_golden(
             frag_tex[sel] = face_tex[t]
 
     if frag_tex is not None:
-        # Texture pass: nearest/repeat atlas sample at the winner's uv,
-        # multiplied into the per-pixel diffuse (same formula as
-        # backends/common.sample_atlas, kept in sync for bit parity).
+        # Texture pass: nearest (default) or bilinear repeat-wrap atlas
+        # sample at the winner's uv, multiplied into the per-pixel diffuse
+        # (same formulas and lerp order as backends/common.sample_atlas,
+        # kept in sync for parity).
         has = frag_flag & (frag_tex >= 0)
         t0 = np.where(has, frag_tex, 0)
         off = tex_table[t0, 0]
@@ -305,10 +307,32 @@ def render_golden(
         v = frag_uv[..., 1]
         fu = (u - np.floor(u)).astype(F32)
         fv = (v - np.floor(v)).astype(F32)
-        tx = np.minimum((fu * tw.astype(F32)).astype(np.int32), tw - 1)
-        ty = np.minimum((fv * th.astype(F32)).astype(np.int32), th - 1)
-        idx = off + ty * tw + tx
-        texel = np.asarray(texels, dtype=F32)[np.where(has, idx, 0)]
+        pool = np.asarray(texels, dtype=F32)
+        if tex_filter != "bilinear":
+            tx = np.minimum((fu * tw.astype(F32)).astype(np.int32), tw - 1)
+            ty = np.minimum((fv * th.astype(F32)).astype(np.int32), th - 1)
+            idx = off + ty * tw + tx
+            texel = pool[np.where(has, idx, 0)]
+        else:
+            pu = (fu * tw.astype(F32) - F32(0.5)).astype(F32)
+            pv = (fv * th.astype(F32) - F32(0.5)).astype(F32)
+            x0f = np.floor(pu)
+            y0f = np.floor(pv)
+            wx = (pu - x0f).astype(F32)[..., None]
+            wy = (pv - y0f).astype(F32)[..., None]
+            x0 = np.mod(x0f.astype(np.int32), tw)
+            y0 = np.mod(y0f.astype(np.int32), th)
+            x1 = np.mod(x0 + 1, tw)
+            y1 = np.mod(y0 + 1, th)
+            fetch = lambda i: pool[np.where(has, i, 0)]
+            t00 = fetch(off + y0 * tw + x0)
+            t10 = fetch(off + y0 * tw + x1)
+            t01 = fetch(off + y1 * tw + x0)
+            t11 = fetch(off + y1 * tw + x1)
+            one = F32(1.0)
+            top = t00 * (one - wx) + t10 * wx
+            bot = t01 * (one - wx) + t11 * wx
+            texel = (top * (one - wy) + bot * wy).astype(F32)
         frag_kd = np.where(has[..., None], frag_kd * texel, frag_kd)
 
     rgba = shade_fragments(

@@ -34,7 +34,8 @@ from compute_renderer_tpu.backends import tpu
     jax.jit,
     static_argnames=("mesh", "width", "height", "num_lights", "pair_cap",
                      "tile_cap", "path", "interpret", "effect_kind",
-                     "tile_h", "tile_w", "tri_chunk", "worklist"),
+                     "tile_h", "tile_w", "tri_chunk", "worklist",
+                     "tex_filter"),
 )
 def render_frames_sharded(
     positions, normals, uvs, tri,
@@ -63,6 +64,7 @@ def render_frames_sharded(
     face_tex=None,
     texels=None,
     tex_table=None,
+    tex_filter: str = "nearest",
 ):
     """Render K frames with the frame axis sharded over ``mesh``.
 
@@ -93,7 +95,8 @@ def render_frames_sharded(
                 width=width, height=height, pair_cap=pair_cap,
                 tile_cap=tile_cap, path=path, interpret=interpret,
                 effect_kind=effect_kind, tile_h=tile_h, tile_w=tile_w,
-                tri_chunk=tri_chunk, worklist=worklist, **kwargs,
+                tri_chunk=tri_chunk, worklist=worklist,
+                tex_filter=tex_filter, **kwargs,
             )
             return jnp.maximum(carry, overflow), rgba
         needed, frames = jax.lax.scan(
@@ -168,6 +171,7 @@ def render_frames(renderer, uniforms_seq, mesh: Mesh,
             tile_w=renderer.options.get("tile_w", 0),
             tri_chunk=renderer.options.get("tri_chunk", 0),
             worklist=renderer.options.get("worklist", True),
+            tex_filter=renderer.options.get("tex_filter", "nearest"),
             face_kd=renderer.face_kd,
             **(renderer.textures or {}),
         )

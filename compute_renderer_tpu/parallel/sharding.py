@@ -45,7 +45,7 @@ def _stripe_render(
     *,
     width: int, height: int, tile_h: int, tile_w: int, nty_total: int,
     pair_cap: int, tile_cap: int, n_shards: int,
-    axis_name: str, interpret: bool,
+    axis_name: str, interpret: bool, tex_filter: str = "nearest",
 ):
     """Per-device body run under shard_map. All inputs replicated; outputs
     are this device's horizontal stripe.
@@ -104,6 +104,7 @@ def _stripe_render(
         rgba = common.textured_shade(
             gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
             view_position, light_world_pos, light_color, light_intensity,
+            tex_filter=tex_filter,
         )
     else:
         rgba = pallas_raster.unpack_rgba(rgba_packed)
@@ -119,7 +120,7 @@ def _stripe_render_micro(
     *,
     width: int, height: int, nty_total: int,
     pair_cap: int, n_shards: int,
-    axis_name: str, interpret: bool,
+    axis_name: str, interpret: bool, tex_filter: str = "nearest",
 ):
     """Per-device micro-path body (lane-packed kernel, 8x8-cell binning).
 
@@ -199,7 +200,7 @@ def _stripe_render_micro(
             effect, ntx * 128, nty_local * 8,
             face_kd, face_tex, texels, tex_table,
             view_position, light_world_pos, light_color, light_intensity,
-            y_offset=y_offset,
+            y_offset=y_offset, tex_filter=tex_filter,
         )
     else:
         rgba = pallas_raster.unpack_rgba(rgba_packed)
@@ -216,7 +217,7 @@ def _stripe_render_sortmiddle(
     *,
     width: int, height: int, nty_total: int,
     pair_cap: int, bucket_cap: int, n_shards: int,
-    axis_name: str, interpret: bool,
+    axis_name: str, interpret: bool, tex_filter: str = "nearest",
 ):
     """Sort-middle micro-path stripe (SURVEY §2.3 multi-device stretch).
 
@@ -422,6 +423,7 @@ def _stripe_render_sortmiddle(
             face_kd, face_tex, texels, tex_table,
             view_position, light_world_pos, light_color, light_intensity,
             y_offset=y_offset, corners=tuple(gathered) + (tri_v,),
+            tex_filter=tex_filter,
         )
     else:
         rgba = pallas_raster.unpack_rgba(rgba_packed)
@@ -436,7 +438,7 @@ def _stripe_render_sortmiddle(
     jax.jit,
     static_argnames=("mesh", "width", "height", "tile_h", "tile_w",
                      "pair_cap", "tile_cap", "interpret", "path",
-                     "bucket_cap"),
+                     "bucket_cap", "tex_filter"),
 )
 def render_frame_sharded(
     positions, normals, uvs, tri,
@@ -461,6 +463,7 @@ def render_frame_sharded(
     face_tex=None,
     texels=None,
     tex_table=None,
+    tex_filter: str = "nearest",
 ):
     """Sharded render step. Returns ((H,W,4) u8 sharded over H, depth keys,
     overflow report (n_shards, 2) i32 of NEEDED [pair_cap, tile_cap]
@@ -510,7 +513,7 @@ def render_frame_sharded(
             _stripe_render_sortmiddle,
             width=width, height=height, nty_total=nty, pair_cap=pair_cap,
             bucket_cap=bucket_cap, n_shards=n_shards, axis_name=axis_name,
-            interpret=interpret,
+            interpret=interpret, tex_filter=tex_filter,
         )
     elif path == "micro":
         ntx = (width + 127) // 128
@@ -522,6 +525,7 @@ def render_frame_sharded(
             _stripe_render_micro,
             width=width, height=height, nty_total=nty, pair_cap=pair_cap,
             n_shards=n_shards, axis_name=axis_name, interpret=interpret,
+            tex_filter=tex_filter,
         )
     else:
         ntx = (width + tile_w - 1) // tile_w
@@ -551,6 +555,7 @@ def render_frame_sharded(
             width=width, height=height, tile_h=tile_h, tile_w=tile_w,
             nty_total=nty, pair_cap=pair_cap, tile_cap=tile_cap,
             n_shards=n_shards, axis_name=axis_name, interpret=interpret,
+            tex_filter=tex_filter,
         )
 
     operands = (

@@ -513,3 +513,90 @@ def test_frame_parallel_textured(mesh8):
     single = r.render(fu)
     np.testing.assert_array_equal(frames[0], single)
     np.testing.assert_array_equal(frames[1], single)
+
+
+def _dense_tile_mesh(n):
+    # n stacked triangles in one screen tile: per-tile density beyond
+    # any legal tile_cap with a small total count (resolve_path's count
+    # split cannot see it) — must fall back to the micro path. Each copy
+    # gets a tiny irrational-step xy jitter so no sample point lies
+    # exactly on an edge: perfectly coincident edges put EVERY edge pixel
+    # inside the FMA-contraction window where the shard_map and plain-jit
+    # XLA:CPU programs may disagree on coverage (PARITY.md "exact-on-edge"
+    # note), which is the degenerate-input artifact, not the contract.
+    from compute_renderer_tpu.core.types import Mesh as CoreMesh
+
+    base = procedural.single_triangle(z=0.0)
+    pos = np.tile(base.positions, (n, 1))
+    pos[:, 2] += np.repeat(np.linspace(0, 0.5, n), 3)
+    k = np.repeat(np.arange(n, dtype=np.float64), 3)
+    pos[:, 0] += (((k * 0.6180339887) % 1.0) - 0.5) * 0.02
+    pos[:, 1] += (((k * 0.7548776662) % 1.0) - 0.5) * 0.02
+    return CoreMesh(pos, np.tile(base.normals, (n, 1)),
+                    np.tile(base.uvs, (n, 1)),
+                    np.arange(3 * n, dtype=np.uint32))
+
+
+def test_sharded_over_cap_density_falls_back_to_micro(mesh8):
+    from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
+    from compute_renderer_tpu.parallel.sharding import render_sharded
+
+    m = _dense_tile_mesh(MAX_TILE_CAP + 300)
+    args = args_for(m)
+    rgba, keys = render_sharded(*args, mesh=mesh8, width=W, height=H)
+    # Comparator with explicit headroom: at the default micro cap this
+    # scene's pair list overflows (the stacked mesh covers ~34k pairs) and
+    # a raw render_frame call would silently compare against a truncated
+    # render — render_sharded retries, a direct call does not.
+    rgba_single, keys_single, overflow = tpu.render_frame(
+        *args, width=W, height=H, path="micro", pair_cap=65536
+    )
+    assert not np.asarray(overflow).any()
+    np.testing.assert_array_equal(np.asarray(rgba), np.asarray(rgba_single))
+    np.testing.assert_array_equal(np.asarray(keys), np.asarray(keys_single))
+
+
+def test_frame_parallel_over_cap_density_falls_back_to_micro(mesh8):
+    from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+    from compute_renderer_tpu.parallel.frames import render_frames
+
+    m = _dense_tile_mesh(MAX_TILE_CAP + 300)
+    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    uni = FrameUniforms(
+        view_position=u.view_position, view_proj=u.view_proj,
+        light_world_pos=np.array([[0, 0, 5.0]], F32),
+        light_color=np.ones((1, 3), F32),
+        light_intensity=np.ones((1,), F32),
+        effect=EffectUniform().as_array(),
+    )
+    r = Renderer(m, W, H, backend="tpu")
+    frames = render_frames(r, [uni, uni], mesh8)
+    single = Renderer(m, W, H, backend="tpu", path="micro").render(uni)
+    np.testing.assert_array_equal(frames[0], single)
+    np.testing.assert_array_equal(frames[1], single)
+
+
+def test_sharded_textured_bilinear(mesh8):
+    # tex_filter plumbs through the stripe-body partials: sharded bilinear
+    # must stay bitwise equal to the single-device bilinear render, and
+    # actually filter (differ from sharded nearest).
+    m = _textured(kd=True)
+    args = args_for(m)
+    tex = _tex_kwargs(m)
+    rgba_s, keys_s, overflow = render_frame_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="tile",
+        tex_filter="bilinear", **tex
+    )
+    rgba_1, keys_1, _ = tpu.render_frame(
+        *args, width=W, height=H, path="tile", tex_filter="bilinear", **tex
+    )
+    assert not bool(np.asarray(overflow).any())
+    np.testing.assert_array_equal(np.asarray(keys_s), np.asarray(keys_1))
+    np.testing.assert_array_equal(np.asarray(rgba_s), np.asarray(rgba_1))
+    near, _, _ = render_frame_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="tile", **tex
+    )
+    assert (np.asarray(rgba_s) != np.asarray(near)).any()

@@ -214,7 +214,7 @@ def textured_quad(slot=1, kd=None):
     )
 
 
-def render_golden_mesh(mesh, w=W, h=H):
+def render_golden_mesh(mesh, w=W, h=H, tex_filter="nearest"):
     from compute_renderer_tpu.golden.rasterizer import render_golden
 
     camera = Camera.first_person([0, 0, 2.0], aspect=w / h)
@@ -226,17 +226,19 @@ def render_golden_mesh(mesh, w=W, h=H):
         EffectUniform().as_array(), w, h,
         face_kd=mesh.face_kd, face_tex=mesh.face_tex,
         texels=mesh.texels, tex_table=mesh.tex_table,
+        tex_filter=tex_filter,
     )
 
 
-def render_xla_mesh(mesh, w=W, h=H, tile_h=8, tile_w=8):
+def render_xla_mesh(mesh, w=W, h=H, tile_h=8, tile_w=8,
+                    tex_filter="nearest"):
     from compute_renderer_tpu.backends import xla
 
     camera = Camera.first_person([0, 0, 2.0], aspect=w / h)
     u = camera.uniform()
     return xla.render(mesh, u, lights_at_camera(),
                       EffectUniform().as_array(), w, h,
-                      tile_h=tile_h, tile_w=tile_w)
+                      tile_h=tile_h, tile_w=tile_w, tex_filter=tex_filter)
 
 
 def _covered(img):
@@ -422,3 +424,112 @@ def test_engine_textured_micro_calibration():
     img = r.render(fu)
     ref = render_tpu_mesh(mesh, path="micro")
     np.testing.assert_array_equal(img, ref)
+
+
+# ---------------------------------------------------------------------------
+# Bilinear filtering (extension stage: tex_filter="bilinear")
+# ---------------------------------------------------------------------------
+
+def test_sample_atlas_bilinear_reference_values():
+    # Hand-checked lerps on a 2x2 texture (slot 1 after a 1x1 decoy),
+    # GL convention: texel centers at (i + 0.5) / size.
+    import jax.numpy as jnp
+
+    from compute_renderer_tpu.backends import common
+
+    texels = np.array(
+        [[0.5, 0.5, 0.5],           # decoy slot 0
+         [0.0, 0.0, 0.0], [1.0, 1.0, 1.0],   # row 0: black, white
+         [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],  # row 1: red, blue
+        dtype=F32,
+    )
+    table = np.array([[0, 1, 1], [1, 2, 2]], dtype=np.int32)
+    face_tex = np.array([1], dtype=np.int32)
+    best_tri = np.zeros((1, 4), np.int32)
+    flag = np.ones((1, 4), bool)
+
+    def sample(u, v):
+        uv = np.broadcast_to(np.array([u, v], F32), (1, 4, 2))
+        out, has = common.sample_atlas(
+            jnp.asarray(texels), jnp.asarray(table), jnp.asarray(face_tex),
+            jnp.asarray(best_tri), jnp.asarray(flag), jnp.asarray(uv),
+            bilinear=True,
+        )
+        assert bool(np.asarray(has).all())
+        return np.asarray(out)[0, 0]
+
+    # Dead center of texel (0,0): exactly black.
+    np.testing.assert_allclose(sample(0.25, 0.25), [0, 0, 0], atol=1e-6)
+    # Midpoint between the two row-0 texels: 50/50 black/white.
+    np.testing.assert_allclose(sample(0.5, 0.25), [0.5, 0.5, 0.5], atol=1e-6)
+    # Texture center: average of all four texels.
+    np.testing.assert_allclose(sample(0.5, 0.5), [0.5, 0.25, 0.5], atol=1e-6)
+    # u=0 (texel-0 center is at u=0.25): wraps to blend with the RIGHT
+    # texel at weight 0.5 — repeat, not clamp.
+    np.testing.assert_allclose(sample(0.0, 0.25), [0.5, 0.5, 0.5], atol=1e-6)
+
+
+def test_bilinear_differs_and_is_smoother():
+    mesh = textured_quad()
+    near = render_xla_mesh(mesh)
+    bil = render_xla_mesh(mesh, tex_filter="bilinear")
+    covered = _covered(near)
+    assert (near[covered] != bil[covered]).any()
+    # Filtering blends the checker colors: strictly more distinct colors
+    # than the 2-color nearest render.
+    def distinct(img):
+        return len(np.unique(img[covered].reshape(-1, 4), axis=0))
+    assert distinct(bil) > distinct(near)
+
+
+def test_golden_vs_xla_bilinear():
+    kd = np.array([[0.9, 0.8, 0.2], [0.2, 0.8, 0.9]], dtype=F32)
+    mesh = textured_quad(kd=kd)
+    gold = render_golden_mesh(mesh, tex_filter="bilinear")
+    ours = render_xla_mesh(mesh, tex_filter="bilinear")
+    diff = np.abs(gold.astype(int) - ours.astype(int))
+    assert (diff <= 1).all()
+
+
+def test_xla_vs_tpu_bilinear_tile_and_micro():
+    mesh = textured_quad()
+    ref16 = render_xla_mesh(mesh, tile_h=16, tile_w=256,
+                            tex_filter="bilinear")
+    tile = render_tpu_mesh(mesh, tex_filter="bilinear")
+    np.testing.assert_array_equal(tile, ref16)
+    ref8 = render_xla_mesh(mesh, tile_h=8, tile_w=8, tex_filter="bilinear")
+    micro = render_tpu_mesh(mesh, path="micro", tex_filter="bilinear")
+    np.testing.assert_array_equal(micro, ref8)
+
+
+def test_cli_texture_filter_flag():
+    from compute_renderer_tpu.cli import build_parser, scene_config_from_args
+
+    args = build_parser().parse_args(
+        ["--textures", "--texture-filter", "bilinear", "--model-path", "x.obj"]
+    )
+    cfg = scene_config_from_args(args)
+    assert cfg.texture_filter == "bilinear"
+    assert scene_config_from_args(
+        build_parser().parse_args(["--model-path", "x.obj"])
+    ).texture_filter == "nearest"
+
+
+def test_scene_renderer_bilinear(tmp_path):
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import (
+        CameraConfig, Scene, SceneConfig,
+    )
+
+    obj = _write_textured_obj(tmp_path)
+    base = dict(model_path=str(obj),
+                camera_config=CameraConfig.first_person((0, 0, 3.0)),
+                enable_textures=True)
+    imgs = {}
+    for filt in ("nearest", "bilinear"):
+        cfg = SceneConfig(texture_filter=filt, **base)
+        scene = Scene.from_config(cfg, 64, 48)
+        r = Renderer(scene.mesh, 64, 48, backend="tpu",
+                     **scene.renderer_options())
+        imgs[filt] = r.render(scene.update(0.0))
+    assert (imgs["nearest"] != imgs["bilinear"]).any()
