@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--texture-filter", type=str, default="nearest",
                    choices=("nearest", "bilinear"),
                    help="Atlas filtering for --textures (extension)")
+    p.add_argument("--ssaa", type=int, default=1,
+                   help="Supersampled anti-aliasing factor: render at "
+                   "SSAA x the output resolution and box-resolve on "
+                   "device (extension; 1 = off)")
 
     sub = p.add_subparsers(dest="command")
 
@@ -185,6 +189,7 @@ def scene_config_from_args(args) -> SceneConfig:
         enable_materials=getattr(args, "materials", False),
         enable_textures=getattr(args, "textures", False),
         texture_filter=getattr(args, "texture_filter", "nearest"),
+        ssaa=getattr(args, "ssaa", 1),
     )
 
 

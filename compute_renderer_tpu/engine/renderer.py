@@ -53,6 +53,18 @@ def _count_pairs(packed, pos_soa, *, w, h):
     return jnp.sum(c)
 
 
+def box_downsample(rgba, s: int):
+    """SSAA resolve: average s x s pixel blocks of an (H*s, W*s, 4) u8
+    frame down to (H, W, 4). f32 mean + round-half-up — deterministic and
+    backend-agnostic (the resolve sees only the finished framebuffer)."""
+    if s == 1:
+        return rgba
+    H = rgba.shape[0] // s
+    W = rgba.shape[1] // s
+    x = rgba.astype(jnp.float32).reshape(H, s, W, s, 4).mean(axis=(1, 3))
+    return jnp.floor(x + jnp.float32(0.5)).astype(jnp.uint8)
+
+
 class Renderer:
     def __init__(self, mesh, width: int, height: int, backend: str = "tpu",
                  **options):
@@ -60,6 +72,15 @@ class Renderer:
         self.backend = get_backend(self.backend_name)
         self.width = int(width)
         self.height = int(height)
+        # SSAA extension (beyond the reference, which has no AA): render
+        # every frame at ssaa x the output resolution and box-resolve on
+        # device. Engine-level, so every backend gets it; one u8 frame
+        # still crosses the link per present.
+        self.ssaa = int(options.pop("ssaa", 1))
+        if self.ssaa < 1:
+            raise ValueError(f"ssaa must be >= 1, got {self.ssaa}")
+        self.rw = self.width * self.ssaa
+        self.rh = self.height * self.ssaa
         if self.backend_name != "tpu":
             # Static-specialization hint consumed by the tpu backend only.
             options.pop("effect_kind", None)
@@ -126,6 +147,8 @@ class Renderer:
         lazily on next render."""
         self.width = int(width)
         self.height = int(height)
+        self.rw = self.width * self.ssaa
+        self.rh = self.height * self.ssaa
         if not self._user_pair_cap:
             # A settled capacity was measured at the old resolution;
             # coverage scales with the cell grid, so re-settle.
@@ -155,7 +178,7 @@ class Renderer:
 
     def _get_step(self, num_lights: int):
         """Compiled per-frame step with geometry baked in as constants."""
-        key = (num_lights, self.width, self.height)
+        key = (num_lights, self.rw, self.rh)
         step = self._step_cache.get(key)
         if step is not None:
             return step
@@ -164,7 +187,8 @@ class Renderer:
         positions, normals, uvs, tri = (
             self.positions, self.normals, self.uvs, self.tri,
         )
-        width, height, options = self.width, self.height, self.options
+        width, height, options = self.rw, self.rh, self.options
+        ssaa = self.ssaa
         backend = self.backend
         if self.pos_soa is not None:
             options = dict(options, pos_soa=self.pos_soa,
@@ -177,10 +201,13 @@ class Renderer:
         @jax.jit
         def step(packed):
             vpos, vp, eff, lwp, lc, li = unpack_uniforms(packed, L)
-            return backend.render_frame(
+            out = backend.render_frame(
                 positions, normals, uvs, tri, vp, vpos, lwp, lc, li, eff,
                 width=width, height=height, **options,
             )
+            if ssaa > 1:
+                out = (box_downsample(out[0], ssaa),) + tuple(out[1:])
+            return out
 
         self._step_cache[key] = step
         return step
@@ -202,7 +229,7 @@ class Renderer:
 
         from compute_renderer_tpu.backends.tpu import grow_pair_cap
 
-        width, height = self.width, self.height
+        width, height = self.rw, self.rh
         packed, _ = self.pack_uniforms(uniforms)
         total = int(np.asarray(_count_pairs(
             jnp.asarray(packed), self.pos_soa, w=width, h=height,
@@ -275,7 +302,7 @@ class Renderer:
             # pinned path="tile" keeps the hard error (grow_tile_cap).
             self._switch_to_micro()
             return
-        caps = default_caps(path, T, self.width, self.height,
+        caps = default_caps(path, T, self.rw, self.rh,
                             self.options.get("tile_h", 0),
                             self.options.get("tile_w", 0))
         pc = self.options.get("pair_cap") or caps["pair_cap"]
@@ -317,7 +344,7 @@ class Renderer:
         """Compiled K-frame step: lax.scan over a stack of packed uniforms
         inside ONE XLA program. Amortizes per-dispatch latency (a remote TPU
         adds fixed cost per execute call) — the offline/animation path."""
-        key = ("batch", num_lights, self.width, self.height)
+        key = ("batch", num_lights, self.rw, self.rh)
         step = self._step_cache.get(key)
         if step is not None:
             return step

@@ -68,6 +68,9 @@ class SceneConfig:
     enable_textures: bool = False
     # Atlas filtering for the texture extension: "nearest" | "bilinear".
     texture_filter: str = "nearest"
+    # SSAA extension: render at ssaa x the output resolution, box-resolve
+    # on device (1 = off; the reference has no anti-aliasing).
+    ssaa: int = 1
 
     def scene_name(self) -> str:
         mat = (" +textures" if self.enable_textures
@@ -106,6 +109,7 @@ class Scene:
         self.time: float = 0.0
         self.total_tris: int = 0
         self.texture_filter: str = "nearest"
+        self.ssaa: int = 1
 
     @staticmethod
     def from_config(config: SceneConfig, width: int, height: int) -> "Scene":
@@ -118,6 +122,7 @@ class Scene:
             scene.add_light(position, color, intensity)
         scene.effect = config.effect
         scene.texture_filter = config.texture_filter
+        scene.ssaa = config.ssaa
         aspect = width / height
         cc = config.camera_config
         if cc.mode is CameraMode.FIRST_PERSON:
@@ -170,6 +175,8 @@ class Scene:
         opts = {"effect_kind": int(kind)}
         if self.texture_filter != "nearest":
             opts["tex_filter"] = self.texture_filter
+        if self.ssaa != 1:
+            opts["ssaa"] = self.ssaa
         return opts
 
     # -- per-frame update (pure w.r.t. device state) -------------------------

@@ -35,7 +35,7 @@ from compute_renderer_tpu.backends import tpu
     static_argnames=("mesh", "width", "height", "num_lights", "pair_cap",
                      "tile_cap", "path", "interpret", "effect_kind",
                      "tile_h", "tile_w", "tri_chunk", "worklist",
-                     "tex_filter"),
+                     "tex_filter", "ssaa"),
 )
 def render_frames_sharded(
     positions, normals, uvs, tri,
@@ -65,6 +65,9 @@ def render_frames_sharded(
     texels=None,
     tex_table=None,
     tex_filter: str = "nearest",
+    # SSAA extension: width/height are the RENDER resolution (output x
+    # ssaa); each frame box-resolves to the output size inside the scan.
+    ssaa: int = 1,
 ):
     """Render K frames with the frame axis sharded over ``mesh``.
 
@@ -98,6 +101,12 @@ def render_frames_sharded(
                 tri_chunk=tri_chunk, worklist=worklist,
                 tex_filter=tex_filter, **kwargs,
             )
+            if ssaa > 1:
+                from compute_renderer_tpu.engine.renderer import (
+                    box_downsample,
+                )
+
+                rgba = box_downsample(rgba, ssaa)
             return jnp.maximum(carry, overflow), rgba
         needed, frames = jax.lax.scan(
             frame, jnp.zeros((2,), jnp.int32), stack_local
@@ -154,7 +163,7 @@ def render_frames(renderer, uniforms_seq, mesh: Mesh,
 
     T = max(renderer.num_triangles, 1)
     path = resolve_path(renderer.options.get("path", "auto"), T)
-    caps = default_caps(path, T, renderer.width, renderer.height)
+    caps = default_caps(path, T, renderer.rw, renderer.rh)
     pair_cap = renderer.options.get("pair_cap") or caps["pair_cap"]
     tile_cap = (renderer.options.get("tile_cap") or caps["tile_cap"] or 0
                 if path != "micro" else 0)
@@ -163,7 +172,8 @@ def render_frames(renderer, uniforms_seq, mesh: Mesh,
         frames, needed = render_frames_sharded(
             renderer.positions, renderer.normals, renderer.uvs,
             renderer.tri, stack,
-            mesh=mesh, width=renderer.width, height=renderer.height,
+            mesh=mesh, width=renderer.rw, height=renderer.rh,
+            ssaa=renderer.ssaa,
             num_lights=L, pair_cap=pair_cap, tile_cap=tile_cap,
             path=path,
             effect_kind=renderer.options.get("effect_kind"),
@@ -189,8 +199,8 @@ def render_frames(renderer, uniforms_seq, mesh: Mesh,
                 # cap: fall back to the micro path (no per-tile ceiling),
                 # dropping tile-unit caps (micro pairs are 8x8 cells).
                 path = "micro"
-                caps = default_caps("micro", T, renderer.width,
-                                    renderer.height)
+                caps = default_caps("micro", T, renderer.rw,
+                                    renderer.rh)
                 pair_cap = caps["pair_cap"]
                 tile_cap = 0
                 continue
