@@ -46,6 +46,14 @@ def _enable_compilation_cache():
         pass
 
 
+def _positive_int(value: str) -> int:
+    """argparse type: fail at parse time, not deep inside the renderer."""
+    n = int(value)
+    if n < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {n}")
+    return n
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="compute-renderer-tpu",
@@ -87,7 +95,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--texture-filter", type=str, default="nearest",
                    choices=("nearest", "bilinear"),
                    help="Atlas filtering for --textures (extension)")
-    p.add_argument("--ssaa", type=int, default=1,
+    p.add_argument("--ssaa", type=_positive_int, default=1,
                    help="Supersampled anti-aliasing factor: render at "
                    "SSAA x the output resolution and box-resolve on "
                    "device (extension; 1 = off)")

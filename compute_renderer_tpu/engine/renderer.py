@@ -79,8 +79,6 @@ class Renderer:
         self.ssaa = int(options.pop("ssaa", 1))
         if self.ssaa < 1:
             raise ValueError(f"ssaa must be >= 1, got {self.ssaa}")
-        self.rw = self.width * self.ssaa
-        self.rh = self.height * self.ssaa
         if self.backend_name != "tpu":
             # Static-specialization hint consumed by the tpu backend only.
             options.pop("effect_kind", None)
@@ -141,14 +139,22 @@ class Renderer:
                 self.nrm_soa = self.normals[self.tri].transpose(1, 2, 0)
         self._step_cache.clear()
 
+    @property
+    def rw(self) -> int:
+        """Render-resolution width (output width x ssaa)."""
+        return self.width * self.ssaa
+
+    @property
+    def rh(self) -> int:
+        """Render-resolution height (output height x ssaa)."""
+        return self.height * self.ssaa
+
     def resize(self, width: int, height: int) -> None:
         """Reference CustomRenderer::resize rebuilds all buffers
         (renderer.rs:159-170); here the per-size compiled step is rebuilt
         lazily on next render."""
         self.width = int(width)
         self.height = int(height)
-        self.rw = self.width * self.ssaa
-        self.rh = self.height * self.ssaa
         if not self._user_pair_cap:
             # A settled capacity was measured at the old resolution;
             # coverage scales with the cell grid, so re-settle.

@@ -58,12 +58,17 @@ def test_ssaa_shape_and_edges(backend):
     img2 = Renderer(mesh, W, H, backend=backend, ssaa=2).render(uni)
     assert img2.shape == (H, W, 4)
     assert (img1 != img2).any()
-    # The aliased render has only background + object colors along the
-    # silhouette; SSAA must introduce blended edge pixels: background-blue
-    # mixed toward the object => pixels with 0 < B < 255 appear.
-    bg = (img2[..., 0] == 0) & (img2[..., 1] == 0) & (img2[..., 2] == 255)
-    obj = ~bg
-    blended = (img2[..., 2] > 0) & (img2[..., 2] < 255) & obj
+    # SSAA must BLEND at the silhouette, not just point-sample at higher
+    # resolution. At a pixel that was pure background (0,0,255) in the
+    # aliased render, the resolve mixes background with the gray-ish
+    # object (R ~= G ~= B): the mix keeps R > 0 (object part) while
+    # pushing B far above R (background part). A point-sample regression
+    # yields only pure background (R == 0) or pure object (B ~= R) there.
+    bg1 = ((img1[..., 0] == 0) & (img1[..., 1] == 0)
+           & (img1[..., 2] == 255))
+    r = img2[..., 0].astype(int)
+    b = img2[..., 2].astype(int)
+    blended = bg1 & (r > 0) & (b >= r + 40) & (b < 255)
     assert blended.any()
 
 
@@ -128,3 +133,9 @@ def test_ssaa_invalid():
     mesh = procedural.cube()
     with pytest.raises(ValueError, match="ssaa"):
         Renderer(mesh, W, H, backend="tpu", ssaa=0)
+    # The CLI rejects it at parse time (argparse usage error), before any
+    # model load happens.
+    from compute_renderer_tpu.cli import build_parser
+
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["--ssaa", "0"])
