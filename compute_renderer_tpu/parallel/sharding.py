@@ -36,6 +36,17 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "tiles") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
+def _check_ssaa_stripes(ssaa: int, stripe_h: int, padded_w: int) -> None:
+    """Per-stripe SSAA resolve needs resolve blocks that do not cross
+    stripe (or padding) boundaries."""
+    if ssaa > 1 and (stripe_h % ssaa or padded_w % ssaa):
+        raise ValueError(
+            f"ssaa={ssaa} does not divide the stripe geometry "
+            f"(stripe_h={stripe_h}, padded_w={padded_w}); use a power-of-2 "
+            "factor or the single-device/frame-parallel path"
+        )
+
+
 def _stripe_render(
     positions, normals, uvs, tri,
     view_proj, view_position,
@@ -46,6 +57,7 @@ def _stripe_render(
     width: int, height: int, tile_h: int, tile_w: int, nty_total: int,
     pair_cap: int, tile_cap: int, n_shards: int,
     axis_name: str, interpret: bool, tex_filter: str = "nearest",
+    ssaa: int = 1,
 ):
     """Per-device body run under shard_map. All inputs replicated; outputs
     are this device's horizontal stripe.
@@ -108,6 +120,14 @@ def _stripe_render(
         )
     else:
         rgba = pallas_raster.unpack_rgba(rgba_packed)
+    if ssaa > 1:
+        # Per-stripe SSAA resolve (stripe height is a multiple of ssaa,
+        # checked by render_frame_sharded): block means of integer-valued
+        # u8 data are exact in f32, so stripes match the single-device
+        # resolve bitwise.
+        from compute_renderer_tpu.engine.renderer import box_downsample
+
+        rgba = box_downsample(rgba, ssaa)
     return rgba, best_key, needed[None]
 
 
@@ -121,6 +141,7 @@ def _stripe_render_micro(
     width: int, height: int, nty_total: int,
     pair_cap: int, n_shards: int,
     axis_name: str, interpret: bool, tex_filter: str = "nearest",
+    ssaa: int = 1,
 ):
     """Per-device micro-path body (lane-packed kernel, 8x8-cell binning).
 
@@ -204,6 +225,10 @@ def _stripe_render_micro(
         )
     else:
         rgba = pallas_raster.unpack_rgba(rgba_packed)
+    if ssaa > 1:
+        from compute_renderer_tpu.engine.renderer import box_downsample
+
+        rgba = box_downsample(rgba, ssaa)
     return rgba, best_key, needed[None]
 
 
@@ -218,6 +243,7 @@ def _stripe_render_sortmiddle(
     width: int, height: int, nty_total: int,
     pair_cap: int, bucket_cap: int, n_shards: int,
     axis_name: str, interpret: bool, tex_filter: str = "nearest",
+    ssaa: int = 1,
 ):
     """Sort-middle micro-path stripe (SURVEY §2.3 multi-device stretch).
 
@@ -427,6 +453,10 @@ def _stripe_render_sortmiddle(
         )
     else:
         rgba = pallas_raster.unpack_rgba(rgba_packed)
+    if ssaa > 1:
+        from compute_renderer_tpu.engine.renderer import box_downsample
+
+        rgba = box_downsample(rgba, ssaa)
     needed = jnp.stack([
         jnp.where(total_local > pair_cap, total_local, 0).astype(i32),
         jnp.where(bucket_needed > bucket_cap, bucket_needed, 0).astype(i32),
@@ -438,7 +468,7 @@ def _stripe_render_sortmiddle(
     jax.jit,
     static_argnames=("mesh", "width", "height", "tile_h", "tile_w",
                      "pair_cap", "tile_cap", "interpret", "path",
-                     "bucket_cap", "tex_filter"),
+                     "bucket_cap", "tex_filter", "ssaa"),
 )
 def render_frame_sharded(
     positions, normals, uvs, tri,
@@ -464,6 +494,11 @@ def render_frame_sharded(
     texels=None,
     tex_table=None,
     tex_filter: str = "nearest",
+    # SSAA extension: stripes render at ssaa x the output resolution and
+    # each resolves its own rows (exact in any order: block means of
+    # integer-valued u8 data), so only resolved pixels leave the step.
+    # Returned depth keys stay at the render resolution.
+    ssaa: int = 1,
 ):
     """Sharded render step. Returns ((H,W,4) u8 sharded over H, depth keys,
     overflow report (n_shards, 2) i32 of NEEDED [pair_cap, tile_cap]
@@ -493,9 +528,12 @@ def render_frame_sharded(
     if path != "sortmiddle":
         path = resolve_path(path, T)
 
+    # Render resolution (output x ssaa); stripes resolve their own rows.
+    rw, rh = width * ssaa, height * ssaa
+
     if path == "sortmiddle":
-        ntx = (width + 127) // 128
-        nty = (height + 7) // 8
+        ntx = (rw + 127) // 128
+        nty = (rh + 7) // 8
         nty = (nty + n_shards - 1) // n_shards * n_shards  # equal stripes
         Tl = (T + n_shards - 1) // n_shards
         if pair_cap == 0:
@@ -509,27 +547,29 @@ def render_frame_sharded(
             # frame usually fits; retry tightens nothing and growth is
             # exact-need.
             bucket_cap = pair_cap
+        _check_ssaa_stripes(ssaa, nty // n_shards * 8, ntx * 128)
         body = partial(
             _stripe_render_sortmiddle,
-            width=width, height=height, nty_total=nty, pair_cap=pair_cap,
+            width=rw, height=rh, nty_total=nty, pair_cap=pair_cap,
             bucket_cap=bucket_cap, n_shards=n_shards, axis_name=axis_name,
-            interpret=interpret, tex_filter=tex_filter,
+            interpret=interpret, tex_filter=tex_filter, ssaa=ssaa,
         )
     elif path == "micro":
-        ntx = (width + 127) // 128
-        nty = (height + 7) // 8
+        ntx = (rw + 127) // 128
+        nty = (rh + 7) // 8
         nty = (nty + n_shards - 1) // n_shards * n_shards  # equal stripes
         if pair_cap == 0:
             pair_cap = binning.default_pair_cap_micro(T, ntx * nty * 16)
+        _check_ssaa_stripes(ssaa, nty // n_shards * 8, ntx * 128)
         body = partial(
             _stripe_render_micro,
-            width=width, height=height, nty_total=nty, pair_cap=pair_cap,
+            width=rw, height=rh, nty_total=nty, pair_cap=pair_cap,
             n_shards=n_shards, axis_name=axis_name, interpret=interpret,
-            tex_filter=tex_filter,
+            tex_filter=tex_filter, ssaa=ssaa,
         )
     else:
-        ntx = (width + tile_w - 1) // tile_w
-        nty = (height + tile_h - 1) // tile_h
+        ntx = (rw + tile_w - 1) // tile_w
+        nty = (rh + tile_h - 1) // tile_h
         nty = (nty + n_shards - 1) // n_shards * n_shards  # equal stripes
         if pair_cap == 0:
             pair_cap = binning.default_pair_cap(T, ntx * nty)
@@ -537,7 +577,7 @@ def render_frame_sharded(
             from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
 
             tile_cap = min(
-                binning.default_tile_cap(T, width, height, tile_h, tile_w),
+                binning.default_tile_cap(T, rw, rh, tile_h, tile_w),
                 MAX_TILE_CAP,
             )
         from compute_renderer_tpu.backends.tpu import MAX_TRI_TABLE_BYTES
@@ -550,12 +590,13 @@ def render_frame_sharded(
                 "path='micro' (or 'auto'), which streams coefficients from "
                 "HBM and has no table budget."
             )
+        _check_ssaa_stripes(ssaa, nty // n_shards * tile_h, ntx * tile_w)
         body = partial(
             _stripe_render,
-            width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+            width=rw, height=rh, tile_h=tile_h, tile_w=tile_w,
             nty_total=nty, pair_cap=pair_cap, tile_cap=tile_cap,
             n_shards=n_shards, axis_name=axis_name, interpret=interpret,
-            tex_filter=tex_filter,
+            tex_filter=tex_filter, ssaa=ssaa,
         )
 
     operands = (
@@ -591,8 +632,9 @@ def render_frame_sharded(
         out_specs=(P(axis_name), P(axis_name), P(axis_name)),
         check_vma=False,
     )(*operands)
-    # rgba: (padded_h, padded_w, 4) sharded over dim 0.
-    return rgba[:height, :width], keys[:height, :width], overflow
+    # rgba: (padded_h / ssaa, padded_w / ssaa, 4) sharded over dim 0;
+    # keys stay at the (padded) render resolution.
+    return rgba[:height, :width], keys[:rh, :rw], overflow
 
 
 def render_sharded(
@@ -633,10 +675,12 @@ def render_sharded(
     # overflow slot is the send-bucket capacity, not a tile cap. The tile
     # path here uses render_frame_sharded's signature defaults (16x256).
     Tl = (T + n_shards - 1) // n_shards
+    # Capacity heuristics size against the RENDER resolution (x ssaa).
+    rs = options.get("ssaa", 1)
     caps = default_caps(
         "micro" if path in ("micro", "sortmiddle") else "tile",
         Tl if path == "sortmiddle" else T,
-        width, height,
+        width * rs, height * rs,
         options.get("tile_h", 16), options.get("tile_w", 256),
     )
     for _ in range(max_retries):
@@ -667,7 +711,7 @@ def render_sharded(
                 path = options["path"] = "micro"
                 options.pop("tile_cap", None)
                 options.pop("pair_cap", None)
-                caps = default_caps("micro", T, width, height)
+                caps = default_caps("micro", T, width * rs, height * rs)
                 continue
             options["tile_cap"] = grow_tile_cap(
                 options.get("tile_cap") or caps["tile_cap"],

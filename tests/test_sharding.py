@@ -600,3 +600,38 @@ def test_sharded_textured_bilinear(mesh8):
         *args, mesh=mesh8, width=W, height=H, path="tile", **tex
     )
     assert (np.asarray(rgba_s) != np.asarray(near)).any()
+
+
+def test_sharded_ssaa_matches_single_device(mesh8):
+    # Per-stripe SSAA resolve: each device averages its own rows (exact
+    # integer-valued f32 block means), so the sharded resolve is bitwise
+    # equal to the single-device engine resolve on every stripe path.
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+
+    m = procedural.icosphere(2)
+    args = args_for(m)
+    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    uni = FrameUniforms(
+        view_position=u.view_position, view_proj=u.view_proj,
+        light_world_pos=np.array([[0, 0, 5.0]], F32),
+        light_color=np.ones((1, 3), F32),
+        light_intensity=np.ones((1,), F32),
+        effect=EffectUniform().as_array(),
+    )
+    single = Renderer(m, W, H, backend="tpu", ssaa=2,
+                      path="micro").render(uni)
+    rgba, keys, overflow = render_frame_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="micro", ssaa=2
+    )
+    assert not bool(np.asarray(overflow).any())
+    assert np.asarray(rgba).shape == (H, W, 4)
+    assert np.asarray(keys).shape == (2 * H, 2 * W)
+    np.testing.assert_array_equal(np.asarray(rgba), single)
+    # Non-divisible factor: clear host-side error, not a wrong image.
+    from compute_renderer_tpu.parallel.sharding import _check_ssaa_stripes
+
+    with pytest.raises(ValueError, match="ssaa"):
+        _check_ssaa_stripes(3, stripe_h=8, padded_w=128)
+    _check_ssaa_stripes(2, stripe_h=8, padded_w=128)  # divisible: fine
