@@ -119,6 +119,17 @@ def benchmark_scene_configs(duration_secs: float = 30.0) -> list:
         benchmark_duration_secs=duration_secs,
         enable_textures=True,
     ))
+    # Quality-extension row: the textured small scene again with bilinear
+    # filtering AND 2x SSAA — the full quality stack (4x pixels + 4-texel
+    # lerps) against row "structured_tex" above for the extensions' cost.
+    scenes.append(SceneConfig(
+        model_path=STRUCTURED_TEX_NAME,
+        camera_config=fp([13.566635, 4.0, 24.0]),
+        benchmark_duration_secs=duration_secs,
+        enable_textures=True,
+        texture_filter="bilinear",
+        ssaa=2,
+    ))
     return scenes
 
 

@@ -75,6 +75,10 @@ class SceneConfig:
     def scene_name(self) -> str:
         mat = (" +textures" if self.enable_textures
                else " +materials" if self.enable_materials else "")
+        if self.enable_textures and self.texture_filter != "nearest":
+            mat += f" +{self.texture_filter}"
+        if self.ssaa != 1:
+            mat += f" +ssaa{self.ssaa}"
         return (f"Scene {self.model_path} - "
                 f"{self.normalized_backend()} Pipeline{mat}")
 

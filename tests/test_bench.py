@@ -88,8 +88,9 @@ def test_suite_configs_match_reference():
     # + its material-extension twin (same geometry, MTL resolved) + the
     # textured small structured scene (map_Kd atlas end-to-end) + the
     # textured MEGA row (same ~1M-tri scene, micro-path deferred
-    # texturing).
-    assert len(scenes) == 16
+    # texturing) + the quality-stack row (bilinear + 2x SSAA on the
+    # textured small scene).
+    assert len(scenes) == 17
     # Order: San Miguel, Exterior, Suzanne, Vokselia x (tpu, xla)
     assert "San_Miguel" in scenes[0].model_path
     assert scenes[0].normalized_backend() == "tpu"
@@ -111,6 +112,11 @@ def test_suite_configs_match_reference():
         scenes[12].scene_name(), scenes[13].scene_name(),
         scenes[14].scene_name(),
     )
+    assert scenes[16].model_path == "structured_scene_tex.obj"
+    assert scenes[16].texture_filter == "bilinear" and scenes[16].ssaa == 2
+    assert "+bilinear" in scenes[16].scene_name()
+    assert "+ssaa2" in scenes[16].scene_name()
+    assert scenes[16].scene_name() != scenes[14].scene_name()
     # Enumerating configs is side-effect-free: the 80 MB structured asset
     # is synthesized lazily by run_scene, not here (tests/test_objgen.py
     # covers the synthesis + caching contract).
