@@ -9,10 +9,33 @@
 set -u
 cd "$(dirname "$0")/.."
 rc=0
+run_pytest() {
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu GRAFT_CACHE_WRITE=1 \
+        timeout 3600 python -m pytest "$@"
+}
 for f in tests/test_*.py; do
     echo "=== $f ==="
-    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu GRAFT_CACHE_WRITE=1 \
-        timeout 3600 python -m pytest "$f" -q "$@"
+    case "$f" in tests/test_sharding*.py) per_test=1 ;; *) per_test=0 ;; esac
+    if [ "$per_test" = "1" ]; then
+        # One process PER TEST here: this file accumulates enough
+        # 8-virtual-device compiled state in one process that XLA:CPU's
+        # order-dependent segfault (compile/serialize of a later program
+        # after that state) fires even per-file (observed 2026-08-18).
+        # Per-test processes keep every compile+write near a fresh state.
+        for t in $(env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+                   python -m pytest "$f" --collect-only -q 2>/dev/null \
+                   | grep '::'); do
+            echo "--- $t ---"
+            run_pytest "$t" -q "$@"
+            r=$?
+            if [ "$r" -ne 0 ]; then
+                echo "!!! $t exited $r"
+                rc=1
+            fi
+        done
+        continue
+    fi
+    run_pytest "$f" -q "$@"
     r=$?
     if [ "$r" -ne 0 ]; then
         echo "!!! $f exited $r"

@@ -27,8 +27,50 @@ _NEEDS_REEXEC = (
 )
 
 
+def _split_suite_argv():
+    """When pytest was invoked on the WHOLE tests/ tree in one process,
+    return (per-file targets, passthrough options, fail_fast); else None.
+
+    Why: XLA:CPU segfaults order-dependently when certain executables are
+    compiled/loaded after enough unrelated compiled state accumulates in
+    one process — with the full suite (~180 tests, including 8-virtual-
+    device sharded programs) a single-process run reliably dies ~55% in
+    (rc=139, observed 2026-08-18 in compile, serialize AND post-warm load
+    paths). Per-FILE processes have never crashed, so a whole-suite
+    invocation is transparently re-run as one pytest process per test
+    file with the same options; a targeted invocation (specific file or
+    test id) is left alone."""
+    import glob
+
+    opts, positionals, fail_fast = [], [], False
+    for a in sys.argv[1:]:
+        if a in ("-x", "--exitfirst"):
+            fail_fast = True
+        elif a.startswith("-"):
+            # Value-taking selectors make option/positional parsing
+            # ambiguous; don't split those invocations.
+            if a in ("-k", "-m", "-o", "-p", "-c") or a.startswith("--co"):
+                return None
+            opts.append(a)
+        else:
+            positionals.append(a.rstrip("/"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(here)
+    if not positionals:
+        if os.path.abspath(os.getcwd()) != root:
+            return None
+    elif any(os.path.abspath(p) not in {here, root} for p in positionals):
+        return None
+    files = sorted(glob.glob(os.path.join(here, "test_*.py")))
+    if len(files) < 2:
+        return None
+    return files, opts, fail_fast
+
+
 def pytest_configure(config):
-    if not _NEEDS_REEXEC:
+    split = (None if os.environ.get("_GRAFT_SPLIT_SUITE") == "1"
+             else _split_suite_argv())
+    if not _NEEDS_REEXEC and split is None:
         return
     capman = config.pluginmanager.getplugin("capturemanager")
     if capman is not None:
@@ -40,11 +82,32 @@ def pytest_configure(config):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     sys.stdout.flush()
     sys.stderr.flush()
-    os.execve(
-        sys.executable,
-        [sys.executable, "-m", "pytest", *sys.argv[1:]],
-        env,
-    )
+    if split is None:
+        os.execve(
+            sys.executable,
+            [sys.executable, "-m", "pytest", *sys.argv[1:]],
+            env,
+        )
+    # Whole-suite invocation: one pytest process per file (see
+    # _split_suite_argv). Aggregate exit codes; honor -x across files.
+    import subprocess
+
+    files, opts, fail_fast = split
+    env["_GRAFT_SPLIT_SUITE"] = "1"
+    rc = 0
+    for f in files:
+        print(f"=== {os.path.relpath(f)} ===", flush=True)
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", f, *opts], env=env
+        ).returncode
+        # rc 5 = "no tests collected" (e.g. an all-skipped file): fine.
+        if r not in (0, 5):
+            rc = r if rc == 0 else rc
+            if fail_fast:
+                break
+    print(f"=== suite {'PASSED' if rc == 0 else f'FAILED rc={rc}'} "
+          f"(per-file processes; see tests/conftest.py) ===", flush=True)
+    os._exit(rc)
 
 
 if not _NEEDS_REEXEC:

@@ -412,231 +412,3 @@ def test_frame_parallel_forwards_kernel_options(mesh8):
     frames = render_frames(r, [fu], mesh8)
     single = r.render(fu)
     np.testing.assert_array_equal(frames[0], single)
-
-
-def _textured(kd=False):
-    from tests.test_textures import textured_quad
-
-    kd_arr = (np.array([[0.9, 0.8, 0.2], [0.2, 0.8, 0.9]], F32)
-              if kd else None)
-    return textured_quad(kd=kd_arr)
-
-
-def _tex_kwargs(m):
-    import jax.numpy as jnp
-
-    kw = {
-        "face_tex": jnp.asarray(m.face_tex),
-        "texels": jnp.asarray(m.texels),
-        "tex_table": jnp.asarray(m.tex_table),
-    }
-    if m.face_kd is not None:
-        kw["face_kd"] = jnp.asarray(m.face_kd)
-    return kw
-
-
-def test_sharded_textured_tile_and_micro(mesh8):
-    # Texture extension across the sharded stripe paths: the kernel runs
-    # its visibility-only walk per stripe and each device shades its own
-    # stripe with the deferred tail at its global pixel offset. Same op
-    # structure as the single-device vis render -> bitwise equal.
-    m = _textured(kd=True)
-    args = args_for(m)
-    tex = _tex_kwargs(m)
-    for path in ("tile", "micro"):
-        rgba_s, keys_s, overflow = render_frame_sharded(
-            *args, mesh=mesh8, width=W, height=H, path=path, **tex
-        )
-        rgba_1, keys_1, _ = tpu.render_frame(
-            *args, width=W, height=H, path=path, **tex
-        )
-        assert not bool(np.asarray(overflow).any()), path
-        np.testing.assert_array_equal(np.asarray(keys_s),
-                                      np.asarray(keys_1), err_msg=path)
-        np.testing.assert_array_equal(np.asarray(rgba_s),
-                                      np.asarray(rgba_1), err_msg=path)
-        # The checker atlas actually shows (vs the untextured render).
-        plain, _, _ = tpu.render_frame(*args, width=W, height=H, path=path)
-        assert (np.asarray(rgba_1) != np.asarray(plain)).any()
-
-
-def test_sharded_textured_sortmiddle(mesh8):
-    # Sort-middle with textures: per-slice corner arrays all_gather into
-    # padded-global order (matching the exchanged pair ids); <=1-LSB
-    # contract as the plain sortmiddle production path.
-    m = _textured()
-    args = args_for(m)
-    tex = _tex_kwargs(m)
-    rgba_s, keys_s, overflow = render_frame_sharded(
-        *args, mesh=mesh8, width=W, height=H, path="sortmiddle", **tex
-    )
-    rgba_1, _, _ = tpu.render_frame(
-        *args, width=W, height=H, path="micro", **tex
-    )
-    assert not bool(np.asarray(overflow).any())
-    diff = np.abs(np.asarray(rgba_s).astype(int)
-                  - np.asarray(rgba_1).astype(int))
-    mism = (diff > 1).any(axis=-1)
-    assert mism.mean() < 0.001, f"{mism.sum()} px differ by >1"
-    # Texture visible through the sortmiddle path too.
-    plain_args = args_for(m)
-    plain, _, _ = render_frame_sharded(
-        *plain_args, mesh=mesh8, width=W, height=H, path="sortmiddle"
-    )
-    assert (np.asarray(rgba_s) != np.asarray(plain)).any()
-
-
-def test_frame_parallel_textured(mesh8):
-    # face_tex/texels/tex_table flow from the Renderer into the
-    # frame-parallel step; each sharded frame stays bitwise equal to the
-    # single-device textured render.
-    from compute_renderer_tpu.engine.renderer import Renderer
-    from compute_renderer_tpu.parallel.frames import render_frames
-    from compute_renderer_tpu.core.camera import Camera
-    from compute_renderer_tpu.core.effects import EffectUniform
-    from compute_renderer_tpu.engine.scene import FrameUniforms
-
-    m = _textured(kd=True)
-    r = Renderer(m, W, H, backend="tpu")
-    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
-    u = cam.uniform()
-    lights = (np.array([[0, 0, 5.0]], F32), np.ones((1, 3), F32),
-              np.ones((1,), F32))
-    fu = FrameUniforms(
-        view_position=np.asarray(u.view_position, F32),
-        view_proj=np.asarray(u.view_proj, F32),
-        effect=np.asarray(EffectUniform().as_array(), F32),
-        light_world_pos=lights[0], light_color=lights[1],
-        light_intensity=lights[2],
-    )
-    frames = render_frames(r, [fu, fu], mesh8)
-    single = r.render(fu)
-    np.testing.assert_array_equal(frames[0], single)
-    np.testing.assert_array_equal(frames[1], single)
-
-
-def _dense_tile_mesh(n):
-    # n stacked triangles in one screen tile: per-tile density beyond
-    # any legal tile_cap with a small total count (resolve_path's count
-    # split cannot see it) — must fall back to the micro path. Each copy
-    # gets a tiny irrational-step xy jitter so no sample point lies
-    # exactly on an edge: perfectly coincident edges put EVERY edge pixel
-    # inside the FMA-contraction window where the shard_map and plain-jit
-    # XLA:CPU programs may disagree on coverage (PARITY.md "exact-on-edge"
-    # note), which is the degenerate-input artifact, not the contract.
-    from compute_renderer_tpu.core.types import Mesh as CoreMesh
-
-    base = procedural.single_triangle(z=0.0)
-    pos = np.tile(base.positions, (n, 1))
-    pos[:, 2] += np.repeat(np.linspace(0, 0.5, n), 3)
-    k = np.repeat(np.arange(n, dtype=np.float64), 3)
-    pos[:, 0] += (((k * 0.6180339887) % 1.0) - 0.5) * 0.02
-    pos[:, 1] += (((k * 0.7548776662) % 1.0) - 0.5) * 0.02
-    return CoreMesh(pos, np.tile(base.normals, (n, 1)),
-                    np.tile(base.uvs, (n, 1)),
-                    np.arange(3 * n, dtype=np.uint32))
-
-
-def test_sharded_over_cap_density_falls_back_to_micro(mesh8):
-    from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
-    from compute_renderer_tpu.parallel.sharding import render_sharded
-
-    m = _dense_tile_mesh(MAX_TILE_CAP + 300)
-    args = args_for(m)
-    rgba, keys = render_sharded(*args, mesh=mesh8, width=W, height=H)
-    # Comparator with explicit headroom: at the default micro cap this
-    # scene's pair list overflows (the stacked mesh covers ~34k pairs) and
-    # a raw render_frame call would silently compare against a truncated
-    # render — render_sharded retries, a direct call does not.
-    rgba_single, keys_single, overflow = tpu.render_frame(
-        *args, width=W, height=H, path="micro", pair_cap=65536
-    )
-    assert not np.asarray(overflow).any()
-    np.testing.assert_array_equal(np.asarray(rgba), np.asarray(rgba_single))
-    np.testing.assert_array_equal(np.asarray(keys), np.asarray(keys_single))
-
-
-def test_frame_parallel_over_cap_density_falls_back_to_micro(mesh8):
-    from compute_renderer_tpu.backends.tpu import MAX_TILE_CAP
-    from compute_renderer_tpu.engine.renderer import Renderer
-    from compute_renderer_tpu.engine.scene import FrameUniforms
-    from compute_renderer_tpu.parallel.frames import render_frames
-
-    m = _dense_tile_mesh(MAX_TILE_CAP + 300)
-    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
-    u = cam.uniform()
-    uni = FrameUniforms(
-        view_position=u.view_position, view_proj=u.view_proj,
-        light_world_pos=np.array([[0, 0, 5.0]], F32),
-        light_color=np.ones((1, 3), F32),
-        light_intensity=np.ones((1,), F32),
-        effect=EffectUniform().as_array(),
-    )
-    # Comparator FIRST: XLA:CPU order-dependently segfaults compiling this
-    # single-device program after the 8-device frame-parallel executable
-    # exists in-process (the known crash family tests/conftest.py's
-    # read-only-cache regime works around; observed 2026-08-18 in the
-    # warm-cache run). Single-then-sharded has never crashed.
-    single = Renderer(m, W, H, backend="tpu", path="micro").render(uni)
-    r = Renderer(m, W, H, backend="tpu")
-    frames = render_frames(r, [uni, uni], mesh8)
-    np.testing.assert_array_equal(frames[0], single)
-    np.testing.assert_array_equal(frames[1], single)
-
-
-def test_sharded_textured_bilinear(mesh8):
-    # tex_filter plumbs through the stripe-body partials: sharded bilinear
-    # must stay bitwise equal to the single-device bilinear render, and
-    # actually filter (differ from sharded nearest).
-    m = _textured(kd=True)
-    args = args_for(m)
-    tex = _tex_kwargs(m)
-    rgba_s, keys_s, overflow = render_frame_sharded(
-        *args, mesh=mesh8, width=W, height=H, path="tile",
-        tex_filter="bilinear", **tex
-    )
-    rgba_1, keys_1, _ = tpu.render_frame(
-        *args, width=W, height=H, path="tile", tex_filter="bilinear", **tex
-    )
-    assert not bool(np.asarray(overflow).any())
-    np.testing.assert_array_equal(np.asarray(keys_s), np.asarray(keys_1))
-    np.testing.assert_array_equal(np.asarray(rgba_s), np.asarray(rgba_1))
-    near, _, _ = render_frame_sharded(
-        *args, mesh=mesh8, width=W, height=H, path="tile", **tex
-    )
-    assert (np.asarray(rgba_s) != np.asarray(near)).any()
-
-
-def test_sharded_ssaa_matches_single_device(mesh8):
-    # Per-stripe SSAA resolve: each device averages its own rows (exact
-    # integer-valued f32 block means), so the sharded resolve is bitwise
-    # equal to the single-device engine resolve on every stripe path.
-    from compute_renderer_tpu.engine.renderer import Renderer
-    from compute_renderer_tpu.engine.scene import FrameUniforms
-
-    m = procedural.icosphere(2)
-    args = args_for(m)
-    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
-    u = cam.uniform()
-    uni = FrameUniforms(
-        view_position=u.view_position, view_proj=u.view_proj,
-        light_world_pos=np.array([[0, 0, 5.0]], F32),
-        light_color=np.ones((1, 3), F32),
-        light_intensity=np.ones((1,), F32),
-        effect=EffectUniform().as_array(),
-    )
-    single = Renderer(m, W, H, backend="tpu", ssaa=2,
-                      path="micro").render(uni)
-    rgba, keys, overflow = render_frame_sharded(
-        *args, mesh=mesh8, width=W, height=H, path="micro", ssaa=2
-    )
-    assert not bool(np.asarray(overflow).any())
-    assert np.asarray(rgba).shape == (H, W, 4)
-    assert np.asarray(keys).shape == (2 * H, 2 * W)
-    np.testing.assert_array_equal(np.asarray(rgba), single)
-    # Non-divisible factor: clear host-side error, not a wrong image.
-    from compute_renderer_tpu.parallel.sharding import _check_ssaa_stripes
-
-    with pytest.raises(ValueError, match="ssaa"):
-        _check_ssaa_stripes(3, stripe_h=8, padded_w=128)
-    _check_ssaa_stripes(2, stripe_h=8, padded_w=128)  # divisible: fine
