@@ -55,6 +55,51 @@ def main():
         write_png(OUT / f"{name}.png", img)
         print(name, "->", OUT / f"{name}.png")
 
+    # Quality extensions (engine-level): SSAA A/B on the torus, and
+    # nearest-vs-bilinear atlas filtering on a low-res checker texture.
+    from compute_renderer_tpu.core.types import Mesh
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+
+    def uni_from(u):
+        return FrameUniforms(
+            view_position=u.view_position, view_proj=u.view_proj,
+            light_world_pos=LIGHTS[0], light_color=LIGHTS[1],
+            light_intensity=LIGHTS[2], effect=none,
+        )
+
+    torus = procedural.torus()
+    for name, kw in (("TorusAliased", {}), ("TorusSSAA4", {"ssaa": 4})):
+        img = Renderer(torus, W, H, backend="tpu", **kw).render(
+            uni_from(orbit))
+        write_png(OUT / f"{name}.png", img)
+        print(name, "->", OUT / f"{name}.png")
+
+    n = 4
+    tex = np.zeros((n, n, 3), dtype=F32)
+    yy, xx = np.mgrid[0:n, 0:n]
+    tex[(yy + xx) % 2 == 0] = (1.0, 0.25, 0.2)
+    tex[(yy + xx) % 2 == 1] = (0.2, 0.35, 1.0)
+    quad_pos = np.array(
+        [[-1.01, -1.02, 0], [1.02, -1.01, 0],
+         [1.01, 1.02, 0], [-1.02, 1.01, 0]], dtype=F32)
+    quad = Mesh(
+        positions=quad_pos,
+        normals=np.tile(np.array([[0, 0, 1]], F32), (4, 1)),
+        uvs=np.array([[0, 1], [1, 1], [1, 0], [0, 0]], F32),
+        indices=np.array([0, 1, 2, 0, 2, 3], np.uint32),
+        face_tex=np.array([0, 0], np.int32),
+        texels=tex.reshape(-1, 3),
+        tex_table=np.array([[0, n, n]], np.int32),
+    )
+    fp = Camera.first_person([0, 0, 1.6], aspect=W / H).uniform()
+    for name, filt in (("TextureNearest", "nearest"),
+                       ("TextureBilinear", "bilinear")):
+        img = Renderer(quad, W, H, backend="tpu",
+                       tex_filter=filt).render(uni_from(fp))
+        write_png(OUT / f"{name}.png", img)
+        print(name, "->", OUT / f"{name}.png")
+
 
 if __name__ == "__main__":
     main()
