@@ -45,11 +45,19 @@ def _split_suite_argv():
     opts, positionals, fail_fast = [], [], False
     for a in sys.argv[1:]:
         if a in ("-x", "--exitfirst"):
+            # Forward to children (stop within a file) AND stop the
+            # file loop at the first failing file.
             fail_fast = True
+            opts.append("-x")
         elif a.startswith("-"):
-            # Value-taking selectors make option/positional parsing
-            # ambiguous; don't split those invocations.
-            if a in ("-k", "-m", "-o", "-p", "-c") or a.startswith("--co"):
+            # Don't split invocations this simple splitter cannot honor:
+            # value-taking selectors (option/positional parsing becomes
+            # ambiguous), collect-only, and single-artifact report outputs
+            # (every child would clobber the same file).
+            if (a in ("-k", "-m", "-o", "-p", "-c", "--collect-only",
+                      "--co")
+                    or a.startswith(("--junit", "--html", "--cov",
+                                     "--json", "--report", "--result"))):
                 return None
             opts.append(a)
         else:
@@ -67,9 +75,14 @@ def _split_suite_argv():
     return files, opts, fail_fast
 
 
+# Decided at module level so the split-orchestrator parent (which only
+# spawns subprocesses) skips the jax import / backend init below.
+_SPLIT = (None if os.environ.get("_GRAFT_SPLIT_SUITE") == "1"
+          else _split_suite_argv())
+
+
 def pytest_configure(config):
-    split = (None if os.environ.get("_GRAFT_SPLIT_SUITE") == "1"
-             else _split_suite_argv())
+    split = _SPLIT
     if not _NEEDS_REEXEC and split is None:
         return
     capman = config.pluginmanager.getplugin("capturemanager")
@@ -110,7 +123,7 @@ def pytest_configure(config):
     os._exit(rc)
 
 
-if not _NEEDS_REEXEC:
+if not _NEEDS_REEXEC and _SPLIT is None:
     # Force (not setdefault): the host environment pins JAX_PLATFORMS to the
     # TPU tunnel; tests must run on CPU with virtual devices.
     os.environ["JAX_PLATFORMS"] = "cpu"

@@ -18,27 +18,7 @@ from compute_renderer_tpu.backends import tpu
 from compute_renderer_tpu.io import procedural
 from compute_renderer_tpu.parallel.sharding import make_mesh, render_frame_sharded
 
-W, H = 128, 64
-
-
-def args_for(mesh_obj, effect=None, w=W, h=H):
-    import jax.numpy as jnp
-
-    cam = Camera.first_person([0, 0, 3.0], aspect=w / h)
-    u = cam.uniform()
-    effect = effect if effect is not None else EffectUniform().as_array()
-    return (
-        jnp.asarray(mesh_obj.positions),
-        jnp.asarray(mesh_obj.normals),
-        jnp.asarray(mesh_obj.uvs),
-        jnp.asarray(mesh_obj.indices.astype(np.int32)).reshape(-1, 3),
-        jnp.asarray(u.view_proj),
-        jnp.asarray(u.view_position),
-        jnp.asarray(np.array([[0, 0, 5.0]], F32)),
-        jnp.asarray(np.ones((1, 3), F32)),
-        jnp.asarray(np.ones((1,), F32)),
-        jnp.asarray(effect),
-    )
+from tests.test_sharding import H, W, args_for  # noqa: F401
 
 
 @pytest.fixture(scope="module")
