@@ -54,14 +54,28 @@ def run_headless(config: SceneConfig, width: int, height: int,
     """Render ``frames`` frames; returns the list of written paths.
 
     ``dt`` fixes the per-frame timestep (deterministic animation); None uses
-    wall-clock like the reference's interactive loop."""
+    wall-clock like the reference's interactive loop.
+
+    ``output`` ending in ``.gif`` with ``frames > 1`` writes ONE animated
+    GIF (extension past the reference, which never records; requires
+    Pillow) instead of numbered PNGs."""
     scene = Scene.from_config(config, width, height)
     renderer = Renderer(scene.mesh, width, height,
                         backend=config.normalized_backend(),
                         **scene.renderer_options())
 
     out = Path(output)
+    as_gif = out.suffix.lower() == ".gif" and frames > 1
+    if as_gif:
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise RuntimeError(
+                "animated GIF output requires Pillow; use a .png output "
+                "for numbered frames instead"
+            ) from e
     written = []
+    gif_frames = []
     last = time.perf_counter()
     for i in range(frames):
         if dt is None:
@@ -76,10 +90,20 @@ def run_headless(config: SceneConfig, width: int, height: int,
         uniforms = scene.update(step)
         rgba = renderer.render(uniforms)
 
+        if as_gif:
+            gif_frames.append(Image.fromarray(rgba[..., :3]))
+            continue
         if frames == 1:
             path = out
         else:
             path = out.with_name(f"{out.stem}_{i:04d}{out.suffix}")
         write_png(path, rgba)
         written.append(path)
+    if as_gif:
+        ms = int(round((dt if dt is not None else 1 / 30) * 1000))
+        gif_frames[0].save(
+            str(out), save_all=True, append_images=gif_frames[1:],
+            duration=max(ms, 10), loop=0,
+        )
+        written.append(out)
     return written

@@ -82,7 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=1,
                    help="Number of frames to render headlessly")
     p.add_argument("--output", type=str, default="frame.png",
-                   help="Output PNG path (frame index appended for --frames>1)")
+                   help="Output PNG path (frame index appended for "
+                   "--frames>1); a .gif path with --frames>1 writes one "
+                   "animated GIF instead (extension)")
     p.add_argument("--interactive", action="store_true",
                    help="Open an interactive viewer window (requires display)")
     p.add_argument("--materials", action="store_true",

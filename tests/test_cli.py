@@ -144,3 +144,20 @@ def test_host_cache_dir_keyed_and_stable():
     assert a != host_cache_dir("cli")
     assert a.startswith("/tmp/jax_cache_cpu_tests_")
     assert a not in ("/tmp/jax_cache", "/tmp/jax_cache_cpu_tests")
+
+
+def test_headless_gif_output(tmp_path):
+    from compute_renderer_tpu.app.headless import run_headless
+    from compute_renderer_tpu.engine.scene import CameraConfig, SceneConfig
+
+    pytest.importorskip("PIL")
+    cfg = SceneConfig(camera_config=CameraConfig(distance=3.0))
+    out = tmp_path / "anim.gif"
+    written = run_headless(cfg, 64, 48, frames=3, output=str(out),
+                           dt=1 / 30.0)
+    assert written == [out] and out.exists()
+    from PIL import Image
+
+    with Image.open(out) as im:
+        assert im.format == "GIF"
+        assert getattr(im, "n_frames", 1) == 3
