@@ -210,3 +210,136 @@ def render_frames(renderer, uniforms_seq, mesh: Mesh,
         f"frame-parallel binning overflow after {max_retries} retries "
         f"(pair_cap={pair_cap}, tile_cap={tile_cap})"
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D composition: frames (dp) x framebuffer stripes (sp) on one mesh
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "num_lights", "pair_cap",
+                     "interpret", "ssaa"),
+)
+def render_frames_sharded_2d(
+    positions, normals, uvs, tri,
+    packed_stack,  # (K, U) f32, K % mesh.shape[frames-axis] == 0
+    *,
+    mesh: Mesh,  # 2-D: axes (frames, tiles), in that order
+    width: int,
+    height: int,
+    num_lights: int,
+    pair_cap: int = 0,
+    interpret: bool | None = None,
+    ssaa: int = 1,
+):
+    """Render K frames on a 2-D mesh: the FRAME axis is data-parallel and,
+    within each frame group, the framebuffer shards into horizontal
+    STRIPES — the frames-outer x stripes-inner composition the package
+    docstring promises once one frame no longer fits a single chip's
+    latency budget (dp x sp in scaling-book terms; no reference analog —
+    the reference is strictly one frame on one GPU).
+
+    Per device: ``lax.scan`` over its K/nf frames, each rendered by the
+    SAME micro-path stripe body the 1-D decomposition uses
+    (``sharding._stripe_render_micro``) against its stripe of the padded
+    framebuffer. Communication is unchanged from 1-D stripes (the implicit
+    output all-gather per frame group, riding ICI); the frame axis adds
+    none. Returns ((K, H, W, 4) u8 sharded over BOTH mesh axes (frames ->
+    dim 0, stripes -> dim 1), (nf * nt, 2) i32 needed-capacity report).
+
+    The micro path is used unconditionally: its HBM-streamed pair windows
+    carry any scene size, so one body serves the whole 2-D product."""
+    from compute_renderer_tpu.backends import binning
+    from compute_renderer_tpu.engine.renderer import unpack_uniforms
+    from compute_renderer_tpu.parallel.sharding import (
+        _check_ssaa_stripes, _stripe_render_micro,
+    )
+
+    axis_f, axis_t = mesh.axis_names
+    nf = mesh.shape[axis_f]
+    nt = mesh.shape[axis_t]
+    K = packed_stack.shape[0]
+    if K % nf != 0:
+        raise ValueError(f"frame count {K} not divisible by mesh axis "
+                         f"{axis_f}={nf}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    rw, rh = width * ssaa, height * ssaa
+    ntx = (rw + 127) // 128
+    nty = (rh + 7) // 8
+    nty = (nty + nt - 1) // nt * nt  # equal stripes
+    T = int(tri.shape[0])
+    if pair_cap == 0:
+        pair_cap = binning.default_pair_cap_micro(max(T, 1), ntx * nty * 16)
+    _check_ssaa_stripes(ssaa, nty // nt * 8, ntx * 128)
+
+    def device_body(pos, nrm, uv, idx, stack_local):
+        def frame(carry, packed):
+            vpos, vp, eff, lwp, lc, li = unpack_uniforms(packed, num_lights)
+            rgba, key, needed = _stripe_render_micro(
+                pos, nrm, uv, idx, vp, vpos, lwp, lc, li, eff,
+                width=rw, height=rh, nty_total=nty, pair_cap=pair_cap,
+                n_shards=nt, axis_name=axis_t, interpret=interpret,
+                ssaa=ssaa,
+            )
+            return jnp.maximum(carry, needed[0]), (rgba, key)
+
+        needed, (frames, keys) = jax.lax.scan(
+            frame, jnp.zeros((2,), jnp.int32), stack_local
+        )
+        del keys  # depth keys are per-stripe diagnostics; frames suffice
+        return frames, needed[None]
+
+    rgba, needed = jax.shard_map(
+        device_body,
+        mesh=mesh,
+        # Geometry replicated; the uniform stack sharded over frames only.
+        in_specs=(P(), P(), P(), P(), P(axis_f)),
+        out_specs=(P(axis_f, axis_t), P((axis_f, axis_t),)),
+        check_vma=False,
+    )(positions, normals, uvs, tri, packed_stack)
+    return rgba[:, :height, :width], needed
+
+
+def render_frames_2d(renderer, uniforms_seq, mesh: Mesh,
+                     max_retries: int = 3) -> np.ndarray:
+    """Host-level 2-D (frames x stripes) entry on an ``engine.Renderer``:
+    packs + pads the uniform stack, renders with
+    ``render_frames_sharded_2d``, retries once per reported capacity
+    overflow (exact-need growth), returns (len(uniforms_seq), H, W, 4)."""
+    from compute_renderer_tpu.backends.tpu import default_caps, grow_pair_cap
+
+    uniforms_seq = list(uniforms_seq)
+    if not uniforms_seq:
+        return np.zeros((0, renderer.height, renderer.width, 4), np.uint8)
+    packs = []
+    L = None
+    for u in uniforms_seq:
+        p, L = renderer.pack_uniforms(u)
+        packs.append(p)
+    nf = mesh.shape[mesh.axis_names[0]]
+    K = len(packs)
+    packs.extend([packs[-1]] * ((-K) % nf))
+    stack = jnp.asarray(np.stack(packs))
+
+    T = max(renderer.num_triangles, 1)
+    pair_cap = (renderer.options.get("pair_cap")
+                or default_caps("micro", T, renderer.rw,
+                                renderer.rh)["pair_cap"])
+    for _ in range(max_retries):
+        frames, needed = render_frames_sharded_2d(
+            renderer.positions, renderer.normals, renderer.uvs,
+            renderer.tri, stack,
+            mesh=mesh, width=renderer.width, height=renderer.height,
+            num_lights=L, pair_cap=pair_cap, ssaa=renderer.ssaa,
+        )
+        need = np.asarray(needed).max(axis=0)
+        if not need.any():
+            return np.asarray(frames)[:K]
+        pair_cap = grow_pair_cap(pair_cap, int(need[0]))
+    raise RuntimeError(
+        f"2-D frame-parallel binning overflow after {max_retries} retries "
+        f"(pair_cap={pair_cap})"
+    )

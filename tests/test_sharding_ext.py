@@ -254,3 +254,73 @@ def test_sharded_ssaa_matches_single_device(mesh8):
     with pytest.raises(ValueError, match="ssaa"):
         _check_ssaa_stripes(3, stripe_h=8, padded_w=128)
     _check_ssaa_stripes(2, stripe_h=8, padded_w=128)  # divisible: fine
+
+
+def test_frames_x_stripes_2d_matches_single_device():
+    # Composed 2-D decomposition (dp over frames x sp over framebuffer
+    # stripes on ONE mesh): every frame must be bitwise equal to the
+    # single-device micro render — the stripe body is the same one the
+    # 1-D decomposition pins, and the frame axis adds no communication.
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh as JaxMesh
+
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+    from compute_renderer_tpu.parallel.frames import render_frames_2d
+
+    mesh2d = JaxMesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), ("frames", "tiles")
+    )
+    m = procedural.icosphere(2)
+
+    def uni(t):
+        cam = Camera.first_person([0, 0, 3.0 + 0.1 * t], aspect=W / H)
+        u = cam.uniform()
+        return FrameUniforms(
+            view_position=u.view_position, view_proj=u.view_proj,
+            light_world_pos=np.array([[0, 0, 5.0]], F32),
+            light_color=np.ones((1, 3), F32),
+            light_intensity=np.ones((1,), F32),
+            effect=EffectUniform().as_array(),
+        )
+
+    uniforms = [uni(t) for t in range(3)]  # 3 frames, padded to 4
+    r = Renderer(m, W, H, backend="tpu", path="micro")
+    frames = render_frames_2d(r, uniforms, mesh2d)
+    assert frames.shape == (3, H, W, 4)
+    for i, u in enumerate(uniforms):
+        single = Renderer(m, W, H, backend="tpu", path="micro").render(u)
+        np.testing.assert_array_equal(frames[i], single, err_msg=f"frame {i}")
+
+
+def test_frames_x_stripes_2d_overflow_retry_and_ssaa():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh as JaxMesh
+
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+    from compute_renderer_tpu.parallel.frames import render_frames_2d
+
+    mesh2d = JaxMesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), ("frames", "tiles")
+    )
+    m = procedural.icosphere(2)
+    cam = Camera.first_person([0, 0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    uni = FrameUniforms(
+        view_position=u.view_position, view_proj=u.view_proj,
+        light_world_pos=np.array([[0, 0, 5.0]], F32),
+        light_color=np.ones((1, 3), F32),
+        light_intensity=np.ones((1,), F32),
+        effect=EffectUniform().as_array(),
+    )
+    # Deliberately tiny pair_cap: grown from the (nf*nt, 2) report.
+    r = Renderer(m, W, H, backend="tpu", path="micro", pair_cap=512,
+                 ssaa=2)
+    frames = render_frames_2d(r, [uni, uni], mesh2d)
+    single = Renderer(m, W, H, backend="tpu", path="micro",
+                      ssaa=2).render(uni)
+    np.testing.assert_array_equal(frames[0], single)
+    np.testing.assert_array_equal(frames[1], single)
