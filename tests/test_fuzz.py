@@ -161,3 +161,72 @@ def test_fuzz_micro_path_agrees_exactly(seed):
     ref = xla.render(mesh, u, lights, effect, W, H, tile_h=8, tile_w=8)
     ours = tpu.render(mesh, u, lights, effect, W, H, path="micro")
     np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_fuzz_textured_filters_backends_agree(seed):
+    # Random soup + random atlas + random filter: xla and the tpu
+    # visibility-mode deferred tail must stay bitwise equal on both
+    # kernel paths (micro coverage clips at 8x8 cells = xla's 8x8 grid).
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 24))
+    base = random_soup(rng, n)
+    m = int(rng.integers(1, 4))
+    sizes = rng.integers(1, 7, (m, 2))
+    texels = []
+    table = []
+    off = 0
+    for tw, th in sizes:
+        texels.append(rng.uniform(0, 1, (int(th) * int(tw), 3)).astype(F32))
+        table.append([off, int(tw), int(th)])
+        off += int(th) * int(tw)
+    mesh = Mesh(
+        base.positions, base.normals, base.uvs, base.indices,
+        face_tex=rng.integers(-1, m, (n,)).astype(np.int32),
+        texels=np.concatenate(texels, axis=0),
+        tex_table=np.array(table, np.int32),
+    )
+    cam = random_camera(rng)
+    u = cam.uniform()
+    lights = random_lights(rng, 2)
+    eff = EffectUniform().as_array()
+    filt = ("nearest", "bilinear")[int(rng.integers(0, 2))]
+
+    ref_tile = xla.render(mesh, u, lights, eff, W, H, tile_h=16, tile_w=256,
+                          tex_filter=filt)
+    tile = tpu.render(mesh, u, lights, eff, W, H, tex_filter=filt)
+    np.testing.assert_array_equal(tile, ref_tile)
+    ref_micro = xla.render(mesh, u, lights, eff, W, H, tile_h=8, tile_w=8,
+                           tex_filter=filt)
+    micro = tpu.render(mesh, u, lights, eff, W, H, path="micro",
+                       tex_filter=filt)
+    np.testing.assert_array_equal(micro, ref_micro)
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_fuzz_ssaa_is_downsampled_supersample(seed):
+    # SSAA identity: Renderer(ssaa=s).render == box_downsample of the same
+    # scene rendered at (s*W, s*H) — pins the resolve to exactly "render
+    # big, average blocks" with no other difference.
+    import jax.numpy as jnp
+
+    from compute_renderer_tpu.engine.renderer import (
+        Renderer, box_downsample,
+    )
+    from compute_renderer_tpu.engine.scene import FrameUniforms
+
+    rng = np.random.default_rng(seed)
+    mesh = random_soup(rng, int(rng.integers(5, 20)))
+    cam = random_camera(rng)
+    u = cam.uniform()
+    lights = random_lights(rng, 2)
+    uni = FrameUniforms(
+        view_position=u.view_position, view_proj=u.view_proj,
+        light_world_pos=lights[0], light_color=lights[1],
+        light_intensity=lights[2], effect=EffectUniform().as_array(),
+    )
+    s = 2
+    small = Renderer(mesh, W, H, backend="tpu", ssaa=s).render(uni)
+    big = Renderer(mesh, W * s, H * s, backend="tpu").render(uni)
+    want = np.asarray(box_downsample(jnp.asarray(big), s))
+    np.testing.assert_array_equal(small, want)
