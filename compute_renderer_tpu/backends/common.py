@@ -474,6 +474,14 @@ def sample_atlas(texels, tex_table, face_tex, best_tri, flag, uv,
         ty = jnp.minimum((fv * th.astype(F32)).astype(jnp.int32), th - 1)
         texel = texels[safe_idx(off + ty * tw + tx)]
         return jnp.where(has[..., None], texel, F32(1.0)), has
+    texel = _bilinear_level(texels, off, tw, th, fu, fv, safe_idx)
+    return jnp.where(has[..., None], texel, F32(1.0)), has
+
+
+def _bilinear_level(texels, off, tw, th, fu, fv, safe_idx):
+    """One bilinear tap at a given {offset, width, height} level (GL
+    half-texel convention, repeat wrap; lerp order fixed and mirrored by
+    the golden rasterizer)."""
     pu = fu * tw.astype(F32) - F32(0.5)
     pv = fv * th.astype(F32) - F32(0.5)
     x0f = jnp.floor(pu)
@@ -493,13 +501,84 @@ def sample_atlas(texels, tex_table, face_tex, best_tri, flag, uv,
     one = F32(1.0)
     top = t00 * (one - wx) + t10 * wx
     bot = t01 * (one - wx) + t11 * wx
-    texel = top * (one - wy) + bot * wy
+    return top * (one - wy) + bot * wy
+
+
+def uv_gradients(tri, screen, uvs):
+    """Per-triangle screen-space uv gradients (T, 4):
+    [du/dx, dv/dx, du/dy, dv/dy].
+
+    The pipeline's barycentrics are the reference's cross-product
+    formulation (rasteriser.wgsl:71-81) — AFFINE in pixel coords — so the
+    interpolated uv has a CONSTANT gradient per triangle, computed exactly
+    from the screen vertices: with uz the (constant) denominator,
+    b2 = uy/uz, b3 = ux/uz, dux/dx = (v2y-v1y), duy/dx = -(v3y-v1y),
+    dux/dy = -(v2x-v1x), duy/dy = (v3x-v1x). Degenerate triangles
+    (uz ~ 0) get gradient 0 (=> mip level 0)."""
+    i1, i2, i3 = tri[:, 0], tri[:, 1], tri[:, 2]
+    v1 = screen[i1]
+    v2 = screen[i2]
+    v3 = screen[i3]
+    uz = ((v3[:, 0] - v1[:, 0]) * (v2[:, 1] - v1[:, 1])
+          - (v2[:, 0] - v1[:, 0]) * (v3[:, 1] - v1[:, 1]))
+    safe = jnp.where(jnp.abs(uz) > F32(1e-20), uz, F32(1.0))
+    inv = jnp.where(jnp.abs(uz) > F32(1e-20), F32(1.0) / safe, F32(0.0))
+    e2 = uvs[i2] - uvs[i1]  # (T, 2)
+    e3 = uvs[i3] - uvs[i1]
+    db2_dx = -(v3[:, 1] - v1[:, 1]) * inv
+    db3_dx = (v2[:, 1] - v1[:, 1]) * inv
+    db2_dy = (v3[:, 0] - v1[:, 0]) * inv
+    db3_dy = -(v2[:, 0] - v1[:, 0]) * inv
+    gx = e2 * db2_dx[:, None] + e3 * db3_dx[:, None]  # (T, 2) d(uv)/dx
+    gy = e2 * db2_dy[:, None] + e3 * db3_dy[:, None]
+    return jnp.concatenate([gx, gy], axis=1).astype(F32)
+
+
+def sample_atlas_trilinear(texels, mip_table, face_tex, best_tri, flag, uv,
+                           guv):
+    """Trilinear (mipmapped) repeat-wrap sample of the mip-extended atlas.
+
+    ``mip_table`` is (M, L, 3) i32 {offset, width, height} per level from
+    ``io.textures.build_mips``; ``guv`` the winner's per-pixel (H, W, 4)
+    screen-space uv gradient rows (``uv_gradients`` gathered by winner).
+    LOD follows the GL footprint rule: lod = log2(max(|d(uv)/dx * dims|,
+    |d(uv)/dy * dims|)), clamped to [0, L-1]; the two straddling levels
+    are bilinearly tapped and lerped."""
+    L = mip_table.shape[1]
+    tid = face_tex[jnp.where(flag, best_tri, 0)]
+    has = flag & (tid >= 0)
+    t0 = jnp.where(has, tid, 0)
+    base = mip_table[t0, 0]  # (H, W, 3): level-0 {off, w, h}
+    u = uv[..., 0]
+    v = uv[..., 1]
+    fu = u - jnp.floor(u)
+    fv = v - jnp.floor(v)
+    safe_idx = lambda i: jnp.where(has, i, 0)
+
+    tw0 = base[..., 1].astype(F32)
+    th0 = base[..., 2].astype(F32)
+    rx = jnp.sqrt((guv[..., 0] * tw0) ** 2 + (guv[..., 1] * th0) ** 2)
+    ry = jnp.sqrt((guv[..., 2] * tw0) ** 2 + (guv[..., 3] * th0) ** 2)
+    rho = jnp.maximum(jnp.maximum(rx, ry), F32(1e-12))
+    lod = jnp.clip(jnp.log2(rho), F32(0.0), F32(L - 1))
+    l0 = lod.astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, L - 1)
+    frac = (lod - l0.astype(F32))[..., None]
+
+    def tap(level):
+        row = mip_table[t0, level]
+        return _bilinear_level(
+            texels, row[..., 0], row[..., 1], row[..., 2], fu, fv, safe_idx
+        )
+
+    texel = tap(l0) * (F32(1.0) - frac) + tap(l1) * frac
     return jnp.where(has[..., None], texel, F32(1.0)), has
 
 
 def textured_shade(gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
                    view_position, light_world_pos, light_color,
-                   light_intensity, tex_filter: str = "nearest"):
+                   light_intensity, tex_filter: str = "nearest",
+                   tex_mips=None, guv=None):
     """Deferred-texturing shade tail shared by every visibility-mode
     consumer (tpu.render_frame / render_frame_micro, the sharded stripe
     bodies, and the frame-parallel path): look up the winner's per-triangle
@@ -513,10 +592,21 @@ def textured_shade(gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
         kd = jnp.where(flag[..., None], kd, F32(1.0))
     else:
         kd = jnp.ones(flag.shape + (3,), F32)
-    texel, has = sample_atlas(
-        texels, tex_table, face_tex.astype(jnp.int32), best_tri, flag,
-        uv=gbuffer["uv"], bilinear=(tex_filter == "bilinear"),
-    )
+    if tex_filter == "trilinear":
+        # ``texels`` is the mip-extended pool (io.textures.build_mips);
+        # ``tex_mips`` its (M, L, 3) level table; ``guv`` the per-TRIANGLE
+        # (T, 4) uv-gradient table (common.uv_gradients over the same
+        # vertex arrays the resolve used) — gathered by winner here.
+        guv_px = guv[jnp.where(flag, best_tri, 0)]
+        texel, has = sample_atlas_trilinear(
+            texels, tex_mips, face_tex.astype(jnp.int32), best_tri, flag,
+            uv=gbuffer["uv"], guv=guv_px,
+        )
+    else:
+        texel, has = sample_atlas(
+            texels, tex_table, face_tex.astype(jnp.int32), best_tri, flag,
+            uv=gbuffer["uv"], bilinear=(tex_filter == "bilinear"),
+        )
     kd = jnp.where(has[..., None], kd * texel, kd)
     gbuffer["kd"] = kd
     return shade(

@@ -98,9 +98,12 @@ def render_frame_micro(
     face_tex=None,
     texels=None,
     tex_table=None,
-    # "nearest" | "bilinear" atlas filtering in the deferred tail
-    # (extension; the reference never binds a sampler).
+    # "nearest" | "bilinear" | "trilinear" atlas filtering in the deferred
+    # tail (extension; the reference never binds a sampler). Trilinear
+    # needs ``texels`` = the mip-extended pool and ``tex_mips`` its
+    # (M, L, 3) level table (io.textures.build_mips).
     tex_filter: str = "nearest",
+    tex_mips=None,
 ):
     """Mega-scene path: 8x8-cell binning (ONE global sort) + the lane-packed
     micro kernel (pallas_micro). Coefficients stream from HBM, so there is
@@ -223,7 +226,7 @@ def render_frame_micro(
         width, height,
         face_kd, face_tex, texels, tex_table,
         view_position, light_world_pos, light_color, light_intensity,
-        tex_filter=tex_filter,
+        tex_filter=tex_filter, tex_mips=tex_mips,
     )
     return rgba, best_key, overflow
 
@@ -263,6 +266,7 @@ def micro_vis_tail(
     face_kd, face_tex, texels, tex_table,
     view_position, light_world_pos, light_color, light_intensity,
     x_offset=0, y_offset=0, corners=None, tex_filter: str = "nearest",
+    tex_mips=None,
 ):
     """Deferred texturing tail of the micro path (plain XLA). The kernel
     reports the winner's PAIR index per pixel; the sorted pair list maps it
@@ -283,10 +287,12 @@ def micro_vis_tail(
         best_tri, tri_v, scr_v, wld_v, nrm_v, uv_v, effect, width, height,
         x_offset, y_offset,
     )
+    guv = (common.uv_gradients(tri_v, scr_v, uv_v)
+           if tex_filter == "trilinear" else None)
     return common.textured_shade(
         gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
         view_position, light_world_pos, light_color, light_intensity,
-        tex_filter=tex_filter,
+        tex_filter=tex_filter, tex_mips=tex_mips, guv=guv,
     )
 
 
@@ -351,8 +357,10 @@ def render_frame(
     face_tex=None,
     texels=None,
     tex_table=None,
-    # "nearest" | "bilinear" atlas filtering in the deferred tail.
+    # "nearest" | "bilinear" | "trilinear" atlas filtering in the deferred
+    # tail (trilinear: texels = mip-extended pool, tex_mips = level table).
     tex_filter: str = "nearest",
+    tex_mips=None,
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
     overflow (2,) i32 = [pair_cap_needed, tile_cap_needed] where 0 means
@@ -385,7 +393,7 @@ def render_frame(
             interpret=interpret, pos_soa=pos_soa, nrm_soa=nrm_soa,
             effect_kind=effect_kind, face_kd=face_kd,
             face_tex=face_tex, texels=texels, tex_table=tex_table,
-            tex_filter=tex_filter,
+            tex_filter=tex_filter, tex_mips=tex_mips,
         )
     if tri_chunk == 0:
         # Size chunks for the table that will actually be built: the
@@ -488,10 +496,12 @@ def render_frame(
         best_tri, tri.astype(jnp.int32), screen, world, normals32, uvs32,
         effect, width, height,
     )
+    guv = (common.uv_gradients(tri.astype(jnp.int32), screen, uvs32)
+           if tex_filter == "trilinear" else None)
     rgba = common.textured_shade(
         gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
         view_position, light_world_pos, light_color, light_intensity,
-        tex_filter=tex_filter,
+        tex_filter=tex_filter, tex_mips=tex_mips, guv=guv,
     )
     return rgba, best_key, overflow
 
@@ -575,6 +585,12 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             "tex_table": jnp.asarray(mesh.tex_table),
             "tex_filter": tex_filter,
         }
+        if tex_filter == "trilinear":
+            from compute_renderer_tpu.io.textures import build_mips
+
+            pool, mips = build_mips(mesh.texels, mesh.tex_table)
+            tex_kwargs["texels"] = jnp.asarray(pool)
+            tex_kwargs["tex_mips"] = jnp.asarray(mips)
     for _ in range(max_retries):
         if path == "micro":
             rgba, _, overflow = render_frame_micro(

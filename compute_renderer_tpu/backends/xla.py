@@ -58,9 +58,10 @@ def render_frame(
     tri_table=None,
     face_kd=None,  # (T, 3) f32 per-triangle diffuse (material extension)
     face_tex=None,  # (T,) i32 texture slot (texture extension)
-    texels=None,  # (P, 3) f32 flat atlas pool
+    texels=None,  # (P, 3) f32 flat atlas pool (mip-extended for trilinear)
     tex_table=None,  # (M, 3) i32 {offset, width, height}
-    tex_filter: str = "nearest",  # "nearest" | "bilinear" atlas filtering
+    tex_filter: str = "nearest",  # "nearest" | "bilinear" | "trilinear"
+    tex_mips=None,  # (M, L, 3) i32 mip level table (trilinear only)
 ):
     """Render one frame; returns ((H, W, 4) uint8 RGBA, depth_key (H,W) u32).
 
@@ -229,10 +230,19 @@ def render_frame(
                     "textures require the uv-carrying resolve "
                     "(tri_table injection unsupported)"
                 )
-            texel, has = common.sample_atlas(
-                texels, tex_table, face_tex.astype(jnp.int32), best_tri,
-                flag, gbuffer["uv"], bilinear=(tex_filter == "bilinear"),
-            )
+            if tex_filter == "trilinear":
+                guv = common.uv_gradients(
+                    tri.astype(jnp.int32), screen, uvs.astype(F32)
+                )[jnp.where(flag, best_tri, 0)]
+                texel, has = common.sample_atlas_trilinear(
+                    texels, tex_mips, face_tex.astype(jnp.int32), best_tri,
+                    flag, gbuffer["uv"], guv,
+                )
+            else:
+                texel, has = common.sample_atlas(
+                    texels, tex_table, face_tex.astype(jnp.int32), best_tri,
+                    flag, gbuffer["uv"], bilinear=(tex_filter == "bilinear"),
+                )
             kd = jnp.where(has[..., None], kd * texel, kd)
         gbuffer["kd"] = kd
     elif tri_table is not None and tri_table.shape[1] > 32:
@@ -254,6 +264,20 @@ def render(mesh, camera_uniform, lights, effect, width, height,
            tex_filter: str = "nearest"):
     """Convenience host-level entry: numpy/dataclass in, numpy RGBA out."""
     light_world_pos, light_color, light_intensity = lights
+    tex_kwargs = {}
+    if getattr(mesh, "has_textures", False):
+        tex_kwargs = {
+            "face_tex": jnp.asarray(mesh.face_tex),
+            "texels": jnp.asarray(mesh.texels),
+            "tex_table": jnp.asarray(mesh.tex_table),
+            "tex_filter": tex_filter,
+        }
+        if tex_filter == "trilinear":
+            from compute_renderer_tpu.io.textures import build_mips
+
+            pool, mips = build_mips(mesh.texels, mesh.tex_table)
+            tex_kwargs["texels"] = jnp.asarray(pool)
+            tex_kwargs["tex_mips"] = jnp.asarray(mips)
     rgba, _ = render_frame(
         jnp.asarray(mesh.positions),
         jnp.asarray(mesh.normals),
@@ -272,15 +296,6 @@ def render(mesh, camera_uniform, lights, effect, width, height,
         chunk=chunk,
         face_kd=(jnp.asarray(mesh.face_kd)
                  if getattr(mesh, "face_kd", None) is not None else None),
-        **(
-            {
-                "face_tex": jnp.asarray(mesh.face_tex),
-                "texels": jnp.asarray(mesh.texels),
-                "tex_table": jnp.asarray(mesh.tex_table),
-                "tex_filter": tex_filter,
-            }
-            if getattr(mesh, "has_textures", False)
-            else {}
-        ),
+        **tex_kwargs,
     )
     return np.asarray(rgba)

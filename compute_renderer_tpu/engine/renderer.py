@@ -122,6 +122,15 @@ class Renderer:
                 "texels": jnp.asarray(mesh.texels),
                 "tex_table": jnp.asarray(mesh.tex_table),
             }
+            if self.options.get("tex_filter") == "trilinear":
+                # Mip chains are built ONCE on host (io.textures.build_mips)
+                # so every backend only samples — no cross-backend mip-
+                # construction parity surface.
+                from compute_renderer_tpu.io.textures import build_mips
+
+                pool, mips = build_mips(mesh.texels, mesh.tex_table)
+                self.textures["texels"] = jnp.asarray(pool)
+                self.textures["tex_mips"] = jnp.asarray(mips)
         # Corner-SoA geometry (3 corners, 3 comps, T) for the tpu backend's
         # micro (mega-scene) path: gathered + transposed ONCE at upload
         # (indices are static per mesh) so the per-frame front-end is

@@ -66,7 +66,8 @@ class SceneConfig:
     # Texture extension (implies materials): decode map_Kd images into the
     # flat atlas and sample them at the interpolated uv.
     enable_textures: bool = False
-    # Atlas filtering for the texture extension: "nearest" | "bilinear".
+    # Atlas filtering for the texture extension:
+    # "nearest" | "bilinear" | "trilinear" (mipmapped).
     texture_filter: str = "nearest"
     # SSAA extension: render at ssaa x the output resolution, box-resolve
     # on device (1 = off; the reference has no anti-aliasing).

@@ -187,9 +187,10 @@ def render_golden(
     return_gbuffer: bool = False,
     face_kd: np.ndarray | None = None,  # (T, 3) per-tri diffuse (extension)
     face_tex: np.ndarray | None = None,  # (T,) i32 texture slot (extension)
-    texels: np.ndarray | None = None,  # (P, 3) f32 flat atlas pool
+    texels: np.ndarray | None = None,  # (P, 3) f32 pool (mips appended for trilinear)
     tex_table: np.ndarray | None = None,  # (M, 3) i32 {offset, width, height}
-    tex_filter: str = "nearest",  # "nearest" | "bilinear"
+    tex_filter: str = "nearest",  # "nearest" | "bilinear" | "trilinear"
+    tex_mips: np.ndarray | None = None,  # (M, L, 3) i32 level table
 ) -> np.ndarray:
     """Render one frame; returns (H, W, 4) uint8 RGBA.
 
@@ -217,6 +218,9 @@ def render_golden(
                if face_kd is not None or face_tex is not None else None)
     frag_tex = (np.full((height, width), -1, dtype=np.int32)
                 if face_tex is not None else None)
+    frag_guv = (np.zeros((height, width, 4), dtype=F32)
+                if tex_filter == "trilinear" and face_tex is not None
+                else None)
 
     etype = int(effect[0])
     # Voxelize inflation threshold (rasteriser.wgsl:127-131).
@@ -292,6 +296,17 @@ def render_golden(
             frag_kd[sel] = face_kd[t].astype(F32)
         if frag_tex is not None:
             frag_tex[sel] = face_tex[t]
+        if frag_guv is not None:
+            # Per-triangle screen-space uv gradient (constant: affine
+            # barycentrics) — same formulas as common.uv_gradients.
+            uzg = ((v3[0] - v1[0]) * (v2[1] - v1[1])
+                   - (v2[0] - v1[0]) * (v3[1] - v1[1]))
+            inv = F32(1.0 / uzg) if abs(uzg) > 1e-20 else F32(0.0)
+            e2 = (mesh_uvs[i2] - mesh_uvs[i1]).astype(F32)
+            e3 = (mesh_uvs[i3] - mesh_uvs[i1]).astype(F32)
+            gx = e2 * F32(-(v3[1] - v1[1]) * inv) + e3 * F32((v2[1] - v1[1]) * inv)
+            gy = e2 * F32((v3[0] - v1[0]) * inv) + e3 * F32(-(v2[0] - v1[0]) * inv)
+            frag_guv[sel] = np.concatenate([gx, gy]).astype(F32)
 
     if frag_tex is not None:
         # Texture pass: nearest (default) or bilinear repeat-wrap atlas
@@ -308,31 +323,59 @@ def render_golden(
         fu = (u - np.floor(u)).astype(F32)
         fv = (v - np.floor(v)).astype(F32)
         pool = np.asarray(texels, dtype=F32)
-        if tex_filter != "bilinear":
-            tx = np.minimum((fu * tw.astype(F32)).astype(np.int32), tw - 1)
-            ty = np.minimum((fv * th.astype(F32)).astype(np.int32), th - 1)
-            idx = off + ty * tw + tx
-            texel = pool[np.where(has, idx, 0)]
-        else:
-            pu = (fu * tw.astype(F32) - F32(0.5)).astype(F32)
-            pv = (fv * th.astype(F32) - F32(0.5)).astype(F32)
+
+        def bilinear_level(off_l, tw_l, th_l):
+            # Same math and lerp order as common._bilinear_level.
+            pu = (fu * tw_l.astype(F32) - F32(0.5)).astype(F32)
+            pv = (fv * th_l.astype(F32) - F32(0.5)).astype(F32)
             x0f = np.floor(pu)
             y0f = np.floor(pv)
             wx = (pu - x0f).astype(F32)[..., None]
             wy = (pv - y0f).astype(F32)[..., None]
-            x0 = np.mod(x0f.astype(np.int32), tw)
-            y0 = np.mod(y0f.astype(np.int32), th)
-            x1 = np.mod(x0 + 1, tw)
-            y1 = np.mod(y0 + 1, th)
+            x0 = np.mod(x0f.astype(np.int32), tw_l)
+            y0 = np.mod(y0f.astype(np.int32), th_l)
+            x1 = np.mod(x0 + 1, tw_l)
+            y1 = np.mod(y0 + 1, th_l)
             fetch = lambda i: pool[np.where(has, i, 0)]
-            t00 = fetch(off + y0 * tw + x0)
-            t10 = fetch(off + y0 * tw + x1)
-            t01 = fetch(off + y1 * tw + x0)
-            t11 = fetch(off + y1 * tw + x1)
+            t00 = fetch(off_l + y0 * tw_l + x0)
+            t10 = fetch(off_l + y0 * tw_l + x1)
+            t01 = fetch(off_l + y1 * tw_l + x0)
+            t11 = fetch(off_l + y1 * tw_l + x1)
             one = F32(1.0)
             top = t00 * (one - wx) + t10 * wx
             bot = t01 * (one - wx) + t11 * wx
-            texel = (top * (one - wy) + bot * wy).astype(F32)
+            return (top * (one - wy) + bot * wy).astype(F32)
+
+        if tex_filter == "trilinear":
+            # Mirrors common.sample_atlas_trilinear: GL footprint LOD from
+            # the winner triangle's constant uv gradient, two bilinear
+            # taps lerped.
+            mips = np.asarray(tex_mips, dtype=np.int32)
+            L = mips.shape[1]
+            tw0 = tw.astype(F32)
+            th0 = th.astype(F32)
+            rx = np.sqrt((frag_guv[..., 0] * tw0) ** 2
+                         + (frag_guv[..., 1] * th0) ** 2, dtype=F32)
+            ry = np.sqrt((frag_guv[..., 2] * tw0) ** 2
+                         + (frag_guv[..., 3] * th0) ** 2, dtype=F32)
+            rho = np.maximum(np.maximum(rx, ry), F32(1e-12))
+            lod = np.clip(np.log2(rho, dtype=F32), F32(0.0), F32(L - 1))
+            l0 = lod.astype(np.int32)
+            l1 = np.minimum(l0 + 1, L - 1)
+            frac = (lod - l0.astype(F32)).astype(F32)[..., None]
+            row0 = mips[t0, l0]
+            row1 = mips[t0, l1]
+            texel = (bilinear_level(row0[..., 0], row0[..., 1], row0[..., 2])
+                     * (F32(1.0) - frac)
+                     + bilinear_level(row1[..., 0], row1[..., 1],
+                                      row1[..., 2]) * frac).astype(F32)
+        elif tex_filter == "bilinear":
+            texel = bilinear_level(off, tw, th)
+        else:
+            tx = np.minimum((fu * tw.astype(F32)).astype(np.int32), tw - 1)
+            ty = np.minimum((fv * th.astype(F32)).astype(np.int32), th - 1)
+            idx = off + ty * tw + tx
+            texel = pool[np.where(has, idx, 0)]
         frag_kd = np.where(has[..., None], frag_kd * texel, frag_kd)
 
     rgba = shade_fragments(

@@ -135,6 +135,56 @@ def build_atlas(paths: list) -> tuple:
     return np.ascontiguousarray(pool, dtype=F32), table
 
 
+def build_mips(texels: np.ndarray, tex_table: np.ndarray) -> tuple:
+    """Extend a flat atlas with box-filtered mip chains (trilinear filtering
+    support — extension; the reference never binds a sampler at all).
+
+    Built ONCE on host by this single implementation, so golden/xla/tpu
+    only ever SAMPLE mips — there is no cross-backend mip-construction
+    parity surface. Level l+1 halves each dimension (floor, min 1); each
+    child texel is the f32 mean of its <=2x2 parent block (odd edges clamp
+    to the last row/column).
+
+    Returns ``(pool, mip_table)``:
+      pool:      (P', 3) f32 — the original pool with every level >= 1
+                 appended (level-0 rows keep their original offsets)
+      mip_table: (M, L, 3) i32 — per-slot, per-level {offset, width,
+                 height}; chains shorter than the longest repeat their
+                 1x1 tail so L is uniform (sampling clamps lod to L-1)."""
+    tex_table = np.asarray(tex_table, dtype=np.int32)
+    M = tex_table.shape[0]
+    chains = []
+    for off, w, h in tex_table:
+        img = np.asarray(texels[off:off + w * h], dtype=F32).reshape(h, w, 3)
+        levels = [(int(off), int(w), int(h))]
+        imgs = []
+        while img.shape[0] > 1 or img.shape[1] > 1:
+            h2 = max(img.shape[0] // 2, 1)
+            w2 = max(img.shape[1] // 2, 1)
+            ys = np.minimum(2 * np.arange(h2)[:, None] + np.arange(2), img.shape[0] - 1)
+            xs = np.minimum(2 * np.arange(w2)[:, None] + np.arange(2), img.shape[1] - 1)
+            block = img[ys[:, None, :, None], xs[None, :, None, :]]
+            img = block.mean(axis=(2, 3), dtype=np.float64).astype(F32)
+            imgs.append(img)
+            levels.append((img.shape[1], img.shape[0]))  # placeholder offsets
+        chains.append((levels, imgs))
+    L = max(len(c[0]) for c in chains) if chains else 1
+    pool = [np.asarray(texels, dtype=F32).reshape(-1, 3)]
+    offset = pool[0].shape[0]
+    mip_table = np.zeros((M, L, 3), dtype=np.int32)
+    for slot, (levels, imgs) in enumerate(chains):
+        mip_table[slot, 0] = levels[0]
+        for li, img in enumerate(imgs, start=1):
+            h, w = img.shape[:2]
+            mip_table[slot, li] = (offset, w, h)
+            pool.append(img.reshape(h * w, 3))
+            offset += h * w
+        # Uniform L: repeat the 1x1 tail for shorter chains.
+        for li in range(1 + len(imgs), L):
+            mip_table[slot, li] = mip_table[slot, li - 1]
+    return np.ascontiguousarray(np.concatenate(pool, axis=0)), mip_table
+
+
 def write_ppm(path, img: np.ndarray) -> None:
     """Write (H, W, 3) u8 (or f32 in [0,1]) as binary P6 — the procedural
     texture asset writer (tests + objgen's generated scenes)."""

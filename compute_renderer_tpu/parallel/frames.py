@@ -65,6 +65,7 @@ def render_frames_sharded(
     texels=None,
     tex_table=None,
     tex_filter: str = "nearest",
+    tex_mips=None,  # (M, L, 3) mip level table (trilinear only)
     # SSAA extension: width/height are the RENDER resolution (output x
     # ssaa); each frame box-resolves to the output size inside the scan.
     ssaa: int = 1,
@@ -124,6 +125,10 @@ def render_frames_sharded(
         operands = operands + (face_tex, texels, tex_table)
         in_specs = in_specs + (P(), P(), P())
         extra_names.extend(["face_tex", "texels", "tex_table"])
+        if tex_mips is not None:
+            operands = operands + (tex_mips,)
+            in_specs = in_specs + (P(),)
+            extra_names.append("tex_mips")
     return jax.shard_map(
         device_body,
         mesh=mesh,

@@ -53,6 +53,7 @@ def _stripe_render(
     light_world_pos, light_color, light_intensity,
     effect,
     face_kd=None, face_tex=None, texels=None, tex_table=None,
+    tex_mips=None,
     *,
     width: int, height: int, tile_h: int, tile_w: int, nty_total: int,
     pair_cap: int, tile_cap: int, n_shards: int,
@@ -113,10 +114,13 @@ def _stripe_render(
             normals.astype(F32), uvs.astype(F32), effect,
             ntx * tile_w, nty_local * tile_h, y_offset=y_offset,
         )
+        guv = (common.uv_gradients(tri.astype(jnp.int32), screen,
+                                   uvs.astype(F32))
+               if tex_filter == "trilinear" else None)
         rgba = common.textured_shade(
             gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
             view_position, light_world_pos, light_color, light_intensity,
-            tex_filter=tex_filter,
+            tex_filter=tex_filter, tex_mips=tex_mips, guv=guv,
         )
     else:
         rgba = pallas_raster.unpack_rgba(rgba_packed)
@@ -137,6 +141,7 @@ def _stripe_render_micro(
     light_world_pos, light_color, light_intensity,
     effect,
     face_kd=None, face_tex=None, texels=None, tex_table=None,
+    tex_mips=None,
     *,
     width: int, height: int, nty_total: int,
     pair_cap: int, n_shards: int,
@@ -221,7 +226,7 @@ def _stripe_render_micro(
             effect, ntx * 128, nty_local * 8,
             face_kd, face_tex, texels, tex_table,
             view_position, light_world_pos, light_color, light_intensity,
-            y_offset=y_offset, tex_filter=tex_filter,
+            y_offset=y_offset, tex_filter=tex_filter, tex_mips=tex_mips,
         )
     else:
         rgba = pallas_raster.unpack_rgba(rgba_packed)
@@ -238,6 +243,7 @@ def _stripe_render_sortmiddle(
     light_world_pos, light_color, light_intensity,
     effect,
     face_kd=None, face_tex=None, texels=None, tex_table=None,
+    tex_mips=None,
     screen=None, world=None, tri_table=None,
     *,
     width: int, height: int, nty_total: int,
@@ -449,7 +455,7 @@ def _stripe_render_sortmiddle(
             face_kd, face_tex, texels, tex_table,
             view_position, light_world_pos, light_color, light_intensity,
             y_offset=y_offset, corners=tuple(gathered) + (tri_v,),
-            tex_filter=tex_filter,
+            tex_filter=tex_filter, tex_mips=tex_mips,
         )
     else:
         rgba = pallas_raster.unpack_rgba(rgba_packed)
@@ -494,6 +500,7 @@ def render_frame_sharded(
     texels=None,
     tex_table=None,
     tex_filter: str = "nearest",
+    tex_mips=None,  # (M, L, 3) mip level table (trilinear only)
     # SSAA extension: stripes render at ssaa x the output resolution and
     # each resolves its own rows (exact in any order: block means of
     # integer-valued u8 data), so only resolved pixels leave the step.
@@ -612,6 +619,9 @@ def render_frame_sharded(
         # body runs the visibility kernel + its own deferred tail.
         operands = operands + (face_tex, texels, tex_table)
         extra_names.extend(["face_tex", "texels", "tex_table"])
+        if tex_mips is not None:
+            operands = operands + (tex_mips,)
+            extra_names.append("tex_mips")
     if screen is not None:
         if path != "sortmiddle" or world is None or tri_table is None:
             raise ValueError(

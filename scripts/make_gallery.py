@@ -100,6 +100,26 @@ def main():
         write_png(OUT / f"{name}.png", img)
         print(name, "->", OUT / f"{name}.png")
 
+    # Minified high-frequency checker (16-texel cells tiled 48x: ~2.5
+    # texels per pixel): the aliasing case mips exist for.
+    n2 = 16
+    fine = np.zeros((n2, n2, 3), dtype=F32)
+    yy2, xx2 = np.mgrid[0:n2, 0:n2]
+    fine[(yy2 + xx2) % 2 == 0] = (1.0, 0.25, 0.2)
+    fine[(yy2 + xx2) % 2 == 1] = (0.2, 0.35, 1.0)
+    minified = Mesh(
+        positions=quad.positions, normals=quad.normals,
+        uvs=quad.uvs * np.float32(48.0), indices=quad.indices,
+        face_tex=quad.face_tex, texels=fine.reshape(-1, 3),
+        tex_table=np.array([[0, n2, n2]], np.int32),
+    )
+    for name, filt in (("TextureMinifiedBilinear", "bilinear"),
+                       ("TextureTrilinear", "trilinear")):
+        img = Renderer(minified, W, H, backend="tpu",
+                       tex_filter=filt).render(uni_from(fp))
+        write_png(OUT / f"{name}.png", img)
+        print(name, "->", OUT / f"{name}.png")
+
 
 if __name__ == "__main__":
     main()

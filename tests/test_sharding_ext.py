@@ -324,3 +324,33 @@ def test_frames_x_stripes_2d_overflow_retry_and_ssaa():
                       ssaa=2).render(uni)
     np.testing.assert_array_equal(frames[0], single)
     np.testing.assert_array_equal(frames[1], single)
+
+
+def test_sharded_trilinear(mesh8):
+    # Trilinear through the stripe bodies: mips built once on host, pool +
+    # level table replicated; sharded must stay bitwise equal to the
+    # single-device trilinear render.
+    import jax.numpy as jnp
+
+    from compute_renderer_tpu.io.textures import build_mips
+    from tests.test_textures import _minified_quad
+
+    m = _minified_quad()
+    pool, mips = build_mips(m.texels, m.tex_table)
+    tex = {
+        "face_tex": jnp.asarray(m.face_tex),
+        "texels": jnp.asarray(pool),
+        "tex_table": jnp.asarray(m.tex_table),
+        "tex_mips": jnp.asarray(mips),
+        "tex_filter": "trilinear",
+    }
+    args = args_for(m)
+    rgba_s, keys_s, overflow = render_frame_sharded(
+        *args, mesh=mesh8, width=W, height=H, path="tile", **tex
+    )
+    rgba_1, keys_1, _ = tpu.render_frame(
+        *args, width=W, height=H, path="tile", **tex
+    )
+    assert not bool(np.asarray(overflow).any())
+    np.testing.assert_array_equal(np.asarray(keys_s), np.asarray(keys_1))
+    np.testing.assert_array_equal(np.asarray(rgba_s), np.asarray(rgba_1))

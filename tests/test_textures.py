@@ -214,7 +214,8 @@ def textured_quad(slot=1, kd=None):
     )
 
 
-def render_golden_mesh(mesh, w=W, h=H, tex_filter="nearest"):
+def render_golden_mesh(mesh, w=W, h=H, tex_filter="nearest",
+                       tex_mips=None):
     from compute_renderer_tpu.golden.rasterizer import render_golden
 
     camera = Camera.first_person([0, 0, 2.0], aspect=w / h)
@@ -226,7 +227,7 @@ def render_golden_mesh(mesh, w=W, h=H, tex_filter="nearest"):
         EffectUniform().as_array(), w, h,
         face_kd=mesh.face_kd, face_tex=mesh.face_tex,
         texels=mesh.texels, tex_table=mesh.tex_table,
-        tex_filter=tex_filter,
+        tex_filter=tex_filter, tex_mips=tex_mips,
     )
 
 
@@ -533,3 +534,148 @@ def test_scene_renderer_bilinear(tmp_path):
                      **scene.renderer_options())
         imgs[filt] = r.render(scene.update(0.0))
     assert (imgs["nearest"] != imgs["bilinear"]).any()
+
+
+# ---------------------------------------------------------------------------
+# Trilinear (mipmapped) filtering
+# ---------------------------------------------------------------------------
+
+def test_build_mips_chain():
+    from compute_renderer_tpu.io.textures import build_mips
+
+    t0 = np.arange(16 * 3, dtype=F32).reshape(16, 3) / 48
+    t1 = np.arange(6 * 3, dtype=F32).reshape(6, 3) / 18
+    texels = np.concatenate([t0, t1])
+    table = np.array([[0, 4, 4], [16, 3, 2]], np.int32)
+    pool, mips = build_mips(texels, table)
+    assert mips.shape == (2, 3, 3)  # L = 3 (4x4 -> 2x2 -> 1x1)
+    np.testing.assert_array_equal(mips[:, 0], table)  # level 0 unchanged
+    np.testing.assert_array_equal(pool[:22], texels)  # base pool unchanged
+    # Level 1 of the 4x4 = exact 2x2 block means.
+    img0 = t0.reshape(4, 4, 3)
+    o, w, h = mips[0, 1]
+    got = pool[o:o + w * h].reshape(h, w, 3)
+    want = img0.reshape(2, 2, 2, 2, 3).mean(axis=(1, 3))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # Short chains repeat their 1x1 tail; odd dims floor-halve to 1x1.
+    assert tuple(mips[1, 1][1:]) == (1, 1)
+    np.testing.assert_array_equal(mips[1, 1], mips[1, 2])
+    # The 1x1 tail is the (clamped-block) average of the previous level.
+    o1, _, _ = mips[0, 2]
+    l1img = got
+    np.testing.assert_allclose(pool[o1], l1img.mean(axis=(0, 1)), atol=1e-6)
+
+
+def test_uv_gradients_analytic():
+    import jax.numpy as jnp
+
+    from compute_renderer_tpu.backends.common import uv_gradients
+
+    # Screen triangle with uv = (x / 200, y / 100): gradient must be
+    # exactly [1/200, 0, 0, 1/100].
+    screen = jnp.asarray(np.array(
+        [[10, 20, 0.5, 1], [110, 20, 0.5, 1], [10, 80, 0.5, 1]], F32))
+    uvs = jnp.asarray(np.array(
+        [[10 / 200, 20 / 100], [110 / 200, 20 / 100], [10 / 200, 80 / 100]],
+        F32))
+    tri = jnp.asarray(np.array([[0, 1, 2]], np.int32))
+    g = np.asarray(uv_gradients(tri, screen, uvs))
+    np.testing.assert_allclose(g[0], [1 / 200, 0, 0, 1 / 100], atol=1e-7)
+    # Degenerate triangle: zero gradient, no NaN.
+    screen2 = jnp.asarray(np.tile(np.array([[5, 5, 0.5, 1]], F32), (3, 1)))
+    g2 = np.asarray(uv_gradients(tri, screen2, uvs))
+    assert np.isfinite(g2).all() and (g2 == 0).all()
+
+
+def test_trilinear_magnified_equals_bilinear():
+    # Magnified texture (rho < 1 => lod 0, frac 0): trilinear must equal
+    # bilinear bitwise on every backend.
+    mesh = textured_quad()
+    for render in (render_xla_mesh, render_tpu_mesh):
+        bil = render(mesh, tex_filter="bilinear")
+        tri = render(mesh, tex_filter="trilinear")
+        np.testing.assert_array_equal(tri, bil)
+
+
+def _minified_quad(n=16, reps=16.0):
+    # High-frequency checker tiled many times over a quad: far below the
+    # Nyquist limit of the screen resolution, the aliasing case mips fix.
+    texels, table = checker_atlas(n=n)
+    base = textured_quad()
+    return Mesh(
+        positions=base.positions, normals=base.normals,
+        uvs=base.uvs * np.float32(reps), indices=base.indices,
+        face_tex=base.face_tex, texels=texels, tex_table=table,
+    )
+
+
+def test_trilinear_minified_reduces_aliasing():
+    mesh = _minified_quad()
+    bil = render_xla_mesh(mesh, tex_filter="bilinear")
+    tri = render_xla_mesh(mesh, tex_filter="trilinear")
+    covered = _covered(bil)
+    assert (bil[covered] != tri[covered]).any()
+    # The minified checker must average toward a smooth image. Shading
+    # gradients dominate plain variance in BOTH renders, so measure the
+    # HIGH-FREQUENCY content instead: mean |horizontal neighbor diff| over
+    # covered pixel pairs — the checker noise is pixel-to-pixel, the
+    # shading is not.
+    both = covered[:, 1:] & covered[:, :-1]
+
+    def hf(img):
+        d = np.abs(img[:, 1:, :3].astype(np.int64)
+                   - img[:, :-1, :3].astype(np.int64))
+        return d[both].mean()
+
+    assert hf(tri) < 0.15 * hf(bil), (hf(tri), hf(bil))
+
+
+def test_golden_vs_xla_trilinear():
+    from compute_renderer_tpu.io.textures import build_mips
+
+    mesh = _minified_quad()
+    pool, mips = build_mips(mesh.texels, mesh.tex_table)
+    gold = render_golden_mesh(
+        Mesh(positions=mesh.positions, normals=mesh.normals, uvs=mesh.uvs,
+             indices=mesh.indices, face_tex=mesh.face_tex, texels=pool,
+             tex_table=mesh.tex_table),
+        tex_filter="trilinear", tex_mips=mips,
+    )
+    ours = render_xla_mesh(mesh, tex_filter="trilinear")
+    diff = np.abs(gold.astype(int) - ours.astype(int))
+    assert (diff <= 1).all()
+
+
+def test_xla_vs_tpu_trilinear_tile_and_micro():
+    mesh = _minified_quad()
+    ref16 = render_xla_mesh(mesh, tile_h=16, tile_w=256,
+                            tex_filter="trilinear")
+    tile = render_tpu_mesh(mesh, tex_filter="trilinear")
+    np.testing.assert_array_equal(tile, ref16)
+    ref8 = render_xla_mesh(mesh, tile_h=8, tile_w=8, tex_filter="trilinear")
+    micro = render_tpu_mesh(mesh, path="micro", tex_filter="trilinear")
+    np.testing.assert_array_equal(micro, ref8)
+
+
+def test_scene_renderer_trilinear(tmp_path):
+    from compute_renderer_tpu.engine.renderer import Renderer
+    from compute_renderer_tpu.engine.scene import (
+        CameraConfig, Scene, SceneConfig,
+    )
+    from compute_renderer_tpu.cli import build_parser, scene_config_from_args
+
+    obj = _write_textured_obj(tmp_path)
+    imgs = {}
+    for filt in ("bilinear", "trilinear"):
+        cfg = SceneConfig(model_path=str(obj), enable_textures=True,
+                          texture_filter=filt,
+                          camera_config=CameraConfig.first_person((0, 0, 3.0)))
+        scene = Scene.from_config(cfg, 64, 48)
+        r = Renderer(scene.mesh, 64, 48, backend="tpu",
+                     **scene.renderer_options())
+        imgs[filt] = r.render(scene.update(0.0))
+    assert imgs["trilinear"].shape == (48, 64, 4)
+    args = build_parser().parse_args(
+        ["--textures", "--texture-filter", "trilinear", "--model-path", "x"]
+    )
+    assert scene_config_from_args(args).texture_filter == "trilinear"
