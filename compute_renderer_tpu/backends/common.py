@@ -597,6 +597,13 @@ def textured_shade(gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
         # ``tex_mips`` its (M, L, 3) level table; ``guv`` the per-TRIANGLE
         # (T, 4) uv-gradient table (common.uv_gradients over the same
         # vertex arrays the resolve used) — gathered by winner here.
+        if tex_mips is None:
+            raise ValueError(
+                "tex_filter='trilinear' needs the mip-extended pool as "
+                "texels AND its level table as tex_mips — build both with "
+                "io.textures.trilinear_tex_arrays(texels, tex_table) (the "
+                "engine/CLI entries do this automatically)"
+            )
         guv_px = guv[jnp.where(flag, best_tri, 0)]
         texel, has = sample_atlas_trilinear(
             texels, tex_mips, face_tex.astype(jnp.int32), best_tri, flag,

@@ -273,9 +273,9 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             "tex_filter": tex_filter,
         }
         if tex_filter == "trilinear":
-            from compute_renderer_tpu.io.textures import build_mips
+            from compute_renderer_tpu.io.textures import trilinear_tex_arrays
 
-            pool, mips = build_mips(mesh.texels, mesh.tex_table)
+            pool, mips = trilinear_tex_arrays(mesh.texels, mesh.tex_table)
             tex_kwargs["texels"] = jnp.asarray(pool)
             tex_kwargs["tex_mips"] = jnp.asarray(mips)
     rgba, _ = render_frame(

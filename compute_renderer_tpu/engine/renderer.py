@@ -119,18 +119,22 @@ class Renderer:
                 and self.backend_name in ("tpu", "xla")):
             self.textures = {
                 "face_tex": jnp.asarray(mesh.face_tex),
-                "texels": jnp.asarray(mesh.texels),
                 "tex_table": jnp.asarray(mesh.tex_table),
             }
             if self.options.get("tex_filter") == "trilinear":
-                # Mip chains are built ONCE on host (io.textures.build_mips)
-                # so every backend only samples — no cross-backend mip-
-                # construction parity surface.
-                from compute_renderer_tpu.io.textures import build_mips
+                # Mip chains are built ONCE on host so every backend only
+                # samples — no cross-backend mip-construction parity
+                # surface (io.textures.build_mips).
+                from compute_renderer_tpu.io.textures import (
+                    trilinear_tex_arrays,
+                )
 
-                pool, mips = build_mips(mesh.texels, mesh.tex_table)
+                pool, mips = trilinear_tex_arrays(mesh.texels,
+                                                  mesh.tex_table)
                 self.textures["texels"] = jnp.asarray(pool)
                 self.textures["tex_mips"] = jnp.asarray(mips)
+            else:
+                self.textures["texels"] = jnp.asarray(mesh.texels)
         # Corner-SoA geometry (3 corners, 3 comps, T) for the tpu backend's
         # micro (mega-scene) path: gathered + transposed ONCE at upload
         # (indices are static per mesh) so the per-frame front-end is

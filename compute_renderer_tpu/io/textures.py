@@ -142,8 +142,10 @@ def build_mips(texels: np.ndarray, tex_table: np.ndarray) -> tuple:
     Built ONCE on host by this single implementation, so golden/xla/tpu
     only ever SAMPLE mips — there is no cross-backend mip-construction
     parity surface. Level l+1 halves each dimension (floor, min 1); each
-    child texel is the f32 mean of its <=2x2 parent block (odd edges clamp
-    to the last row/column).
+    child texel is the f32 mean of a 2x2 parent block. Odd dimensions
+    floor-halve, so the trailing row/column of an odd level does not
+    contribute to the next one — the common GPU convention for NPOT mip
+    generation (a dimension already at 1 duplicates instead).
 
     Returns ``(pool, mip_table)``:
       pool:      (P', 3) f32 — the original pool with every level >= 1
@@ -156,24 +158,24 @@ def build_mips(texels: np.ndarray, tex_table: np.ndarray) -> tuple:
     chains = []
     for off, w, h in tex_table:
         img = np.asarray(texels[off:off + w * h], dtype=F32).reshape(h, w, 3)
-        levels = [(int(off), int(w), int(h))]
         imgs = []
         while img.shape[0] > 1 or img.shape[1] > 1:
             h2 = max(img.shape[0] // 2, 1)
             w2 = max(img.shape[1] // 2, 1)
+            # Clamp only engages for a dimension already at 1 (duplicate);
+            # odd dims >= 3 floor-halve and drop the trailing row/column.
             ys = np.minimum(2 * np.arange(h2)[:, None] + np.arange(2), img.shape[0] - 1)
             xs = np.minimum(2 * np.arange(w2)[:, None] + np.arange(2), img.shape[1] - 1)
             block = img[ys[:, None, :, None], xs[None, :, None, :]]
             img = block.mean(axis=(2, 3), dtype=np.float64).astype(F32)
             imgs.append(img)
-            levels.append((img.shape[1], img.shape[0]))  # placeholder offsets
-        chains.append((levels, imgs))
-    L = max(len(c[0]) for c in chains) if chains else 1
+        chains.append(((int(off), int(w), int(h)), imgs))
+    L = max(1 + len(c[1]) for c in chains) if chains else 1
     pool = [np.asarray(texels, dtype=F32).reshape(-1, 3)]
     offset = pool[0].shape[0]
     mip_table = np.zeros((M, L, 3), dtype=np.int32)
-    for slot, (levels, imgs) in enumerate(chains):
-        mip_table[slot, 0] = levels[0]
+    for slot, (level0, imgs) in enumerate(chains):
+        mip_table[slot, 0] = level0
         for li, img in enumerate(imgs, start=1):
             h, w = img.shape[:2]
             mip_table[slot, li] = (offset, w, h)
@@ -183,6 +185,14 @@ def build_mips(texels: np.ndarray, tex_table: np.ndarray) -> tuple:
         for li in range(1 + len(imgs), L):
             mip_table[slot, li] = mip_table[slot, li - 1]
     return np.ascontiguousarray(np.concatenate(pool, axis=0)), mip_table
+
+
+def trilinear_tex_arrays(texels, tex_table) -> tuple:
+    """(mip-extended pool, (M, L, 3) level table) for trilinear sampling —
+    the ONE helper every host entry (engine Renderer, tpu.render,
+    xla.render, parallel.sharding.render_sharded) uses, so the
+    pool-replaces-texels convention cannot drift between them."""
+    return build_mips(np.asarray(texels), np.asarray(tex_table))
 
 
 def write_ppm(path, img: np.ndarray) -> None:

@@ -673,6 +673,20 @@ def render_sharded(
     )
 
     T = int(tri.shape[0])
+    if (options.get("tex_filter") == "trilinear"
+            and options.get("texels") is not None
+            and options.get("tex_mips") is None):
+        # Host entry parity with Renderer/tpu.render/xla.render: build the
+        # mip pool + level table here so callers can pass the base atlas
+        # for every filter (render_frame_sharded itself is jitted and
+        # cannot build mips — it raises without tex_mips).
+        from compute_renderer_tpu.io.textures import trilinear_tex_arrays
+
+        pool, mips = trilinear_tex_arrays(
+            np.asarray(options["texels"]), np.asarray(options["tex_table"])
+        )
+        options["texels"] = jnp.asarray(pool)
+        options["tex_mips"] = jnp.asarray(mips)
     requested_path = options.get("path", "auto")
     path = requested_path
     if path != "sortmiddle":
