@@ -58,3 +58,31 @@ def test_stage_timings_sortmiddle_smoke():
     # this test scale — at mega scale (caps above the floor) every stage
     # scales with the slice. Bound kept loose for 1-core CI noise.
     assert t["speedup"] > 1.4, t
+
+
+def test_stage_timings_deferred():
+    import numpy as np
+    import pytest
+
+    from compute_renderer_tpu.bench.profiling import stage_timings_deferred
+    from compute_renderer_tpu.core.maths import F32
+    from compute_renderer_tpu.core.types import Mesh
+    from compute_renderer_tpu.io import procedural
+
+    scene = Scene.from_config(SceneConfig(), 64, 48)
+    uniforms = scene.update(0.016)
+    base = procedural.icosphere(1)
+    n = base.num_triangles
+    texels = np.full((4, 3), 0.5, F32)
+    mesh = Mesh(positions=base.positions, normals=base.normals,
+                uvs=base.uvs, indices=base.indices,
+                face_tex=np.zeros((n,), np.int32), texels=texels,
+                tex_table=np.array([[0, 2, 2]], np.int32))
+    for filt in ("nearest", "trilinear"):
+        out = stage_timings_deferred(mesh, uniforms, 64, 48,
+                                     tex_filter=filt, iters=2)
+        assert out["fused_plain_ms"] > 0 and out["vis_walk_ms"] > 0
+        assert out["tex_filter"] == filt
+
+    with pytest.raises(ValueError, match="textured"):
+        stage_timings_deferred(base, uniforms, 64, 48)
