@@ -534,6 +534,73 @@ def uv_gradients(tri, screen, uvs):
     return jnp.concatenate([gx, gy], axis=1).astype(F32)
 
 
+def sample_atlas_aniso(texels, mip_table, face_tex, best_tri, flag, uv,
+                       guv, max_aniso: int = 4):
+    """Anisotropic sample: MAX_ANISO trilinear-LOD taps spread along the
+    footprint's MAJOR axis (EXT_texture_filter_anisotropic model).
+
+    Per pixel: Px/Py = the texel-space lengths of the uv gradients,
+    N = clamp(Pmax/Pmin, 1, max_aniso), lod = log2(Pmax / N) — the LOD a
+    footprint squashed by N would have — and ``max_aniso`` bilinear taps
+    at uv + major_axis * s_i with s_i spanning (1 - 1/N) of the footprint
+    (a pixel with Px == Py bitwise collapses every tap onto the center
+    and reproduces the trilinear sample exactly: summing max_aniso
+    identical f32 taps then dividing by max_aniso is exact; nearly-
+    isotropic pixels land within a few LSB). All work is fixed-shape
+    vector math — no data-dependent tap counts, so XLA fuses it like any
+    other elementwise chain."""
+    L = mip_table.shape[1]
+    tid = face_tex[jnp.where(flag, best_tri, 0)]
+    has = flag & (tid >= 0)
+    t0 = jnp.where(has, tid, 0)
+    base = mip_table[t0, 0]
+    safe_idx = lambda i: jnp.where(has, i, 0)
+
+    tw0 = base[..., 1].astype(F32)
+    th0 = base[..., 2].astype(F32)
+    gx_u = guv[..., 0] * tw0
+    gx_v = guv[..., 1] * th0
+    gy_u = guv[..., 2] * tw0
+    gy_v = guv[..., 3] * th0
+    px = jnp.sqrt(gx_u * gx_u + gx_v * gx_v)
+    py = jnp.sqrt(gy_u * gy_u + gy_v * gy_v)
+    pmax = jnp.maximum(jnp.maximum(px, py), F32(1e-12))
+    pmin = jnp.maximum(jnp.minimum(px, py), F32(1e-12))
+    n_eff = jnp.clip(pmax / pmin, F32(1.0), F32(max_aniso))
+    lod = jnp.clip(jnp.log2(pmax / n_eff), F32(0.0), F32(L - 1))
+    l0 = lod.astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, L - 1)
+    frac = (lod - l0.astype(F32))[..., None]
+
+    # Major-axis direction in UV units (not texel units), scaled so the
+    # taps span (1 - 1/N) of the footprint: isotropic N=1 -> zero spread.
+    x_major = px >= py
+    mu = jnp.where(x_major, guv[..., 0], guv[..., 2])
+    mv = jnp.where(x_major, guv[..., 1], guv[..., 3])
+    spread = F32(1.0) - F32(1.0) / n_eff
+
+    u = uv[..., 0]
+    v = uv[..., 1]
+    acc = None
+    for i in range(max_aniso):
+        s = (F32((i + 0.5) / max_aniso) - F32(0.5)) * spread
+        ui = u + mu * s
+        vi = v + mv * s
+        fu = ui - jnp.floor(ui)
+        fv = vi - jnp.floor(vi)
+
+        row0 = mip_table[t0, l0]
+        row1 = mip_table[t0, l1]
+        tap = (_bilinear_level(texels, row0[..., 0], row0[..., 1],
+                               row0[..., 2], fu, fv, safe_idx)
+               * (F32(1.0) - frac)
+               + _bilinear_level(texels, row1[..., 0], row1[..., 1],
+                                 row1[..., 2], fu, fv, safe_idx) * frac)
+        acc = tap if acc is None else acc + tap
+    texel = acc / F32(max_aniso)
+    return jnp.where(has[..., None], texel, F32(1.0)), has
+
+
 def sample_atlas_trilinear(texels, mip_table, face_tex, best_tri, flag, uv,
                            guv):
     """Trilinear (mipmapped) repeat-wrap sample of the mip-extended atlas.
@@ -592,20 +659,22 @@ def textured_shade(gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
         kd = jnp.where(flag[..., None], kd, F32(1.0))
     else:
         kd = jnp.ones(flag.shape + (3,), F32)
-    if tex_filter == "trilinear":
+    if tex_filter in ("trilinear", "anisotropic"):
         # ``texels`` is the mip-extended pool (io.textures.build_mips);
         # ``tex_mips`` its (M, L, 3) level table; ``guv`` the per-TRIANGLE
         # (T, 4) uv-gradient table (common.uv_gradients over the same
         # vertex arrays the resolve used) — gathered by winner here.
         if tex_mips is None:
             raise ValueError(
-                "tex_filter='trilinear' needs the mip-extended pool as "
+                f"tex_filter={tex_filter!r} needs the mip-extended pool as "
                 "texels AND its level table as tex_mips — build both with "
                 "io.textures.trilinear_tex_arrays(texels, tex_table) (the "
                 "engine/CLI entries do this automatically)"
             )
         guv_px = guv[jnp.where(flag, best_tri, 0)]
-        texel, has = sample_atlas_trilinear(
+        sampler = (sample_atlas_aniso if tex_filter == "anisotropic"
+                   else sample_atlas_trilinear)
+        texel, has = sampler(
             texels, tex_mips, face_tex.astype(jnp.int32), best_tri, flag,
             uv=gbuffer["uv"], guv=guv_px,
         )

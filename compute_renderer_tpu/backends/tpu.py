@@ -288,7 +288,7 @@ def micro_vis_tail(
         x_offset, y_offset,
     )
     guv = (common.uv_gradients(tri_v, scr_v, uv_v)
-           if tex_filter == "trilinear" else None)
+           if tex_filter in ("trilinear", "anisotropic") else None)
     return common.textured_shade(
         gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
         view_position, light_world_pos, light_color, light_intensity,
@@ -497,7 +497,7 @@ def render_frame(
         effect, width, height,
     )
     guv = (common.uv_gradients(tri.astype(jnp.int32), screen, uvs32)
-           if tex_filter == "trilinear" else None)
+           if tex_filter in ("trilinear", "anisotropic") else None)
     rgba = common.textured_shade(
         gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
         view_position, light_world_pos, light_color, light_intensity,
@@ -585,7 +585,7 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             "tex_table": jnp.asarray(mesh.tex_table),
             "tex_filter": tex_filter,
         }
-        if tex_filter == "trilinear":
+        if tex_filter in ("trilinear", "anisotropic"):
             from compute_renderer_tpu.io.textures import trilinear_tex_arrays
 
             pool, mips = trilinear_tex_arrays(mesh.texels, mesh.tex_table)

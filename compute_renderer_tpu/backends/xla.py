@@ -230,11 +230,14 @@ def render_frame(
                     "textures require the uv-carrying resolve "
                     "(tri_table injection unsupported)"
                 )
-            if tex_filter == "trilinear":
+            if tex_filter in ("trilinear", "anisotropic"):
                 guv = common.uv_gradients(
                     tri.astype(jnp.int32), screen, uvs.astype(F32)
                 )[jnp.where(flag, best_tri, 0)]
-                texel, has = common.sample_atlas_trilinear(
+                sampler = (common.sample_atlas_aniso
+                           if tex_filter == "anisotropic"
+                           else common.sample_atlas_trilinear)
+                texel, has = sampler(
                     texels, tex_mips, face_tex.astype(jnp.int32), best_tri,
                     flag, gbuffer["uv"], guv,
                 )
@@ -272,7 +275,7 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             "tex_table": jnp.asarray(mesh.tex_table),
             "tex_filter": tex_filter,
         }
-        if tex_filter == "trilinear":
+        if tex_filter in ("trilinear", "anisotropic"):
             from compute_renderer_tpu.io.textures import trilinear_tex_arrays
 
             pool, mips = trilinear_tex_arrays(mesh.texels, mesh.tex_table)

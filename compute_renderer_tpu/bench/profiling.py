@@ -325,7 +325,7 @@ def stage_timings_deferred(mesh, uniforms, width: int, height: int,
         "tex_table": jnp.asarray(mesh.tex_table),
         "tex_filter": tex_filter,
     }
-    if tex_filter == "trilinear":
+    if tex_filter in ("trilinear", "anisotropic"):
         from compute_renderer_tpu.io.textures import trilinear_tex_arrays
 
         pool, mips = trilinear_tex_arrays(mesh.texels, mesh.tex_table)

@@ -95,7 +95,7 @@ def build_parser() -> argparse.ArgumentParser:
                    "them at the interpolated uv (extension; implies "
                    "--materials)")
     p.add_argument("--texture-filter", type=str, default="nearest",
-                   choices=("nearest", "bilinear", "trilinear"),
+                   choices=("nearest", "bilinear", "trilinear", "anisotropic"),
                    help="Atlas filtering for --textures (extension)")
     p.add_argument("--ssaa", type=_positive_int, default=1,
                    help="Supersampled anti-aliasing factor: render at "

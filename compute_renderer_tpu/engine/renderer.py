@@ -121,7 +121,7 @@ class Renderer:
                 "face_tex": jnp.asarray(mesh.face_tex),
                 "tex_table": jnp.asarray(mesh.tex_table),
             }
-            if self.options.get("tex_filter") == "trilinear":
+            if self.options.get("tex_filter") in ("trilinear", "anisotropic"):
                 # Mip chains are built ONCE on host so every backend only
                 # samples — no cross-backend mip-construction parity
                 # surface (io.textures.build_mips).

@@ -219,7 +219,8 @@ def render_golden(
     frag_tex = (np.full((height, width), -1, dtype=np.int32)
                 if face_tex is not None else None)
     frag_guv = (np.zeros((height, width, 4), dtype=F32)
-                if tex_filter == "trilinear" and face_tex is not None
+                if tex_filter in ("trilinear", "anisotropic")
+                and face_tex is not None
                 else None)
 
     etype = int(effect[0])
@@ -346,10 +347,11 @@ def render_golden(
             bot = t01 * (one - wx) + t11 * wx
             return (top * (one - wy) + bot * wy).astype(F32)
 
-        if tex_filter == "trilinear":
-            # Mirrors common.sample_atlas_trilinear: GL footprint LOD from
-            # the winner triangle's constant uv gradient, two bilinear
-            # taps lerped.
+        if tex_filter in ("trilinear", "anisotropic"):
+            # Mirrors common.sample_atlas_trilinear / sample_atlas_aniso:
+            # GL footprint LOD from the winner triangle's constant uv
+            # gradient; two bilinear taps lerped (anisotropic: MAX_ANISO
+            # such taps spread along the major footprint axis).
             mips = np.asarray(tex_mips, dtype=np.int32)
             L = mips.shape[1]
             tw0 = tw.astype(F32)
@@ -358,17 +360,50 @@ def render_golden(
                          + (frag_guv[..., 1] * th0) ** 2, dtype=F32)
             ry = np.sqrt((frag_guv[..., 2] * tw0) ** 2
                          + (frag_guv[..., 3] * th0) ** 2, dtype=F32)
-            rho = np.maximum(np.maximum(rx, ry), F32(1e-12))
-            lod = np.clip(np.log2(rho, dtype=F32), F32(0.0), F32(L - 1))
+            if tex_filter == "anisotropic":
+                MAX_ANISO = 4
+                pmax = np.maximum(np.maximum(rx, ry), F32(1e-12))
+                pmin = np.maximum(np.minimum(rx, ry), F32(1e-12))
+                n_eff = np.clip(pmax / pmin, F32(1.0), F32(MAX_ANISO))
+                lod = np.clip(np.log2(pmax / n_eff, dtype=F32),
+                              F32(0.0), F32(L - 1))
+            else:
+                rho = np.maximum(np.maximum(rx, ry), F32(1e-12))
+                lod = np.clip(np.log2(rho, dtype=F32), F32(0.0), F32(L - 1))
             l0 = lod.astype(np.int32)
             l1 = np.minimum(l0 + 1, L - 1)
             frac = (lod - l0.astype(F32)).astype(F32)[..., None]
             row0 = mips[t0, l0]
             row1 = mips[t0, l1]
-            texel = (bilinear_level(row0[..., 0], row0[..., 1], row0[..., 2])
-                     * (F32(1.0) - frac)
-                     + bilinear_level(row1[..., 0], row1[..., 1],
-                                      row1[..., 2]) * frac).astype(F32)
+
+            def trilerp(fu_t, fv_t):
+                # Rebind the sample coords the bilinear helper closes over.
+                nonlocal fu, fv
+                fu_s, fv_s = fu, fv
+                fu, fv = fu_t, fv_t
+                out = (bilinear_level(row0[..., 0], row0[..., 1],
+                                      row0[..., 2]) * (F32(1.0) - frac)
+                       + bilinear_level(row1[..., 0], row1[..., 1],
+                                        row1[..., 2]) * frac).astype(F32)
+                fu, fv = fu_s, fv_s
+                return out
+
+            if tex_filter == "anisotropic":
+                x_major = rx >= ry
+                mu = np.where(x_major, frag_guv[..., 0], frag_guv[..., 2])
+                mv = np.where(x_major, frag_guv[..., 1], frag_guv[..., 3])
+                spread = (F32(1.0) - F32(1.0) / n_eff).astype(F32)
+                acc = None
+                for i in range(MAX_ANISO):
+                    s_i = (F32((i + 0.5) / MAX_ANISO) - F32(0.5)) * spread
+                    ui = (u + mu * s_i).astype(F32)
+                    vi = (v + mv * s_i).astype(F32)
+                    tap = trilerp((ui - np.floor(ui)).astype(F32),
+                                  (vi - np.floor(vi)).astype(F32))
+                    acc = tap if acc is None else acc + tap
+                texel = (acc / F32(MAX_ANISO)).astype(F32)
+            else:
+                texel = trilerp(fu, fv)
         elif tex_filter == "bilinear":
             texel = bilinear_level(off, tw, th)
         else:

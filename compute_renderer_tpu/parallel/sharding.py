@@ -116,7 +116,7 @@ def _stripe_render(
         )
         guv = (common.uv_gradients(tri.astype(jnp.int32), screen,
                                    uvs.astype(F32))
-               if tex_filter == "trilinear" else None)
+               if tex_filter in ("trilinear", "anisotropic") else None)
         rgba = common.textured_shade(
             gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
             view_position, light_world_pos, light_color, light_intensity,
@@ -673,7 +673,7 @@ def render_sharded(
     )
 
     T = int(tri.shape[0])
-    if (options.get("tex_filter") == "trilinear"
+    if (options.get("tex_filter") in ("trilinear", "anisotropic")
             and options.get("texels") is not None
             and options.get("tex_mips") is None):
         # Host entry parity with Renderer/tpu.render/xla.render: build the

@@ -120,6 +120,35 @@ def main():
         write_png(OUT / f"{name}.png", img)
         print(name, "->", OUT / f"{name}.png")
 
+    # Oblique ground plane with 4-texel-wide vertical stripes (they
+    # survive to mip level 3): trilinear picks the MAJOR-axis LOD and
+    # blurs them away mid-distance; anisotropic keeps them — the classic
+    # filtered-road A/B.
+    n3 = 32
+    stripes = np.zeros((n3, n3, 3), dtype=F32)
+    xx3 = np.arange(n3)[None, :]
+    stripes[...] = np.where(((xx3 // 4) % 2 == 0)[..., None],
+                            np.array([1.0, 0.85, 0.3], F32),
+                            np.array([0.15, 0.2, 0.5], F32))
+    ground = Mesh(
+        positions=np.array(
+            [[-3, -1, 1], [3, -1, 1], [3, -1, -9], [-3, -1, -9]],
+            dtype=F32),
+        normals=np.tile(np.array([[0, 1, 0]], F32), (4, 1)),
+        uvs=np.array([[0, 1], [1, 1], [1, 0], [0, 0]], F32) * np.float32(8),
+        indices=np.array([0, 1, 2, 0, 2, 3], np.uint32),
+        face_tex=np.array([0, 0], np.int32),
+        texels=stripes.reshape(-1, 3),
+        tex_table=np.array([[0, n3, n3]], np.int32),
+    )
+    graze = Camera.first_person([0, -0.7, 1.6], aspect=W / H).uniform()
+    for name, filt in (("GroundTrilinear", "trilinear"),
+                       ("GroundAnisotropic", "anisotropic")):
+        img = Renderer(ground, W, H, backend="tpu",
+                       tex_filter=filt).render(uni_from(graze))
+        write_png(OUT / f"{name}.png", img)
+        print(name, "->", OUT / f"{name}.png")
+
 
 if __name__ == "__main__":
     main()

@@ -679,3 +679,112 @@ def test_scene_renderer_trilinear(tmp_path):
         ["--textures", "--texture-filter", "trilinear", "--model-path", "x"]
     )
     assert scene_config_from_args(args).texture_filter == "trilinear"
+
+
+# ---------------------------------------------------------------------------
+# Anisotropic filtering
+# ---------------------------------------------------------------------------
+
+def _oblique_quad(n=32, reps=6.0):
+    """Ground-plane-like quad at a grazing angle: the uv footprint is
+    strongly anisotropic (compressed along screen y), the case aniso
+    filtering sharpens relative to trilinear's isotropic over-blur."""
+    texels, table = checker_atlas(n=n)
+    pos = np.array(
+        [[-3.0, -1.0, 1.0], [3.0, -1.0, 1.0],
+         [3.0, -1.0, -9.0], [-3.0, -1.0, -9.0]], dtype=F32)
+    nrm = np.tile(np.array([[0, 1, 0]], dtype=F32), (4, 1))
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], dtype=F32) * F32(reps)
+    idx = np.array([0, 1, 2, 0, 2, 3], dtype=np.uint32)
+    return Mesh(positions=pos, normals=nrm, uvs=uv, indices=idx,
+                face_tex=np.array([1, 1], np.int32),
+                texels=texels, tex_table=table)
+
+
+def test_aniso_equals_trilinear_when_exactly_isotropic():
+    # Hand-built gradients with Px == Py bitwise: every tap collapses to
+    # the center and the mean of identical f32 taps is exact.
+    import jax.numpy as jnp
+
+    from compute_renderer_tpu.backends import common
+    from compute_renderer_tpu.io.textures import build_mips
+
+    texels, table = checker_atlas(n=8)
+    pool, mips = build_mips(texels, table)
+    face_tex = np.array([1], np.int32)
+    best_tri = np.zeros((4, 8), np.int32)
+    flag = np.ones((4, 8), bool)
+    rng = np.random.default_rng(3)
+    uv = rng.uniform(0, 1, (4, 8, 2)).astype(F32)
+    guv = np.zeros((4, 8, 4), F32)
+    guv[..., 0] = 0.31  # du/dx
+    guv[..., 3] = 0.31  # dv/dy -> Px == Py exactly (square texture)
+    args = (jnp.asarray(pool), jnp.asarray(mips), jnp.asarray(face_tex),
+            jnp.asarray(best_tri), jnp.asarray(flag), jnp.asarray(uv),
+            jnp.asarray(guv))
+    tri, _ = common.sample_atlas_trilinear(*args)
+    ani, _ = common.sample_atlas_aniso(*args)
+    np.testing.assert_array_equal(np.asarray(ani), np.asarray(tri))
+
+
+def test_aniso_sharper_than_trilinear_oblique():
+    mesh = _oblique_quad()
+    imgs = {f: render_xla_mesh(mesh, tex_filter=f)
+            for f in ("bilinear", "trilinear", "anisotropic")}
+    covered = _covered(imgs["bilinear"])
+    both = covered[:, 1:] & covered[:, :-1]
+
+    def hf(img):
+        d = np.abs(img[:, 1:, :3].astype(np.int64)
+                   - img[:, :-1, :3].astype(np.int64))
+        return d[both].mean()
+
+    # Oblique footprints: trilinear over-blurs (lod from the MAJOR axis);
+    # aniso keeps detail between the two.
+    assert hf(imgs["trilinear"]) < hf(imgs["anisotropic"]) < hf(imgs["bilinear"]), (
+        hf(imgs["trilinear"]), hf(imgs["anisotropic"]), hf(imgs["bilinear"]))
+
+
+def test_golden_vs_xla_anisotropic():
+    from compute_renderer_tpu.io.textures import build_mips
+
+    mesh = _oblique_quad()
+    pool, mips = build_mips(mesh.texels, mesh.tex_table)
+    gold = render_golden_mesh(
+        Mesh(positions=mesh.positions, normals=mesh.normals, uvs=mesh.uvs,
+             indices=mesh.indices, face_tex=mesh.face_tex, texels=pool,
+             tex_table=mesh.tex_table),
+        tex_filter="anisotropic", tex_mips=mips,
+    )
+    ours = render_xla_mesh(mesh, tex_filter="anisotropic")
+    diff = np.abs(gold.astype(int) - ours.astype(int))
+    # The major-axis SELECTION (px >= py) is a discontinuity: at pixels
+    # where the two footprint lengths are within 1 ULP, numpy and XLA:CPU
+    # FMA-contraction differences flip the tap line entirely. Same class
+    # as the documented sortmiddle contract: a small fraction of pixels
+    # may differ by more than 1 LSB.
+    bad = (diff > 1).any(axis=-1)
+    assert bad.mean() < 0.005, f"{bad.sum()} px differ by >1"
+    assert (diff[~bad] <= 1).all()
+
+
+def test_xla_vs_tpu_anisotropic_tile_and_micro():
+    mesh = _oblique_quad()
+    ref16 = render_xla_mesh(mesh, tile_h=16, tile_w=256,
+                            tex_filter="anisotropic")
+    tile = render_tpu_mesh(mesh, tex_filter="anisotropic")
+    np.testing.assert_array_equal(tile, ref16)
+    ref8 = render_xla_mesh(mesh, tile_h=8, tile_w=8,
+                           tex_filter="anisotropic")
+    micro = render_tpu_mesh(mesh, path="micro", tex_filter="anisotropic")
+    np.testing.assert_array_equal(micro, ref8)
+
+
+def test_cli_anisotropic_choice():
+    from compute_renderer_tpu.cli import build_parser, scene_config_from_args
+
+    args = build_parser().parse_args(
+        ["--textures", "--texture-filter", "anisotropic",
+         "--model-path", "x.obj"]
+    )
+    assert scene_config_from_args(args).texture_filter == "anisotropic"
