@@ -291,8 +291,8 @@ PALLAS_EXPAND_MAX_CAP = 1_500_000
 
 def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
                    interpret: bool | None = None,
-                   use_pallas_expand: bool = False,
-                   segments: str = "histogram"):
+                   use_pallas_expand: bool | None = None,
+                   segments: str = "boundaries"):
     """Cell-granularity binning for the micro-raster (mega-scene) path.
 
     Cells are 8x8 px; a framebuffer tile (8, 128) holds 16 cells side by
@@ -308,8 +308,8 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
     is no per-cell or per-tile capacity at all: the kernel streams each
     tile's coefficient window from HBM in fixed-size chunks, so the only
     cap is the global ``pair_cap`` (growable, overflow-detected). One
-    global sort, histogram segments (no per-chunk re-sorts — the chunked
-    tile path paid ~11 sorts per frame at 1M triangles).
+    global sort, searchsorted boundary segments (no per-chunk re-sorts —
+    the chunked tile path paid ~11 sorts per frame at 1M triangles).
 
     Returns dict:
       pair_tri:   (pair_cap,) i32 triangle ids sorted by cell
@@ -337,13 +337,13 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
         (cell_of_pair, tri_of_pair), num_keys=1, is_stable=True
     )
 
-    # ``segments``: "histogram" scatter-adds over the UNSORTED cells (P-
-    # sized scatter, ~3 ms at 1M pairs, order-independent so it overlaps
-    # the sort in the schedule); "boundaries" searchsorteds num_cells+1
-    # boundaries into the ALREADY-SORTED array (num_cells-sized work, but
-    # serialized after the sort). Bit-identical outputs (test_binning);
-    # pick by hardware A/B (NOTES item: the scatter is a suspect stage of
-    # the mega-scene frame).
+    # ``segments``: "boundaries" (default) searchsorteds num_cells+1
+    # boundaries into the ALREADY-SORTED array; "histogram" scatter-adds
+    # over the UNSORTED cells (P-sized scatter). Bit-identical outputs
+    # (test_binning). Hardware A/B at 1M tris (scripts/ab_segments.py,
+    # TPU v5e 2026-08-18): boundaries 37.7 ms vs histogram 7515 ms for the
+    # full bin_cells_sort per call — the 1M-element scatter-add is
+    # pathological on this backend, ~200x, so boundaries is the default.
     if segments == "boundaries":
         seg_start, counts, tile_count, win_start = segments_from_sorted_cells(
             sorted_cell, num_cells, num_tiles
@@ -372,25 +372,34 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
 
 def expand_cells_xla(setup, ntx_t: int, num_cells: int, pair_cap: int,
                      interpret: bool | None = None,
-                     use_pallas_expand: bool = False):
+                     use_pallas_expand: bool | None = None):
     """(cell_of_pair, tri_of_pair, total_pairs) for the 8x8-cell layout —
     the pre-sort arrays of ``bin_cells_sort`` (invalid tail: cell =
-    num_cells sentinel)."""
+    num_cells sentinel).
+
+    ``use_pallas_expand=None`` resolves to True exactly when the kernel
+    will be Mosaic-compiled (not interpret mode): measured on TPU v5e the
+    Pallas expansion runs the 1M-tri mega-scene workload in 0.49 ms vs
+    7.0 ms for the XLA scatter/cummax/gather chain (14x; bisect harness
+    scripts/bisect_pallas_expand.py, 2026-08-18). In interpret mode (CPU
+    tests) the XLA form is far faster, so it stays the default there."""
     i32 = jnp.int32
 
     rx, _, c = cover_counts(setup)
 
-    if use_pallas_expand and pair_cap <= PALLAS_EXPAND_MAX_CAP:
-        # Experimental: one sequential Pallas pass (interval-membership
-        # matmul + rect walk, see pallas_expand) replacing the XLA
-        # scatter/cummax/gather chain below. Outputs verified bit-identical
-        # on TPU and CPU-interpret, but the current Mosaic lowering runs
-        # ~100x slower than projected (something scalarizes; needs MLIR
-        # inspection), so it is OFF by default until that is fixed.
-        from compute_renderer_tpu.backends import pallas_expand
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if use_pallas_expand is None:
+        use_pallas_expand = not interpret
 
-        if interpret is None:
-            interpret = jax.default_backend() != "tpu"
+    if use_pallas_expand and pair_cap <= PALLAS_EXPAND_MAX_CAP:
+        # One sequential Pallas pass (interval-membership matmul + rect
+        # walk, see pallas_expand) replacing the XLA scatter/cummax/gather
+        # chain below. Outputs verified bit-identical on TPU and
+        # CPU-interpret (tests/test_expand_kernel.py); the round-2 "~100x
+        # slower" Mosaic lowering did NOT reproduce on the current stack
+        # (bisect L4 = 0.49 ms at 1M tris, dim1-dim1 contraction fine).
+        from compute_renderer_tpu.backends import pallas_expand
         cell_of_pair, tri_of_pair, total = pallas_expand.expand_cells(
             c, rx, setup["tile_x0"].astype(i32),
             setup["tile_y0"].astype(i32),
