@@ -321,11 +321,27 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
       tile_overflow / tile_needed: always False/0 (kept for the shared
       overflow-report contract)
     """
+    i32 = jnp.int32
+    rx, _, c = cover_counts(setup)
+    return bin_cells_sort_meta(
+        c, rx, setup["tile_x0"].astype(i32), setup["tile_y0"].astype(i32),
+        ntx_t, nty_t, pair_cap, interpret=interpret,
+        use_pallas_expand=use_pallas_expand, segments=segments,
+    )
+
+
+def bin_cells_sort_meta(c, rx, x0, y0, ntx_t: int, nty_t: int,
+                        pair_cap: int, interpret: bool | None = None,
+                        use_pallas_expand: bool | None = None,
+                        segments: str = "boundaries"):
+    """``bin_cells_sort`` from per-triangle cover meta (see
+    ``expand_cells_meta``) — the entry the fused Pallas front end uses,
+    skipping the ``triangle_setup`` dict entirely."""
     num_tiles = ntx_t * nty_t
     num_cells = num_tiles * 16
 
-    cell_of_pair, tri_of_pair, total = expand_cells_xla(
-        setup, ntx_t, num_cells, pair_cap,
+    cell_of_pair, tri_of_pair, total = expand_cells_meta(
+        c, rx, x0, y0, ntx_t, num_cells, pair_cap,
         interpret=interpret, use_pallas_expand=use_pallas_expand,
     )
 
@@ -373,9 +389,26 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
 def expand_cells_xla(setup, ntx_t: int, num_cells: int, pair_cap: int,
                      interpret: bool | None = None,
                      use_pallas_expand: bool | None = None):
+    """(cell_of_pair, tri_of_pair, total_pairs) for the 8x8-cell layout
+    from a ``triangle_setup`` dict (see ``expand_cells_meta``)."""
+    i32 = jnp.int32
+    rx, _, c = cover_counts(setup)
+    return expand_cells_meta(
+        c, rx, setup["tile_x0"].astype(i32), setup["tile_y0"].astype(i32),
+        ntx_t, num_cells, pair_cap,
+        interpret=interpret, use_pallas_expand=use_pallas_expand,
+    )
+
+
+def expand_cells_meta(c, rx, x0, y0, ntx_t: int, num_cells: int,
+                      pair_cap: int, interpret: bool | None = None,
+                      use_pallas_expand: bool | None = None):
     """(cell_of_pair, tri_of_pair, total_pairs) for the 8x8-cell layout —
     the pre-sort arrays of ``bin_cells_sort`` (invalid tail: cell =
-    num_cells sentinel).
+    num_cells sentinel) — from per-triangle cover meta (cover count ``c``,
+    rect width ``rx``, rect origin ``x0``/``y0``: exactly
+    ``binning.cover_counts`` + tile origins, or the fused Pallas front
+    end's meta rows, pallas_front.front_end).
 
     ``use_pallas_expand=None`` resolves to True exactly when the kernel
     will be Mosaic-compiled (not interpret mode): measured on TPU v5e the
@@ -384,8 +417,6 @@ def expand_cells_xla(setup, ntx_t: int, num_cells: int, pair_cap: int,
     scripts/bisect_pallas_expand.py, 2026-08-18). In interpret mode (CPU
     tests) the XLA form is far faster, so it stays the default there."""
     i32 = jnp.int32
-
-    rx, _, c = cover_counts(setup)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -401,8 +432,7 @@ def expand_cells_xla(setup, ntx_t: int, num_cells: int, pair_cap: int,
         # (bisect L4 = 0.49 ms at 1M tris, dim1-dim1 contraction fine).
         from compute_renderer_tpu.backends import pallas_expand
         cell_of_pair, tri_of_pair, total = pallas_expand.expand_cells(
-            c, rx, setup["tile_x0"].astype(i32),
-            setup["tile_y0"].astype(i32),
+            c, rx, x0.astype(i32), y0.astype(i32),
             pair_cap=pair_cap, ntx_t=ntx_t, num_cells=num_cells,
             interpret=interpret,
         )
@@ -431,8 +461,7 @@ def expand_cells_xla(setup, ntx_t: int, num_cells: int, pair_cap: int,
         meta_c = jnp.stack(
             [
                 jax.lax.complex(as_f(starts), as_f(rx)),
-                jax.lax.complex(as_f(setup["tile_x0"]),
-                                as_f(setup["tile_y0"])),
+                jax.lax.complex(as_f(x0), as_f(y0)),
             ],
             axis=1,
         )  # (T, 2) c64

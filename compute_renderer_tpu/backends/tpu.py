@@ -66,7 +66,7 @@ def choose_tile(num_triangles: int, width: int, height: int) -> tuple:
 @partial(
     jax.jit,
     static_argnames=("width", "height", "pair_cap", "interpret",
-                     "effect_kind", "tex_filter"),
+                     "effect_kind", "tex_filter", "use_pallas_front"),
 )
 def render_frame_micro(
     positions,
@@ -104,6 +104,12 @@ def render_frame_micro(
     # (M, L, 3) level table (io.textures.build_mips).
     tex_filter: str = "nearest",
     tex_mips=None,
+    # Fused Pallas front end (pallas_front): vertex + setup + coefficient
+    # table in ONE streaming kernel, replacing ~150 small XLA O(T) ops.
+    # None = on exactly when Mosaic-compiled and eligible (no injected
+    # geometry, no material/texture extension — those paths still need the
+    # XLA chain's intermediates).
+    use_pallas_front: bool | None = None,
 ):
     """Mega-scene path: 8x8-cell binning (ONE global sort) + the lane-packed
     micro kernel (pallas_micro). Coefficients stream from HBM, so there is
@@ -142,32 +148,59 @@ def render_frame_micro(
     if pair_cap == 0:
         pair_cap = binning.default_pair_cap_micro(T, ntx * nty * 16)
 
-    if screen is not None:
-        if world is None:
-            raise ValueError(
-                "screen injection requires world (both come from the same "
-                "vertex-stage evaluation)"
-            )
-        sc = screen[tri]  # (T, 3, 4)
-        wc = world[tri].astype(F32)
-        screen_soa = tuple(
-            tuple(sc[:, k, c] for c in range(4)) for k in range(3)
-        )
-        world_soa = tuple(
-            tuple(wc[:, k, c] for c in range(3)) for k in range(3)
-        )
-    else:
+    vis = face_tex is not None
+
+    use_front = use_pallas_front
+    if use_front is None:
+        use_front = (not interpret and screen is None and tri_table is None
+                     and not vis and face_kd is None)
+    if use_front:
+        # Fused front end: one Pallas pass produces the cover meta (fed
+        # straight to the pair-expansion kernel) and the 32 coefficient
+        # rows (packed to the (T, 16) c64 table) — the XLA vertex/setup/
+        # table chain below never materializes.
+        from compute_renderer_tpu.backends import pallas_front
+
         if pos_soa is None:
             pos_soa = positions[tri].transpose(1, 2, 0)
-        world_soa, screen_soa = common.vertex_stage_soa(
-            pos_soa, view_proj, effect, width, height
+        if nrm_soa is None:
+            nrm_soa = normals[tri].transpose(1, 2, 0)
+        coeff, meta = pallas_front.front_end(
+            pos_soa, nrm_soa, view_proj, effect,
+            width=width, height=height, interpret=interpret,
         )
-    # Cell-granularity setup: tile ranges ARE cell ranges at (8, 8).
-    setup = common.triangle_setup_soa(screen_soa, effect, width, height, 8, 8)
-    bins = binning.bin_cells_sort(setup, ntx, nty, pair_cap,
-                                   interpret=interpret)
-
-    vis = face_tex is not None
+        bins = binning.bin_cells_sort_meta(
+            meta[3], meta[2], meta[0], meta[1], ntx, nty, pair_cap,
+            interpret=interpret,
+        )
+        tri_table = pallas_front.pack_table_c64(coeff)
+        screen_soa = world_soa = None
+    else:
+        if screen is not None:
+            if world is None:
+                raise ValueError(
+                    "screen injection requires world (both come from the "
+                    "same vertex-stage evaluation)"
+                )
+            sc = screen[tri]  # (T, 3, 4)
+            wc = world[tri].astype(F32)
+            screen_soa = tuple(
+                tuple(sc[:, k, c] for c in range(4)) for k in range(3)
+            )
+            world_soa = tuple(
+                tuple(wc[:, k, c] for c in range(3)) for k in range(3)
+            )
+        else:
+            if pos_soa is None:
+                pos_soa = positions[tri].transpose(1, 2, 0)
+            world_soa, screen_soa = common.vertex_stage_soa(
+                pos_soa, view_proj, effect, width, height
+            )
+        # Cell-granularity setup: tile ranges ARE cell ranges at (8, 8).
+        setup = common.triangle_setup_soa(screen_soa, effect, width,
+                                          height, 8, 8)
+        bins = binning.bin_cells_sort(setup, ntx, nty, pair_cap,
+                                      interpret=interpret)
     nrm_tuples = None
     if tri_table is None:
         if nrm_soa is None:
