@@ -6,9 +6,11 @@ JAX's native tooling:
 
 - ``trace(path)``: context manager around ``jax.profiler`` producing an
   xprof/TensorBoard-compatible device trace of the jitted frame;
-- ``stage_timings(...)``: explicit per-stage wall times with
-  ``block_until_ready`` fences between stages (the profiling mode SURVEY.md
-  §5 prescribes), for quick textual breakdowns without a trace viewer.
+- ``stage_timings(...)``: explicit per-stage wall times with real
+  device-fetch fences between stages (the profiling mode SURVEY.md §5
+  prescribes), for quick textual breakdowns without a trace viewer. The
+  fences are ``device_get`` fetches, NOT ``block_until_ready`` — see
+  ``_fence``.
 """
 
 from __future__ import annotations
@@ -32,14 +34,36 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def _fence(out):
+    """Real execution fence: device_get of one element derived from an
+    output leaf. ``jax.block_until_ready`` alone can return BEFORE remote
+    execution completes on the tunneled backend (measured: a ~4 s jit
+    "blocks" in 0.08 ms), so every timing here fences through an actual
+    host<->device fetch, whose round trip ``_timeit`` subtracts."""
+    leaf = next(
+        l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")
+    )
+    x = jnp.ravel(leaf)[:1]
+    if jnp.iscomplexobj(x):
+        # complex transfers are unimplemented on the tunneled backend
+        x = jnp.real(x)
+    jax.device_get(x)
+
+
 def _timeit(fn, *args, iters: int = 20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
+    # Fence round trip on already-materialized output = the fixed cost the
+    # timed region below pays once for its closing fence.
+    t0 = time.perf_counter()
+    _fence(out)
+    rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3, out
+    _fence(out)
+    dt = time.perf_counter() - t0 - rtt
+    return max(dt, 0.0) / iters * 1e3, out
 
 
 def stage_timings(mesh, uniforms, width: int, height: int,
@@ -160,7 +184,7 @@ def stage_timings_micro(mesh, uniforms, width: int, height: int,
 
     pos_soa = pos[tri].transpose(1, 2, 0)
     nrm_soa = nrm[tri].transpose(1, 2, 0)
-    jax.block_until_ready((pos_soa, nrm_soa))
+    _fence((pos_soa, nrm_soa))
 
     @jax.jit
     def f_front(pos_soa, vp, eff):

@@ -17,20 +17,35 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _timeit(fn, iters=20):
+    """Per-call ms over ``iters`` dispatches closed by ONE real device
+    fetch, minus the fetch's measured round trip (block_until_ready is a
+    no-op on the tunneled backend — see bench/profiling._fence)."""
     out = fn()
-    jax_block(out)
-    best = float("inf")
+    _fence(out)
+    t0 = time.perf_counter()
+    _fence(out)
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = fn()
-        jax_block(out)
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+    _fence(out)
+    return max(time.perf_counter() - t0 - rtt, 0.0) / iters * 1e3
+
+
+def _fence(out):
+    import jax
+    import jax.numpy as jnp
+    leaf = next(
+        l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")
+    )
+    x = jnp.ravel(leaf)[:1]
+    if jnp.iscomplexobj(x):
+        x = jnp.real(x)
+    jax.device_get(x)
 
 
 def jax_block(out):
-    import jax
-    jax.block_until_ready(out)
+    _fence(out)
 
 
 def main():
