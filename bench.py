@@ -55,17 +55,21 @@ FALLBACK_ROUNDS = 2
 
 
 def probe_tpu(timeout_s: float) -> bool:
-    """Bounded child that just initializes the backend. When the relay is
-    down, ``import jax`` hangs forever; when it is up, ``jax.devices()``
-    returns in seconds. Probing first turns a dead tunnel's cost per
-    attempt from CHILD_TIMEOUT_S (sized for remote compiles, 900 s) into
-    PROBE_TIMEOUT_S — the difference between ~1 h and ~15 min of dead time
-    before the CPU fallback when the driver runs this at round end."""
+    """Bounded child that initializes the backend AND runs one tiny
+    dispatch. When the relay is down, ``import jax`` hangs forever; when
+    it is up, ``jax.devices()`` returns in seconds. But the tunnel also
+    has a HALF-up failure mode (observed 2026-08-19): device enumeration
+    answers while data-plane dispatch hangs forever — a devices()-only
+    probe calls that UP and the 900 s measurement child then eats the
+    full timeout per attempt. The trailing matmul + fetch forces a real
+    round trip, so both failure modes cost only PROBE_TIMEOUT_S."""
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; d = jax.devices(); "
-             "assert d and d[0].platform != 'cpu', d"],
+             "import jax, jax.numpy as jnp; d = jax.devices(); "
+             "assert d and d[0].platform != 'cpu', d; "
+             "x = jnp.ones((8, 128)); "
+             "assert float((x @ x.T).sum()) == 8.0 * 128 * 8"],
             timeout=timeout_s, capture_output=True, text=True,
         )
     except subprocess.TimeoutExpired:

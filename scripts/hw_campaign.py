@@ -43,6 +43,8 @@ TOTAL_S = float(os.environ.get("CAMPAIGN_TOTAL_S", str(11 * 3600)))
 MAX_STEP_ATTEMPTS = int(os.environ.get("CAMPAIGN_MAX_STEP_ATTEMPTS", "4"))
 
 STEPS = [
+    # Round-3 battery (ran green 2026-08-18; kept for resume semantics —
+    # state.json marks them done so they are skipped on restart).
     ("bench", [sys.executable, "bench.py"], 3900.0),
     ("bisect", [sys.executable, "scripts/bisect_pallas_expand.py",
                 "--iters", "20"], 3600.0),
@@ -52,6 +54,20 @@ STEPS = [
                "benchmarks", "--batch", "64", "--max-frames", "512",
                "--duration", "5",
                "--json", str(OUT / "suite_round3.json")], 4 * 3600.0),
+    # Round-3 FINAL battery: measure what landed after the 08-18 window —
+    # the fused Pallas front end is now default-on for eligible scenes, so
+    # the suite's San Miguel row should drop ~32 -> ~19 ms; micro_levers
+    # turns the round-3 "unmeasured lever" list (worklist, static
+    # effect_kind, fused front) into journal numbers.
+    ("micro_levers", [sys.executable, "scripts/ab_micro_levers.py",
+                      "--iters", "8"], 3600.0),
+    ("profile2", [sys.executable, "scripts/profile_mega_hw.py",
+                  "--iters", "8"], 3600.0),
+    ("suite2", [sys.executable, "-m", "compute_renderer_tpu.cli",
+                "benchmarks", "--batch", "64", "--max-frames", "512",
+                "--duration", "5",
+                "--json", str(OUT / "suite_round3b.json")], 4 * 3600.0),
+    ("bench2", [sys.executable, "bench.py"], 3900.0),
 ]
 
 
@@ -70,12 +86,19 @@ def save_state(state: dict) -> None:
 
 
 def probe() -> bool:
-    """True when a bounded child can see the TPU device."""
+    """True when a bounded child can see the TPU device AND round-trip one
+    tiny dispatch. The tunnel has a half-up failure mode (2026-08-19):
+    device enumeration answers while dispatch hangs forever — a
+    devices()-only probe would mark it UP and every battery step would
+    then burn its full timeout. The matmul + host fetch proves the data
+    plane is actually alive."""
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; d=jax.devices(); print(d); "
-             "assert d and d[0].platform != 'cpu'"],
+             "import jax, jax.numpy as jnp; d=jax.devices(); print(d); "
+             "assert d and d[0].platform != 'cpu'; "
+             "x = jnp.ones((8, 128)); "
+             "assert float((x @ x.T).sum()) == 8.0 * 128 * 8"],
             timeout=PROBE_TIMEOUT_S, capture_output=True, text=True,
             cwd=ROOT,
         )
