@@ -61,6 +61,8 @@ STEPS = [
     # effect_kind, fused front) into journal numbers.
     ("micro_levers", [sys.executable, "scripts/ab_micro_levers.py",
                       "--iters", "8"], 3600.0),
+    ("sort_ab", [sys.executable, "scripts/ab_sort.py",
+                 "--iters", "12"], 3600.0),
     ("profile2", [sys.executable, "scripts/profile_mega_hw.py",
                   "--iters", "8"], 3600.0),
     ("suite2", [sys.executable, "-m", "compute_renderer_tpu.cli",
