@@ -100,6 +100,12 @@ def main() -> int:
 
     bins, coeffs = prep(pos_soa, nrm_soa, vp, eff)
     jax.block_until_ready(coeffs)
+    # A truncated pair list would time every variant on a smaller workload
+    # than real frames (round-3 advisor finding on ab_sort) — refuse.
+    assert not bool(bins["pair_overflow"]), (
+        f"pair list overflowed pair_cap={pair_cap} "
+        f"(needed {int(bins['pair_needed'])}); grow the cap before timing"
+    )
 
     results = {"tris": T, "pairs_cap": int(pair_cap)}
 

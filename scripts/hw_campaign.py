@@ -2,21 +2,24 @@
 experiment battery the moment it is up, and record every artifact.
 
 The axon relay that fronts this box's single TPU v5e chip is flaky — it was
-down for all of round 3's build time, which left four prepared experiments
-unmeasured (NOTES_ROUND4.md items 1-4). This supervisor turns any uptime
-window, attended or not, into numbers:
+down for all of round 3's build time and has a half-up failure mode. This
+supervisor turns any uptime window, attended or not, into numbers:
 
-  1. probe:   bounded-subprocess `import jax; jax.devices()` every PROBE_S
+  1. probe: a bounded child enumerates devices AND round-trips one tiny
+     matmul to the host every PROBE_S. The data-plane round trip matters:
+     the tunnel's half-up mode (observed 2026-08-19) answers
+     ``jax.devices()`` while every dispatch hangs, so an enumeration-only
+     probe would mark it UP and each battery step would burn its full
+     timeout.
   2. on success, run the battery in priority order, each step a subprocess
      with its own hard timeout (a mid-step tunnel drop kills the step, not
-     the campaign):
-       bench    python bench.py                      (slope-methodology number)
-       bisect   python scripts/bisect_pallas_expand.py  (names the Mosaic stage)
-       segments python scripts/ab_segments.py           (histogram vs boundaries)
-       suite    python -m compute_renderer_tpu.cli benchmarks --batch 64
+     the campaign).
   3. state + stdout/stderr land in benchmarks/hw_campaign/; completed steps
-     are recorded in state.json so the campaign resumes, not restarts, after
-     an outage.
+     are recorded in state.json so the campaign resumes, not restarts,
+     after an outage. Retries write attempt-suffixed artifacts
+     (``{name}.2.out.txt``, and ``{attempt}`` expands inside argv paths) so
+     a failed re-attempt can never destroy a previous attempt's outputs —
+     round 3 lost the 17-scene suite artifact exactly that way.
 
 Run detached:  nohup python scripts/hw_campaign.py > /tmp/campaign.log 2>&1 &
 """
@@ -43,33 +46,30 @@ TOTAL_S = float(os.environ.get("CAMPAIGN_TOTAL_S", str(11 * 3600)))
 MAX_STEP_ATTEMPTS = int(os.environ.get("CAMPAIGN_MAX_STEP_ATTEMPTS", "4"))
 
 STEPS = [
-    # Round-3 battery (ran green 2026-08-18; kept for resume semantics —
-    # state.json marks them done so they are skipped on restart).
-    ("bench", [sys.executable, "bench.py"], 3900.0),
-    ("bisect", [sys.executable, "scripts/bisect_pallas_expand.py",
-                "--iters", "20"], 3600.0),
-    ("segments", [sys.executable, "scripts/ab_segments.py",
-                  "--iters", "30"], 3600.0),
-    ("suite", [sys.executable, "-m", "compute_renderer_tpu.cli",
-               "benchmarks", "--batch", "64", "--max-frames", "512",
-               "--duration", "5",
-               "--json", str(OUT / "suite_round3.json")], 4 * 3600.0),
-    # Round-3 FINAL battery: measure what landed after the 08-18 window —
-    # the fused Pallas front end is now default-on for eligible scenes, so
-    # the suite's San Miguel row should drop ~32 -> ~19 ms; micro_levers
-    # turns the round-3 "unmeasured lever" list (worklist, static
-    # effect_kind, fused front) into journal numbers.
-    ("micro_levers", [sys.executable, "scripts/ab_micro_levers.py",
-                      "--iters", "8"], 3600.0),
-    ("sort_ab", [sys.executable, "scripts/ab_sort.py",
-                 "--iters", "12"], 3600.0),
-    ("profile2", [sys.executable, "scripts/profile_mega_hw.py",
-                  "--iters", "8"], 3600.0),
-    ("suite2", [sys.executable, "-m", "compute_renderer_tpu.cli",
-                "benchmarks", "--batch", "64", "--max-frames", "512",
-                "--duration", "5",
-                "--json", str(OUT / "suite_round3b.json")], 4 * 3600.0),
-    ("bench2", [sys.executable, "bench.py"], 3900.0),
+    # --- Round-4 battery (VERDICT round-3 "next round" items) -------------
+    # Texture/material fusion A/B: the round's #1 item. Old deferred tail
+    # vs the fused-epilogue path, per stage, at 36k-tex / 1M-mat / 1M-tex.
+    ("tex_fused", [sys.executable, "scripts/ab_tex_fused.py",
+                   "--iters", "8"], 3600.0),
+    # Global pair sort A/B (round-3 top lever; previous attempt crashed on
+    # a global x64 flag — fixed to isolate x64 in a subprocess).
+    ("sort_ab4", [sys.executable, "scripts/ab_sort.py",
+                  "--iters", "12"], 3600.0),
+    # Exterior 1.99 -> 3.01 ms regression bisect (VERDICT weak #4): flip
+    # the round-3 default levers one at a time at 16k-tri scale.
+    ("exterior", [sys.executable, "scripts/ab_exterior.py",
+                  "--iters", "12"], 3600.0),
+    # Driver-grade headline number with whatever landed above.
+    ("bench_r4", [sys.executable, "bench.py"], 3900.0),
+    # Full 17-scene suite + round-over-round regression diff.
+    ("suite_r4", [sys.executable, "-m", "compute_renderer_tpu.cli",
+                  "benchmarks", "--batch", "64", "--max-frames", "512",
+                  "--duration", "5",
+                  "--json", str(OUT / "suite_round4.a{attempt}.json")],
+     4 * 3600.0),
+    ("suite_diff", [sys.executable, "scripts/suite_diff.py",
+                    str(OUT / "suite_round3b.json"),
+                    str(OUT / "suite_round4.json")], 300.0),
 ]
 
 
@@ -89,11 +89,7 @@ def save_state(state: dict) -> None:
 
 def probe() -> bool:
     """True when a bounded child can see the TPU device AND round-trip one
-    tiny dispatch. The tunnel has a half-up failure mode (2026-08-19):
-    device enumeration answers while dispatch hangs forever — a
-    devices()-only probe would mark it UP and every battery step would
-    then burn its full timeout. The matmul + host fetch proves the data
-    plane is actually alive."""
+    tiny dispatch (see module docstring on the half-up tunnel mode)."""
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -113,13 +109,40 @@ def probe() -> bool:
     return ok
 
 
+def artifact_path(base: Path, attempt: int) -> Path:
+    """Attempt-suffixed artifact name: first attempt keeps the plain name,
+    retries insert the attempt number so they can never clobber an earlier
+    attempt's outputs (the round-3 suite artifact was lost to exactly that:
+    a failed rerun reopened suite.out.txt with mode 'w')."""
+    if attempt <= 1:
+        return base
+    return base.with_name(f"{base.stem}.{attempt}{base.suffix}")
+
+
+def finalize_json_artifacts(argv: list, attempt: int) -> None:
+    """Copy an attempt-suffixed --json artifact to its canonical (no-suffix)
+    name on success, so downstream steps (suite_diff) address a stable
+    path while every attempt's raw output is preserved."""
+    import shutil
+
+    for a in argv:
+        if a.endswith(".json") and "{attempt}" not in a:
+            continue
+        if a.endswith(".json"):
+            produced = Path(a.replace("{attempt}", str(attempt)))
+            canonical = Path(a.replace(".a{attempt}", ""))
+            if produced.exists() and produced != canonical:
+                shutil.copyfile(produced, canonical)
+
+
 def run_step(name: str, argv: list, timeout_s: float, state: dict) -> bool:
     """One battery step as a bounded subprocess; returns success."""
     attempt = state["attempts"].get(name, 0) + 1
     state["attempts"][name] = attempt
     save_state(state)
-    out_path = OUT / f"{name}.out.txt"
-    err_path = OUT / f"{name}.err.txt"
+    out_path = artifact_path(OUT / f"{name}.out.txt", attempt)
+    err_path = artifact_path(OUT / f"{name}.err.txt", attempt)
+    argv = [a.replace("{attempt}", str(attempt)) for a in argv]
     log(f"step {name} attempt {attempt}: {' '.join(argv)}")
     # The campaign exists to collect TPU numbers: bench.py's own CPU
     # fallback exiting rc=0 must not mark the step done forever, or the
@@ -138,8 +161,12 @@ def run_step(name: str, argv: list, timeout_s: float, state: dict) -> bool:
     dt = time.time() - t0
     log(f"step {name}: rc={rc} in {dt:.0f}s")
     if rc == 0:
+        finalize_json_artifacts(
+            [a for s in STEPS if s[0] == name for a in s[1]], attempt
+        )
         state["done"][name] = {"at": time.strftime("%Y-%m-%d %H:%M:%S"),
-                               "seconds": round(dt, 1)}
+                               "seconds": round(dt, 1),
+                               "artifact": out_path.name}
         save_state(state)
         return True
     return False
@@ -172,7 +199,7 @@ def main() -> int:
                 # Step failed — re-probe before burning time on the rest.
                 break
     log(f"campaign end; done: {sorted(state['done'])}")
-    return 0 if len(state["done"]) == len(STEPS) else 1
+    return 0 if all(s[0] in state["done"] for s in STEPS) else 1
 
 
 if __name__ == "__main__":
