@@ -34,7 +34,7 @@ def _pad_tris(n: int, chunk: int) -> int:
 @partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "chunk",
-                     "tex_filter"),
+                     "tex_filter", "return_tri"),
 )
 def render_frame(
     positions,
@@ -62,6 +62,11 @@ def render_frame(
     tex_table=None,  # (M, 3) i32 {offset, width, height}
     tex_filter: str = "nearest",  # "nearest" | "bilinear" | "trilinear"
     tex_mips=None,  # (M, L, 3) i32 mip level table (trilinear only)
+    # Also return the per-pixel winner triangle id (NO_TRI where uncovered).
+    # Test/debug surface: the golden-parity tests use it to prove that
+    # every >1-LSB pixel is a cross-library coverage/winner flip (1-ULP
+    # class, XLA:CPU FMA contraction) rather than sampler drift.
+    return_tri: bool = False,
 ):
     """Render one frame; returns ((H, W, 4) uint8 RGBA, depth_key (H,W) u32).
 
@@ -83,7 +88,10 @@ def render_frame(
     fully fused programs agree bitwise without injection (the VPU does not
     contract)."""
     if tri.shape[0] == 0:
-        return common.empty_frame(width, height)
+        rgba0, key0 = common.empty_frame(width, height)
+        if return_tri:
+            return rgba0, key0, jnp.full((height, width), NO_TRI, jnp.int32)
+        return rgba0, key0
     if screen is not None and world is None:
         raise ValueError(
             "screen injection requires world (both come from the same "
@@ -259,6 +267,8 @@ def render_frame(
         gbuffer, view_position, light_world_pos.astype(F32),
         light_color.astype(F32), light_intensity.astype(F32),
     )
+    if return_tri:
+        return rgba, best_key, best_tri
     return rgba, best_key
 
 

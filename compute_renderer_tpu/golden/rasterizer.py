@@ -210,6 +210,7 @@ def render_golden(
     T = tri.shape[0]
 
     depth = np.full((height, width), DEPTH_CLEAR_BITS, dtype=np.uint32)
+    frag_tri = np.full((height, width), -1, dtype=np.int32)
     frag_uv = np.zeros((height, width, 2), dtype=F32)
     frag_normal = np.zeros((height, width, 3), dtype=F32)
     frag_pos = np.zeros((height, width, 3), dtype=F32)
@@ -293,6 +294,7 @@ def render_golden(
         )
         frag_pos[sel] = b1 * world_pos[i1] + b2 * world_pos[i2] + b3 * world_pos[i3]
         frag_flag[sel] = True
+        frag_tri[sel] = t
         if frag_kd is not None and face_kd is not None:
             frag_kd[sel] = face_kd[t].astype(F32)
         if frag_tex is not None:
@@ -422,6 +424,7 @@ def render_golden(
         return rgba, {
             "depth_bits": depth,
             "flag": frag_flag,
+            "tri": frag_tri,
             "uv": frag_uv,
             "normal": frag_normal,
             "world_pos": frag_pos,
