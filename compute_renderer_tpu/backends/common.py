@@ -692,8 +692,149 @@ def textured_shade(gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
 
 
 # ---------------------------------------------------------------------------
-# Stage 4: deferred Phong shading
+# Fused-texturing tail (round 4)
 # ---------------------------------------------------------------------------
+#
+# G-buffer channel layout written by the kernels' fused-texture epilogue
+# (pallas_raster/_raster_tile and pallas_micro/_raster_tile_micro, texf
+# mode). The kernel interpolates EVERYTHING the deferred tail used to
+# resolve with per-pixel gathers (uv, kd, the winner's TextureInfo row, and
+# the per-light diffuse/specular scalars); the tail below is left with only
+# the texel-pool fetch — the one gather a texture lookup fundamentally is —
+# plus pure elementwise math. Measured context (suite_round3b): the
+# deferred resolve/sample chain cost ~63 ms at 36k tris; the gathers it
+# performed per pixel (12+ gathers into per-vertex arrays + tex-table rows)
+# are exactly what this layout deletes.
+#
+#   0: u      1: v          interpolated texcoord (affine, same formula as
+#                           resolve_attributes — bitwise-equal values)
+#   2: kd.r   3: kd.g   4: kd.b   winner's per-triangle diffuse (1s if none)
+#   5: off    6: tw     7: th     winner's TextureInfo row as exact f32
+#                                 ints (custom_pipeline/util.rs:75-85);
+#                                 tw == 0 means "untextured face"
+#   8+2i: diff_i   9+2i: spec_i  per-light Phong scalars, same op chain as
+#                                 the kernels' shading epilogue
+TEXF_BASE_CHANNELS = 8
+
+
+def texf_channels(num_lights: int) -> int:
+    return TEXF_BASE_CHANNELS + 2 * num_lights
+
+
+def fused_texture_tail(gbuf, best_key, texels, light_color, light_intensity,
+                       tex_filter: str = "nearest", texels_packed=None):
+    """Shade a fused-texture G-buffer: one texel fetch + elementwise math.
+
+    ``gbuf``: (C, H, W) f32 in the TEXF layout above (C = texf_channels(L));
+    ``best_key``: (H, W) u32 depth keys (DEPTH_CLEAR_BITS = background);
+    ``texels``: (P, 3) f32 flat atlas pool; ``texels_packed``: optional
+    (P,) i32 pool with the SAME texels as round(v*255) u8 packed r|g<<8|b<<16
+    — used instead of ``texels`` when given, turning each tap's 3-element
+    row gather into 1 element (~3x less gather traffic; build with
+    io.textures.pack_pool_u8, which verifies exact f32 round-trip so the
+    unpack is bitwise-identical to the f32 gather).
+
+    Arithmetic mirrors ``sample_atlas``/``_bilinear_level`` and ``shade``'s
+    material branch op-for-op, so the image equals the deferred tail's
+    bitwise. Returns (H, W, 4) u8 RGBA."""
+    flag = best_key != DEPTH_CLEAR_BITS
+    u = gbuf[0]
+    v = gbuf[1]
+    kd = jnp.stack([gbuf[2], gbuf[3], gbuf[4]], axis=-1)  # (H, W, 3)
+    off = gbuf[5].astype(jnp.int32)
+    tw = gbuf[6].astype(jnp.int32)
+    th = gbuf[7].astype(jnp.int32)
+    has = flag & (tw > 0)
+    # Dead lanes (background / untextured) carry zeros; substitute size 1
+    # so the index math below stays finite (sample_atlas achieves the same
+    # by redirecting them to texture slot 0). kd of uncovered pixels is
+    # garbage too — masked by ``flag`` in the final select.
+    tws = jnp.where(has, tw, 1)
+    ths = jnp.where(has, th, 1)
+    twf = tws.astype(F32)
+    thf = ths.astype(F32)
+
+    if texels_packed is not None:
+        def fetch(idx):
+            p = texels_packed[idx]
+            return jnp.stack(
+                [
+                    (p & 0xFF).astype(F32) / F32(255.0),
+                    ((p >> 8) & 0xFF).astype(F32) / F32(255.0),
+                    ((p >> 16) & 0xFF).astype(F32) / F32(255.0),
+                ],
+                axis=-1,
+            )
+    else:
+        def fetch(idx):
+            return texels[idx]
+
+    fu = u - jnp.floor(u)
+    fv = v - jnp.floor(v)
+    safe_idx = lambda i: jnp.where(has, i, 0)
+    if tex_filter == "nearest":
+        tx = jnp.minimum((fu * twf).astype(jnp.int32), tws - 1)
+        ty = jnp.minimum((fv * thf).astype(jnp.int32), ths - 1)
+        texel = fetch(safe_idx(off + ty * tws + tx))
+    elif tex_filter == "bilinear":
+        # Same math and lerp order as _bilinear_level.
+        pu = fu * twf - F32(0.5)
+        pv = fv * thf - F32(0.5)
+        x0f = jnp.floor(pu)
+        y0f = jnp.floor(pv)
+        wx = (pu - x0f)[..., None]
+        wy = (pv - y0f)[..., None]
+        x0 = jnp.mod(x0f.astype(jnp.int32), tws)
+        y0 = jnp.mod(y0f.astype(jnp.int32), ths)
+        x1 = jnp.mod(x0 + 1, tws)
+        y1 = jnp.mod(y0 + 1, ths)
+        t00 = fetch(safe_idx(off + y0 * tws + x0))
+        t10 = fetch(safe_idx(off + y0 * tws + x1))
+        t01 = fetch(safe_idx(off + y1 * tws + x0))
+        t11 = fetch(safe_idx(off + y1 * tws + x1))
+        one = F32(1.0)
+        top = t00 * (one - wx) + t10 * wx
+        bot = t01 * (one - wx) + t11 * wx
+        texel = top * (one - wy) + bot * wy
+    else:
+        raise ValueError(
+            f"fused texture tail supports nearest/bilinear, not "
+            f"{tex_filter!r} (trilinear/anisotropic use the deferred tail)"
+        )
+
+    kdt = jnp.where(has[..., None], kd * texel, kd)
+
+    # shade()'s material branch, with the per-light diff/spec scalars read
+    # from the G-buffer instead of recomputed (the kernel computed them
+    # with the identical op chain).
+    final = F32(0.1) * kdt
+    num_lights = (gbuf.shape[0] - TEXF_BASE_CHANNELS) // 2
+    for li in range(num_lights):
+        diff = gbuf[TEXF_BASE_CHANNELS + 2 * li]
+        spec = gbuf[TEXF_BASE_CHANNELS + 2 * li + 1]
+        contrib = diff[..., None] * kdt + (spec * F32(0.5))[..., None]
+        lc = light_color[li].astype(F32)
+        inten = light_intensity[li].astype(F32)
+        final = final + contrib * lc[None, None, :] * inten
+
+    final = jnp.clip(final, F32(0.0), F32(1.0))
+    srgb = jnp.power(final, F32(1.0 / 2.2))
+    shaded = jnp.round(srgb * F32(255.0)).astype(jnp.uint8)
+    background = jnp.array([0, 0, 255], dtype=jnp.uint8)
+    rgb = jnp.where(flag[..., None], shaded, background[None, None, :])
+    alpha = jnp.full(flag.shape + (1,), 255, dtype=jnp.uint8)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def tex_rows_f32(face_tex, tex_table):
+    """Per-triangle TextureInfo rows (off, tw, th) as (T, 3) exact f32 for
+    the texf coefficient table; untextured faces (slot -1) become all-zero
+    rows (tw == 0 is the tail's 'untextured' mark). Offsets must stay below
+    2^24 for f32 exactness — callers route larger atlases to the deferred
+    tail (tpu.texf_eligible)."""
+    t0 = jnp.maximum(face_tex.astype(jnp.int32), 0)
+    rows = tex_table.astype(jnp.int32)[t0].astype(F32)  # (T, 3)
+    return jnp.where((face_tex >= 0)[:, None], rows, F32(0.0))
 
 def shade(gbuffer, view_position, light_world_pos, light_color,
           light_intensity):

@@ -50,14 +50,25 @@ def _front_kernel(
     scal_ref,  # (24,) f32 SMEM: m row-major (16) + effect (8)
     pos_ref,  # (9, B) f32: corner-major rows x,y,z per corner
     nrm_ref,  # (9, B) f32
-    coeff_ref,  # (32, B) f32 out
-    meta_ref,  # (4, B) i32 out
-    *,
+    *refs,  # mode extras (uv_ref (6, B), ext_ref (6, B)), then outputs
     width: int,
     height: int,
     tile_h: int,
     tile_w: int,
+    mode: str = "base",
 ):
+    # Outputs are the trailing two refs; extras precede them per mode:
+    #   base: ()                      -> 32 coeff rows
+    #   mat:  (ext_ref,)              -> 35 rows (kd in ext rows 0:3)
+    #   texf: (uv_ref, ext_ref)       -> 44 rows (uv affine 32:38,
+    #                                    kd 38:41, TextureInfo 41:44)
+    uv_ref = ext_ref = None
+    if mode == "texf":
+        uv_ref, ext_ref, coeff_ref, meta_ref = refs
+    elif mode == "mat":
+        ext_ref, coeff_ref, meta_ref = refs
+    else:
+        coeff_ref, meta_ref = refs
     m = [scal_ref[r] for r in range(16)]  # view_proj row-major
     amplitude = scal_ref[17]
     frequency = scal_ref[18]
@@ -209,6 +220,20 @@ def _front_kernel(
         rows += combine(world[0][k], world[1][k], world[2][k])
     rows += [v1x, v1y]  # anchor
 
+    if mode == "texf":
+        # uv affine channels (same combine as tri_table_columns' texf form).
+        for ch in range(2):
+            rows += combine(
+                uv_ref[0 + ch : 1 + ch, :],
+                uv_ref[2 + ch : 3 + ch, :],
+                uv_ref[4 + ch : 5 + ch, :],
+            )
+        for r in range(6):  # kd rgb + TextureInfo off/tw/th passthrough
+            rows += [ext_ref[r : r + 1, :]]
+    elif mode == "mat":
+        for r in range(3):  # kd rgb passthrough
+            rows += [ext_ref[r : r + 1, :]]
+
     for r, row in enumerate(rows):
         coeff_ref[r : r + 1, :] = row
 
@@ -219,58 +244,107 @@ def _front_kernel(
 )
 def front_end(pos_soa, nrm_soa, view_proj, effect, *, width: int,
               height: int, tile_h: int = 8, tile_w: int = 8,
-              interpret: bool = False):
+              interpret: bool = False,
+              kd_rows=None, uv_soa=None, tex_rows=None):
     """Fused vertex + setup + coefficient table (see module docstring).
 
-    ``pos_soa``/``nrm_soa``: (3, 3, T). Returns (coeff (32, T) f32,
-    meta (4, T) i32 = [tile_x0, tile_y0, rx, c])."""
+    ``pos_soa``/``nrm_soa``: (3, 3, T). Returns (coeff (R, T) f32,
+    meta (4, T) i32 = [tile_x0, tile_y0, rx, c]) where R is 32 (base),
+    35 (``kd_rows`` (T, 3): material columns appended), or 44
+    (``uv_soa`` (3 corners, 2, T) + ``tex_rows`` (T, 3) + optional
+    ``kd_rows``: the fused-texture layout, pallas_raster
+    TEX_TRI_TABLE_WIDTH) — same column orders as tri_table_columns."""
     T = pos_soa.shape[2]
     Tpad = (T + B - 1) // B * B
 
-    pos_rows = pos_soa.astype(F32).reshape(9, T)
-    nrm_rows = nrm_soa.astype(F32).reshape(9, T)
-    if Tpad != T:
-        # Pad columns are discarded by the [:, :T] slice below; zeros are
-        # fine regardless of what the kernel computes for them.
-        pad = jnp.zeros((9, Tpad - T), F32)
-        pos_rows = jnp.concatenate([pos_rows, pad], axis=1)
-        nrm_rows = jnp.concatenate([nrm_rows, pad], axis=1)
+    if tex_rows is not None:
+        mode, R = "texf", 44
+    elif kd_rows is not None:
+        mode, R = "mat", 35
+    else:
+        mode, R = "base", 32
+
+    def pad_rows(a, rows):
+        a = a.astype(F32).reshape(rows, -1)
+        if Tpad != T:
+            # Pad columns are discarded by the [:, :T] slice below; zeros
+            # are fine regardless of what the kernel computes for them.
+            a = jnp.concatenate([a, jnp.zeros((rows, Tpad - T), F32)],
+                                axis=1)
+        return a
+
+    pos_rows = pad_rows(pos_soa, 9)
+    nrm_rows = pad_rows(nrm_soa, 9)
 
     scal = jnp.concatenate([
         view_proj.astype(F32).reshape(16),
         effect.astype(F32).reshape(-1)[:8],
     ])
 
+    inputs = [scal, pos_rows, nrm_rows]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((9, B), lambda i: (0, i)),
+        pl.BlockSpec((9, B), lambda i: (0, i)),
+    ]
+    if mode == "texf":
+        # uv rows interleaved corner-major: rows (2k + ch) = corner k,
+        # channel ch — matching the kernel's uv_ref[2k + ch] reads.
+        uv_rows = pad_rows(jnp.asarray(uv_soa), 6)
+        kd = (kd_rows.astype(F32).T if kd_rows is not None
+              else jnp.ones((3, T), F32))
+        ext_rows = pad_rows(
+            jnp.concatenate([kd, tex_rows.astype(F32).T], axis=0), 6
+        )
+        inputs += [uv_rows, ext_rows]
+        in_specs += [
+            pl.BlockSpec((6, B), lambda i: (0, i)),
+            pl.BlockSpec((6, B), lambda i: (0, i)),
+        ]
+    elif mode == "mat":
+        # (6, B) block with zero padding rows: Mosaic block shapes want
+        # the same sublane multiple as the texf form; rows 3:6 unused.
+        ext_rows = pad_rows(
+            jnp.concatenate(
+                [kd_rows.astype(F32).T, jnp.zeros((3, T), F32)], axis=0
+            ),
+            6,
+        )
+        inputs += [ext_rows]
+        in_specs += [pl.BlockSpec((6, B), lambda i: (0, i))]
+
     coeff, meta = pl.pallas_call(
         functools.partial(
             _front_kernel, width=width, height=height,
-            tile_h=tile_h, tile_w=tile_w,
+            tile_h=tile_h, tile_w=tile_w, mode=mode,
         ),
         grid=(Tpad // B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((9, B), lambda i: (0, i)),
-            pl.BlockSpec((9, B), lambda i: (0, i)),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((32, B), lambda i: (0, i)),
+            pl.BlockSpec((R, B), lambda i: (0, i)),
             pl.BlockSpec((4, B), lambda i: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((32, Tpad), F32),
+            jax.ShapeDtypeStruct((R, Tpad), F32),
             jax.ShapeDtypeStruct((4, Tpad), I32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(scal, pos_rows, nrm_rows)
+    )(*inputs)
     return coeff[:, :T], meta[:, :T]
 
 
 def pack_table_c64(coeff):
-    """(32, T) coefficient rows -> the (T, 16) complex64 table
-    ``pallas_micro.build_tri_table_c64`` produces (bit-identical pack:
-    complex64 moves the f32 payloads verbatim)."""
-    packed = jax.lax.complex(coeff[0::2, :], coeff[1::2, :])  # (16, T)
+    """(R, T) coefficient rows -> the (T, R') complex64 table
+    ``pallas_micro.build_tri_table_c64`` produces for the same layout
+    (bit-identical pack: complex64 moves the f32 payloads verbatim; an
+    odd row count gains one zero pad row first, matching the zero pad
+    column build_tri_table_c64 appends)."""
+    if coeff.shape[0] % 2:
+        coeff = jnp.concatenate(
+            [coeff, jnp.zeros((1, coeff.shape[1]), F32)], axis=0
+        )
+    packed = jax.lax.complex(coeff[0::2, :], coeff[1::2, :])
     return packed.T

@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from compute_renderer_tpu.backends.pallas_raster import (
     DEPTH_CLEAR_BITS,
     TRI_TABLE_WIDTH,
+    _emit_texf_gbuffer,
     _pow32,
 )
 from compute_renderer_tpu.core.effects import EFFECT_MIRAGE
@@ -65,12 +66,17 @@ PAIR_IDX_CLEAR = np.int32(2**31 - 1)
 # 32 affine columns of pallas_raster.TRI_TABLE_WIDTH. Material extension
 # (per-triangle kd at rows 32:35, pallas_raster.MAT_TRI_TABLE_WIDTH): 35
 # used rows padded to 40 so superblock row offsets stay 8-aligned for VMEM
-# slicing.
+# slicing. Fused-texture extension (uv affine 32:38 + kd 38:41 +
+# TextureInfo 41:44, pallas_raster.TEX_TRI_TABLE_WIDTH): 44 used rows
+# padded to 48.
 SB_ROWS = 32
 SB_ROWS_MAT = 40
+SB_ROWS_TEX = 48
 
 
-def _sb_rows(mat: bool) -> int:
+def _sb_rows(mat: bool, texf: bool = False) -> int:
+    if texf:
+        return SB_ROWS_TEX
     return SB_ROWS_MAT if mat else SB_ROWS
 
 
@@ -110,13 +116,14 @@ def _micro_kernel(
     skip_mirage: bool = False,
     mat: bool = False,
     vis: bool = False,
+    texf: bool = False,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     ntx = pl.num_programs(1)
     tile_id = ti * ntx + tj
     W = win_a.shape[0]  # chunk rows
-    rows = _sb_rows(mat)
+    rows = _sb_rows(mat, texf)
 
     count = tile_count_ref[tile_id]
     # Window base: the superblock (128-pair group) containing the tile's
@@ -137,6 +144,8 @@ def _micro_kernel(
     def _():
         if vis:
             rgba_ref[:, :] = jnp.full((8, 128), PAIR_IDX_CLEAR, jnp.int32)
+        elif texf:
+            rgba_ref[:, :, :] = jnp.zeros(rgba_ref.shape, F32)
         else:
             rgba_ref[:, :] = jnp.full((8, 128), 0xFFFF0000, jnp.uint32)
         key_ref[:, :] = jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32)
@@ -153,7 +162,7 @@ def _micro_kernel(
             params_ref, lights_ref, seg_start_ref, seg_count_ref,
             coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
             w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
-            skip_mirage=skip_mirage, mat=mat, vis=vis,
+            skip_mirage=skip_mirage, mat=mat, vis=vis, texf=texf,
         )
 
 
@@ -185,6 +194,7 @@ def _micro_kernel_wl(
     skip_mirage: bool = False,
     mat: bool = False,
     vis: bool = False,
+    texf: bool = False,
 ):
     """Work-list variant of ``_micro_kernel`` (the micro-path analog of
     pallas_raster._raster_kernel_wl): the grid is the dynamic count of
@@ -198,7 +208,7 @@ def _micro_kernel_wl(
     ti = tile_id // ntx
     tj = tile_id - ti * ntx
     W = win_a.shape[0]
-    rows = _sb_rows(mat)
+    rows = _sb_rows(mat, texf)
 
     count = tile_count_ref[tile_id]  # > 0 by work-list construction
     w0 = pl.multiple_of((win_start_ref[tile_id] // 128) * 128, 128)
@@ -214,7 +224,7 @@ def _micro_kernel_wl(
         params_ref, lights_ref, seg_start_ref, seg_count_ref,
         coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
         w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
-        skip_mirage=skip_mirage, mat=mat, vis=vis,
+        skip_mirage=skip_mirage, mat=mat, vis=vis, texf=texf,
     )
 
 
@@ -223,7 +233,7 @@ def _raster_tile_micro(
     rgba_ref, key_ref, win_a, win_b, sem_a, sem_b, w0, nchunks,
     ti, tj, tile_id,
     *, num_lights: int, skip_mirage: bool = False, mat: bool = False,
-    vis: bool = False,
+    vis: bool = False, texf: bool = False,
 ):
     threshold = params_ref[0, 0]
     melt_threshold = params_ref[0, 1]
@@ -234,11 +244,17 @@ def _raster_tile_micro(
     time = params_ref[0, 6]
 
     W = win_a.shape[0]
-    rows = _sb_rows(mat)
-    # [nx ny nz wx wy wz] (+ per-tri kd r g b); the visibility-only walk
-    # (deferred texturing) carries no attributes at all — the winner's PAIR
-    # index is the output and the XLA tail resolves everything from it.
-    nattr = 0 if vis else (9 if mat else 6)
+    rows = _sb_rows(mat, texf)
+    # [nx ny nz wx wy wz] (+ per-tri kd r g b; texf additionally + uv and
+    # + TextureInfo); the visibility-only walk (deferred texturing) carries
+    # no attributes at all — the winner's PAIR index is the output and the
+    # XLA tail resolves everything from it.
+    if vis:
+        nattr = 0
+    elif texf:
+        nattr = 14
+    else:
+        nattr = 9 if mat else 6
     CP = (W // rows) * 128  # pairs per chunk
     sel = _selection_matrix()
 
@@ -392,6 +408,21 @@ def _raster_tile_micro(
                             new_attrs.append(
                                 jnp.where(win, coef(32 + ch), attrs[6 + ch])
                             )
+                    elif texf:
+                        # Fused texturing: interpolated uv (affine rows
+                        # 32:38) + the winner's kd and TextureInfo
+                        # constants (rows 38:44) — pallas_raster layout.
+                        for ch in range(2):
+                            interp = (coef(32 + ch * 3)
+                                      + coef(33 + ch * 3) * dx
+                                      + coef(34 + ch * 3) * dy)
+                            new_attrs.append(
+                                jnp.where(win, interp, attrs[6 + ch])
+                            )
+                        for ch in range(6):
+                            new_attrs.append(
+                                jnp.where(win, coef(38 + ch), attrs[8 + ch])
+                            )
                 return best_key, best_pair, tuple(new_attrs), ck
 
             init = (
@@ -446,6 +477,16 @@ def _raster_tile_micro(
         # maps it to a triangle id via the sorted pair list) + depth key.
         rgba_ref[:, :] = acc_pair
         key_ref[:, :] = acc_key
+        return
+
+    if texf:
+        # Fused-texture epilogue (shared with the tile kernel): emit the
+        # common.TEXF G-buffer; the XLA tail is one texel fetch.
+        _emit_texf_gbuffer(
+            rgba_ref, key_ref, lights_ref, acc_key, acc_attrs,
+            params_ref[1, 0], params_ref[1, 1], params_ref[1, 2],
+            num_lights=num_lights,
+        )
         return
 
     # -- shading epilogue: identical to pallas_raster._raster_tile ----------
@@ -536,13 +577,18 @@ CHUNK_ROWS = 512  # rows per streamed window chunk (2 x 256 KiB VMEM
 #                   buffers); 16 superblocks of 32 rows = 2048 pairs
 CHUNK_ROWS_MAT = 520  # material stream: 13 superblocks of 40 rows
 #                       (1664 pairs; 2 x 260 KiB VMEM buffers)
+CHUNK_ROWS_TEX = 480  # fused-texture stream: 10 superblocks of 48 rows
+#                       (1280 pairs; 2 x 240 KiB VMEM buffers)
 
 
-def default_chunk_rows(mat: bool) -> int:
+def default_chunk_rows(mat: bool, texf: bool = False) -> int:
+    if texf:
+        return CHUNK_ROWS_TEX
     return CHUNK_ROWS_MAT if mat else CHUNK_ROWS
 
 
-def build_tri_table_c64(screen_soa, nrm_soa, wld_soa, face_kd=None):
+def build_tri_table_c64(screen_soa, nrm_soa, wld_soa, face_kd=None,
+                        uv_soa=None, tex_rows=None):
     """(T, 16) complex64 coefficient table: element k of row t packs
     coefficients (2k, 2k+1) as (real, imag).
 
@@ -554,11 +600,14 @@ def build_tri_table_c64(screen_soa, nrm_soa, wld_soa, face_kd=None):
     degenerate triangles, which quieting maps to themselves).
 
     With ``face_kd`` (T, 3) the material columns append (35 wide, one zero
-    pad column to keep pairs even) -> (T, 18) complex64."""
+    pad column to keep pairs even) -> (T, 18) complex64. With
+    ``uv_soa``/``tex_rows`` (fused texturing, pallas_raster layout) the
+    44 columns pack to (T, 22)."""
     from compute_renderer_tpu.backends import pallas_raster
 
     cols = pallas_raster.tri_table_columns(screen_soa, nrm_soa, wld_soa,
-                                           face_kd=face_kd)
+                                           face_kd=face_kd, uv_soa=uv_soa,
+                                           tex_rows=tex_rows)
     if len(cols) % 2:
         cols = cols + [jnp.zeros_like(cols[0])]
     packed = [
@@ -583,15 +632,21 @@ def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int | None = None):
     count, 2x on TPU. Material tables pad to the 40-row superblock
     (``SB_ROWS_MAT``). Tail pairs pad so the last chunk read of
     ``chunk_rows`` rows stays in bounds."""
-    gathered = tri_table[pair_tri]  # (P, 32|35) f32 | (P, 16|18) c64
+    gathered = tri_table[pair_tri]  # (P, 32|35|44) f32 | (P, 16|18|22) c64
     if jnp.iscomplexobj(gathered):
         gathered = jnp.stack(
             [jnp.real(gathered), jnp.imag(gathered)], axis=2
         ).reshape(gathered.shape[0], -1)
     width = gathered.shape[1]
-    rows = SB_ROWS if width <= SB_ROWS else SB_ROWS_MAT
+    if width <= SB_ROWS:
+        rows = SB_ROWS
+    elif width <= 36:
+        rows = SB_ROWS_MAT
+    else:
+        rows = SB_ROWS_TEX
     if chunk_rows is None:
-        chunk_rows = default_chunk_rows(rows == SB_ROWS_MAT)
+        chunk_rows = default_chunk_rows(rows == SB_ROWS_MAT,
+                                        texf=rows == SB_ROWS_TEX)
     chunk_pairs = (chunk_rows // rows) * 128
     P = gathered.shape[0]
     P_pad = ((P + 127) // 128) * 128 + chunk_pairs + 128
@@ -602,7 +657,8 @@ def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int | None = None):
 @functools.partial(
     jax.jit,
     static_argnames=("height_padded", "width_padded", "chunk_rows",
-                     "interpret", "effect_kind", "worklist", "mat", "vis"),
+                     "interpret", "effect_kind", "worklist", "mat", "vis",
+                     "texf"),
 )
 def raster_shade_micro(
     pair_coeffs,  # (P_pad, 128) f32
@@ -625,8 +681,15 @@ def raster_shade_micro(
     worklist: bool = True,
     mat: bool = False,
     vis: bool = False,
+    texf: bool = False,
 ):
     """Run the micro kernel over the padded framebuffer.
+
+    ``texf`` (static): fused-texture walk — ``pair_coeffs`` must come from
+    a TEX-width table; the first output is the (C, Hp, Wp) f32 common.TEXF
+    G-buffer (C = texf_channels(L)) and the XLA tail
+    (common.fused_texture_tail) is one texel fetch. Mutually exclusive
+    with ``mat``/``vis``.
 
     ``vis`` (static): visibility-only walk (deferred texturing) — the
     first output is the winner's absolute PAIR index (Hp,Wp) i32
@@ -651,7 +714,7 @@ def raster_shade_micro(
     nty = height_padded // 8
     ntx = width_padded // 128
     if chunk_rows is None:
-        chunk_rows = default_chunk_rows(mat)
+        chunk_rows = default_chunk_rows(mat, texf=texf)
 
     from compute_renderer_tpu.backends import common
 
@@ -685,7 +748,22 @@ def raster_shade_micro(
     if vis and mat:
         raise ValueError("vis and mat are mutually exclusive (kd applies "
                          "in the deferred tail)")
-    out0_dtype = jnp.int32 if vis else jnp.uint32
+    if texf and (vis or mat):
+        raise ValueError("texf is mutually exclusive with vis/mat")
+    out0_dtype = jnp.int32 if vis else (F32 if texf else jnp.uint32)
+    from compute_renderer_tpu.backends import common as _common
+
+    C = _common.texf_channels(num_lights)
+    if texf:
+        out0_shape = (C, height_padded, width_padded)
+        out0_block = (C, 8, 128)
+        out0_index = lambda i, j: (0, i, j)
+        out0_index_wl = lambda i, wl: (0, wl[i] // ntx, wl[i] % ntx)
+    else:
+        out0_shape = (height_padded, width_padded)
+        out0_block = (8, 128)
+        out0_index = lambda i, j: (i, j)
+        out0_index_wl = lambda i, wl: (wl[i] // ntx, wl[i] % ntx)
 
     scratch_shapes = [
         pltpu.VMEM((chunk_rows, 128), F32),
@@ -701,14 +779,16 @@ def raster_shade_micro(
         wl, k = occupied_worklist(tile_count.astype(jnp.int32))
         wl_kernel = functools.partial(
             _micro_kernel_wl, ntx=ntx, num_lights=num_lights,
-            skip_mirage=skip_mirage, mat=mat, vis=vis,
+            skip_mirage=skip_mirage, mat=mat, vis=vis, texf=texf,
         )
-        rgba_clear = (
-            jnp.full((height_padded, width_padded), PAIR_IDX_CLEAR,
-                     jnp.int32)
-            if vis else
-            jnp.full((height_padded, width_padded), 0xFFFF0000, jnp.uint32)
-        )
+        if vis:
+            rgba_clear = jnp.full((height_padded, width_padded),
+                                  PAIR_IDX_CLEAR, jnp.int32)
+        elif texf:
+            rgba_clear = jnp.zeros(out0_shape, F32)
+        else:
+            rgba_clear = jnp.full((height_padded, width_padded),
+                                  0xFFFF0000, jnp.uint32)
         key_clear = jnp.full((height_padded, width_padded),
                              DEPTH_CLEAR_BITS, jnp.uint32)
         hbm = pl.ANY if interpret else pltpu.HBM
@@ -730,8 +810,7 @@ def raster_shade_micro(
                 ],
                 out_specs=[
                     pl.BlockSpec(
-                        (8, 128),
-                        lambda i, wl: (wl[i] // ntx, wl[i] % ntx),
+                        out0_block, out0_index_wl,
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
@@ -743,8 +822,7 @@ def raster_shade_micro(
                 scratch_shapes=scratch_shapes,
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((height_padded, width_padded),
-                                     out0_dtype),
+                jax.ShapeDtypeStruct(out0_shape, out0_dtype),
                 jax.ShapeDtypeStruct((height_padded, width_padded),
                                      jnp.uint32),
             ],
@@ -760,7 +838,8 @@ def raster_shade_micro(
         return rgba, best_key
 
     kernel = functools.partial(_micro_kernel, num_lights=num_lights,
-                               skip_mirage=skip_mirage, mat=mat, vis=vis)
+                               skip_mirage=skip_mirage, mat=mat, vis=vis,
+                               texf=texf)
     rgba, best_key = pl.pallas_call(
         kernel,
         grid=(nty, ntx),
@@ -774,13 +853,12 @@ def raster_shade_micro(
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((8, 128), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(out0_block, out0_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((height_padded, width_padded), out0_dtype),
+            jax.ShapeDtypeStruct(out0_shape, out0_dtype),
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
         ],
         scratch_shapes=scratch_shapes,

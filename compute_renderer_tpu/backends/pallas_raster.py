@@ -63,34 +63,61 @@ DEPTH_CLEAR_BITS = np.uint32(0xFFFFFFFF)
 #   32:35  kd (r, g, b)
 # and switches the kernel epilogue to the modulated formula (static shape
 # dispatch in raster_shade_tiles; the 32-wide default path is untouched).
+# Fused-texture extension (round 4): a (T, 44) table appends
+#   32:38  uv affine coefficient triples (u then v)
+#   38:41  kd (r, g, b)
+#   41:44  TextureInfo {off, tw, th} as exact f32 ints (util.rs:75-85)
+# and switches the kernel to the texf epilogue: instead of shading, it
+# emits the common.TEXF G-buffer (uv, kd, tex row, per-light diff/spec)
+# so the only remaining XLA-tail gather is the texel-pool fetch itself
+# (common.fused_texture_tail). Replaces the round-3 deferred tail whose
+# per-pixel resolve gathers dominated textured frames (67 ms vs 4.1 ms
+# plain at 36k tris, suite_round3b).
 TRI_TABLE_WIDTH = 32
 MAT_TRI_TABLE_WIDTH = 35
+TEX_TRI_TABLE_WIDTH = 44
 
 
-def build_tri_table(screen, tri, uvs, normals, world, face_kd=None):
+def build_tri_table(screen, tri, uvs, normals, world, face_kd=None,
+                    tex_rows=None):
     """(T, 32) f32 per-triangle affine-coefficient table — (T, 35) with the
-    material extension's kd columns when ``face_kd`` (T, 3) is given."""
-    del uvs  # dead in shading (see layout comment)
+    material extension's kd columns when ``face_kd`` (T, 3) is given, or
+    (T, 44) with the fused-texture columns when ``tex_rows`` is given
+    (``uvs`` is only read in that form — shading never reads uv,
+    fragment.wgsl:70-82)."""
+    uv = uvs.astype(F32)[tri] if tex_rows is not None else None
     return build_tri_table_corners(screen[tri], normals[tri], world[tri],
-                                   face_kd=face_kd)
+                                   face_kd=face_kd, uv=uv,
+                                   tex_rows=tex_rows)
 
 
-def build_tri_table_corners(v, nrm, wld, face_kd=None):
+def build_tri_table_corners(v, nrm, wld, face_kd=None, uv=None,
+                            tex_rows=None):
     """``build_tri_table`` on pre-gathered corner data: v (T, 3, 4) screen
-    vertices, nrm/wld (T, 3, 3). The mega path holds geometry corner-major
-    so the table build is gather-free streaming math (three T-row gathers
-    cost more than everything else in the front-end at ~1M triangles)."""
+    vertices, nrm/wld (T, 3, 3), optional uv (T, 3, 2). The mega path holds
+    geometry corner-major so the table build is gather-free streaming math
+    (three T-row gathers cost more than everything else in the front-end at
+    ~1M triangles)."""
     screen_soa = tuple(tuple(v[:, k, c] for c in range(4)) for k in range(3))
     nrm_soa = tuple(tuple(nrm[:, k, c] for c in range(3)) for k in range(3))
     wld_soa = tuple(tuple(wld[:, k, c] for c in range(3)) for k in range(3))
-    return build_tri_table_soa(screen_soa, nrm_soa, wld_soa, face_kd=face_kd)
+    uv_soa = (tuple(tuple(uv[:, k, c] for c in range(2)) for k in range(3))
+              if uv is not None else None)
+    return build_tri_table_soa(screen_soa, nrm_soa, wld_soa, face_kd=face_kd,
+                               uv_soa=uv_soa, tex_rows=tex_rows)
 
 
-def tri_table_columns(screen_soa, nrm_soa, wld_soa, face_kd=None):
+def tri_table_columns(screen_soa, nrm_soa, wld_soa, face_kd=None,
+                      uv_soa=None, tex_rows=None):
     """The 32 per-triangle affine-coefficient columns as a list of
     contiguous (T,) arrays (corner-SoA inputs — see
     ``common.vertex_stage_soa``). Layout = ``TRI_TABLE_WIDTH`` order; with
-    ``face_kd`` (T, 3), the 3 kd columns append (MAT_TRI_TABLE_WIDTH)."""
+    ``face_kd`` (T, 3), the 3 kd columns append (MAT_TRI_TABLE_WIDTH).
+
+    Fused-texture form (``uv_soa`` (3 corners, 2, T) + ``tex_rows`` (T, 3)
+    from common.tex_rows_f32, together): uv affine triples + kd (ones when
+    ``face_kd`` is None) + TextureInfo columns append
+    (TEX_TRI_TABLE_WIDTH)."""
     from compute_renderer_tpu.backends import common
 
     v1, v2, v3 = screen_soa
@@ -112,20 +139,38 @@ def tri_table_columns(screen_soa, nrm_soa, wld_soa, face_kd=None):
 
     cols += [co["ax"], co["ay"]]
     assert len(cols) == TRI_TABLE_WIDTH
-    if face_kd is not None:
+    if tex_rows is not None:
+        assert uv_soa is not None, "texf table needs uv corner data"
+        for ch in range(2):
+            cols += list(
+                common.affine_combine(co, uv_soa[0][ch], uv_soa[1][ch],
+                                      uv_soa[2][ch])
+            )
+        if face_kd is not None:
+            kd = face_kd.astype(F32)
+            cols += [kd[:, 0], kd[:, 1], kd[:, 2]]
+        else:
+            ones = jnp.ones_like(cols[0])
+            cols += [ones, ones, ones]
+        tr = tex_rows.astype(F32)
+        cols += [tr[:, 0], tr[:, 1], tr[:, 2]]
+        assert len(cols) == TEX_TRI_TABLE_WIDTH
+    elif face_kd is not None:
         kd = face_kd.astype(F32)
         cols += [kd[:, 0], kd[:, 1], kd[:, 2]]
         assert len(cols) == MAT_TRI_TABLE_WIDTH
     return cols
 
 
-def build_tri_table_soa(screen_soa, nrm_soa, wld_soa, face_kd=None):
+def build_tri_table_soa(screen_soa, nrm_soa, wld_soa, face_kd=None,
+                        uv_soa=None, tex_rows=None):
     """``build_tri_table`` on corner-SoA inputs: all coefficient math runs
     on contiguous rows; the only layout change is the final (T, 32) stack,
     one interleave instead of the strided reads everywhere that the
     (T, 3, c) form paid."""
     return jnp.stack(
-        tri_table_columns(screen_soa, nrm_soa, wld_soa, face_kd=face_kd),
+        tri_table_columns(screen_soa, nrm_soa, wld_soa, face_kd=face_kd,
+                          uv_soa=uv_soa, tex_rows=tex_rows),
         axis=1,
     )
 
@@ -169,6 +214,7 @@ def _raster_kernel(
     dense_rows: bool,
     has_materials: bool = False,
     vis: bool = False,
+    texf: bool = False,
 ):
     ti = pl.program_id(0)  # tile row
     tj = pl.program_id(1)  # tile col
@@ -258,6 +304,10 @@ def _raster_kernel(
     def _():
         if vis:
             rgba_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+        elif texf:
+            # Background pixels never read the G-buffer (the tail masks on
+            # the cleared depth key); zero-fill keeps the math NaN-free.
+            rgba_ref[:, :, :] = jnp.zeros(rgba_ref.shape, F32)
         else:
             rgba_ref[:, :] = jnp.full(
                 (tile_h, tile_w), 0xFFFF0000, jnp.uint32  # blue, alpha 1
@@ -271,8 +321,63 @@ def _raster_kernel(
             rgba_ref, key_ref,
             wait_list, read_slot, ti, tj, count,
             tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
-            has_materials=has_materials, vis=vis,
+            has_materials=has_materials, vis=vis, texf=texf,
         )
+
+
+def _emit_texf_gbuffer(gbuf_ref, key_ref, lights_ref, best_key, attrs,
+                       eye_x, eye_y, eye_z, *, num_lights: int):
+    """Shared texf epilogue (tile and micro kernels): write the
+    common.TEXF G-buffer channels. ``attrs`` = the walk's winner channels
+    [nx, ny, nz, wx, wy, wz, u, v, kd.r, kd.g, kd.b, off, tw, th];
+    ``gbuf_ref`` the (C, th, tw) output block. diff/spec use the same op
+    chain as the shading epilogues (bitwise contract with common.shade)."""
+    nx, ny, nz = attrs[0], attrs[1], attrs[2]
+    wx, wy, wz = attrs[3], attrs[4], attrs[5]
+
+    gbuf_ref[0, :, :] = attrs[6]  # u
+    gbuf_ref[1, :, :] = attrs[7]  # v
+    for c in range(3):
+        gbuf_ref[2 + c, :, :] = attrs[8 + c]  # kd
+    for c in range(3):
+        gbuf_ref[5 + c, :, :] = attrs[11 + c]  # TextureInfo row
+
+    vdx = eye_x - wx
+    vdy = eye_y - wy
+    vdz = eye_z - wz
+    vnorm = jnp.sqrt(vdx * vdx + vdy * vdy + vdz * vdz)
+    vdx = vdx / vnorm
+    vdy = vdy / vnorm
+    vdz = vdz / vnorm
+
+    for li in range(num_lights):
+        lpx = lights_ref[li, 0]
+        lpy = lights_ref[li, 1]
+        lpz = lights_ref[li, 2]
+
+        ldx = lpx - wx
+        ldy = lpy - wy
+        ldz = lpz - wz
+        lnorm = jnp.sqrt(ldx * ldx + ldy * ldy + ldz * ldz)
+        ldx = ldx / lnorm
+        ldy = ldy / lnorm
+        ldz = ldz / lnorm
+
+        d = nx * ldx + ny * ldy + nz * ldz
+        diff = jnp.where(d > F32(0.0), d, F32(0.0))
+
+        edotn = -(ldx * nx + ldy * ny + ldz * nz)
+        rdx = -ldx - F32(2.0) * edotn * nx
+        rdy = -ldy - F32(2.0) * edotn * ny
+        rdz = -ldz - F32(2.0) * edotn * nz
+        s = vdx * rdx + vdy * rdy + vdz * rdz
+        s = jnp.where(s > F32(0.0), s, F32(0.0))
+        spec = _pow32(s)
+
+        gbuf_ref[8 + 2 * li, :, :] = diff
+        gbuf_ref[9 + 2 * li, :, :] = spec
+
+    key_ref[:, :] = best_key
 
 
 def _raster_tile(
@@ -282,6 +387,7 @@ def _raster_tile(
     *, tile_h: int, tile_w: int, num_lights: int,
     has_materials: bool = False,
     vis: bool = False,
+    texf: bool = False,
 ):
     threshold = params_ref[0, 0]
     melt_threshold = params_ref[0, 1]
@@ -376,9 +482,19 @@ def _raster_tile(
             # scalar table read broadcast over the tile, not interpolated).
             for c in range(3):
                 new_attrs.append(jnp.where(win, row[32 + c], attrs[6 + c]))
+        elif texf:
+            # Fused-texture extension: interpolated uv (affine rows 32:38,
+            # same formula resolve_attributes evaluates) + the winner's kd
+            # and TextureInfo constants (rows 38:44).
+            for c in range(2):
+                interp = (row[32 + c * 3] + row[33 + c * 3] * dx
+                          + row[34 + c * 3] * dy)
+                new_attrs.append(jnp.where(win, interp, attrs[6 + c]))
+            for c in range(6):
+                new_attrs.append(jnp.where(win, row[38 + c], attrs[8 + c]))
         return best_key, tuple(new_attrs)
 
-    nattr = 9 if has_materials else 6
+    nattr = 14 if texf else (9 if has_materials else 6)
     init = (
         jnp.full((tile_h, tile_w), DEPTH_CLEAR_BITS, jnp.uint32),
         tuple(zero for _ in range(nattr)),
@@ -393,6 +509,18 @@ def _raster_tile(
     eye_x = params_ref[1, 0]
     eye_y = params_ref[1, 1]
     eye_z = params_ref[1, 2]
+
+    if texf:
+        # Fused-texture epilogue: emit the common.TEXF G-buffer instead of
+        # shading — uv/kd/TextureInfo from the walk, per-light diff/spec
+        # with the IDENTICAL op chain the shading epilogue below uses, so
+        # the XLA tail (common.fused_texture_tail) reproduces the deferred
+        # image bitwise with only the texel fetch left as a gather.
+        _emit_texf_gbuffer(
+            rgba_ref, key_ref, lights_ref, best_key, attrs,
+            eye_x, eye_y, eye_z, num_lights=num_lights,
+        )
+        return
 
     if has_materials:
         # Material epilogue: ambient + diffuse modulated by the winner's
@@ -496,6 +624,7 @@ def _raster_kernel_wl(
     dense_rows: bool,
     has_materials: bool = False,
     vis: bool = False,
+    texf: bool = False,
 ):
     """Work-list variant of ``_raster_kernel``: the grid is the (dynamic)
     number of OCCUPIED tiles; step i renders tile ``wl[i]``. Empty tiles —
@@ -581,7 +710,7 @@ def _raster_kernel_wl(
         rgba_ref, key_ref,
         wait_list, read_slot, ti, tj, count,
         tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
-        has_materials=has_materials, vis=vis,
+        has_materials=has_materials, vis=vis, texf=texf,
     )
 
 
@@ -603,7 +732,8 @@ def occupied_worklist(seg_count):
 @functools.partial(
     jax.jit,
     static_argnames=("height_padded", "width_padded", "tile_h", "tile_w",
-                     "tile_cap", "layout", "interpret", "worklist", "vis"),
+                     "tile_cap", "layout", "interpret", "worklist", "vis",
+                     "texf"),
 )
 def raster_shade_tiles(
     tri_table,  # (T, 32) f32
@@ -625,6 +755,7 @@ def raster_shade_tiles(
     interpret: bool = False,
     worklist: bool = False,
     vis: bool = False,
+    texf: bool = False,
     y_offset=0,
 ):
     """Run the fused raster+shade kernel over the padded framebuffer.
@@ -642,11 +773,24 @@ def raster_shade_tiles(
     ``vis=True`` runs the visibility-only walk (deferred texturing): the
     first output is the winning triangle id (Hp,Wp) i32 (-1 = background)
     instead of shaded RGBA; attribute resolve + atlas sample + shading run
-    as a plain-XLA tail over it (backends/tpu.py)."""
+    as a plain-XLA tail over it (backends/tpu.py).
+
+    ``texf=True`` (fused texturing, round 4 — requires a
+    TEX_TRI_TABLE_WIDTH table): the first output is the (C,Hp,Wp) f32
+    common.TEXF G-buffer; the tail (common.fused_texture_tail) is one
+    texel fetch + elementwise math. Mutually exclusive with ``vis``."""
     nty = height_padded // tile_h
     ntx = width_padded // tile_w
 
     from compute_renderer_tpu.backends import common
+
+    if texf and vis:
+        raise ValueError("texf and vis are mutually exclusive")
+    if texf and tri_table.shape[1] != TEX_TRI_TABLE_WIDTH:
+        raise ValueError(
+            f"texf needs a {TEX_TRI_TABLE_WIDTH}-wide table, got "
+            f"{tri_table.shape[1]}"
+        )
 
     threshold, melt_threshold = common.coverage_thresholds(effect)
     mirage_flag = jnp.where(effect[0] == EFFECT_MIRAGE, F32(1.0), F32(0.0))
@@ -673,13 +817,26 @@ def raster_shade_tiles(
     grid = (nty, ntx)
     dense_rows = layout == "dense"
     # Static shape dispatch: a 35-wide table carries the material
-    # extension's kd columns and selects the modulated epilogue.
-    has_materials = tri_table.shape[1] > TRI_TABLE_WIDTH
+    # extension's kd columns and selects the modulated epilogue (the
+    # 44-wide texf table is dispatched explicitly, not by shape).
+    has_materials = (not texf) and tri_table.shape[1] > TRI_TABLE_WIDTH
     kernel = functools.partial(
         _raster_kernel, tile_h=tile_h, tile_w=tile_w, num_lights=num_lights,
         dense_rows=dense_rows, has_materials=has_materials, vis=vis,
+        texf=texf,
     )
-    out0_dtype = jnp.int32 if vis else jnp.uint32
+    out0_dtype = jnp.int32 if vis else (F32 if texf else jnp.uint32)
+    C = common.texf_channels(num_lights)
+    if texf:
+        out0_shape = (C, height_padded, width_padded)
+        out0_block = (C, tile_h, tile_w)
+        out0_index = lambda i, j: (0, i, j)
+        out0_index_wl = lambda i, wl: (0, wl[i] // ntx, wl[i] % ntx)
+    else:
+        out0_shape = (height_padded, width_padded)
+        out0_block = (tile_h, tile_w)
+        out0_index = lambda i, j: (i, j)
+        out0_index_wl = lambda i, wl: (wl[i] // ntx, wl[i] % ntx)
     if dense_rows:
         scratch_shapes = [
             pltpu.SMEM((8, pair_tri.shape[1]), jnp.int32),
@@ -699,13 +856,16 @@ def raster_shade_tiles(
         wl_kernel = functools.partial(
             _raster_kernel_wl, tile_h=tile_h, tile_w=tile_w, ntx=ntx,
             num_lights=num_lights, dense_rows=dense_rows,
-            has_materials=has_materials, vis=vis,
+            has_materials=has_materials, vis=vis, texf=texf,
         )
-        rgba_clear = (
-            jnp.full((height_padded, width_padded), -1, jnp.int32)
-            if vis else
-            jnp.full((height_padded, width_padded), 0xFFFF0000, jnp.uint32)
-        )
+        if vis:
+            rgba_clear = jnp.full((height_padded, width_padded), -1,
+                                  jnp.int32)
+        elif texf:
+            rgba_clear = jnp.zeros(out0_shape, F32)
+        else:
+            rgba_clear = jnp.full((height_padded, width_padded),
+                                  0xFFFF0000, jnp.uint32)
         key_clear = jnp.full((height_padded, width_padded), DEPTH_CLEAR_BITS,
                              jnp.uint32)
         hbm = pl.ANY if interpret else pltpu.HBM
@@ -726,8 +886,7 @@ def raster_shade_tiles(
                 ],
                 out_specs=[
                     pl.BlockSpec(
-                        (tile_h, tile_w),
-                        lambda i, wl: (wl[i] // ntx, wl[i] % ntx),
+                        out0_block, out0_index_wl,
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
@@ -739,8 +898,7 @@ def raster_shade_tiles(
                 scratch_shapes=scratch_shapes,
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((height_padded, width_padded),
-                                     out0_dtype),
+                jax.ShapeDtypeStruct(out0_shape, out0_dtype),
                 jax.ShapeDtypeStruct((height_padded, width_padded),
                                      jnp.uint32),
             ],
@@ -770,13 +928,12 @@ def raster_shade_tiles(
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(out0_block, out0_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((height_padded, width_padded), out0_dtype),
+            jax.ShapeDtypeStruct(out0_shape, out0_dtype),
             jax.ShapeDtypeStruct((height_padded, width_padded), jnp.uint32),
         ],
         scratch_shapes=scratch_shapes,

@@ -48,25 +48,27 @@ MAX_TILE_CAP = 8192
 
 
 def choose_tile(num_triangles: int, width: int, height: int) -> tuple:
-    """Adaptive framebuffer tile shape.
+    """Framebuffer tile shape: (8, 128) — the native VPU vreg shape.
 
-    Every binned triangle costs one full-tile vector pass, so scenes of
-    subpixel triangles want the smallest (VPU-register-shaped) tile, while
-    low-density scenes want big tiles to amortize per-tile overhead
-    (measured sweep in BASELINE.md)."""
-    avg_area = (width * height) / max(num_triangles, 1)
-    # Measured sweep (BASELINE.md): 16x256 wins down to ~19 px/tri scenes;
-    # only truly subpixel geometry (~1M tris at 1024x768) gains from the
-    # smaller tile's 4x lower per-pair vector cost.
-    if avg_area < 4.0:
-        return 8, 128
-    return 16, 256
+    Round-4 hardware sweep (scripts/ab_tile_sweep.py, v5e 2026-08-19,
+    tile shape x work-list x scene size): with the occupied-tile work
+    list, 8x128 beats the former 16x256 default at EVERY scale measured —
+    suzanne 1.3k tris 0.22 vs 0.28 ms, vokselia-small 8k 0.75 vs 1.36,
+    exterior 16k 0.66 vs 1.77, san-miguel-small 42k 2.84 vs 3.07. The
+    round-1 sweep that picked 16x256 predates the work-list kernel (which
+    already absorbs the per-tile overhead big tiles amortized); each
+    binned pair costs a full-tile vector pass, so the 4x smaller tile
+    wastes 4x fewer pixel lanes per pair. Kept as a function (with the
+    former signature) so a future density-adaptive rule slots back in."""
+    del num_triangles, width, height
+    return 8, 128
 
 
 @partial(
     jax.jit,
     static_argnames=("width", "height", "pair_cap", "interpret",
-                     "effect_kind", "tex_filter", "use_pallas_front"),
+                     "effect_kind", "tex_filter", "use_pallas_front",
+                     "tex_mode"),
 )
 def render_frame_micro(
     positions,
@@ -110,6 +112,18 @@ def render_frame_micro(
     # geometry, no material/texture extension — those paths still need the
     # XLA chain's intermediates).
     use_pallas_front: bool | None = None,
+    # Texture execution mode (round 4, see render_frame): "fused" runs the
+    # micro kernel's texf epilogue for nearest/bilinear; "deferred" keeps
+    # the vis walk + resolve/sample tail.
+    tex_mode: str = "fused",
+    texels_packed=None,
+    # Precomputed per-mesh texf inputs (engine uploads them once, like
+    # pos_soa/nrm_soa): uv corner-SoA (3, 2, T) and TextureInfo rows
+    # (T, 3) f32. Derived from uvs/face_tex/tex_table when absent — but
+    # that derivation is a 6M + 3M element gather PER FRAME at 1M tris
+    # (~15 ms) for values that are static per mesh.
+    uv_soa=None,
+    tex_rows=None,
 ):
     """Mega-scene path: 8x8-cell binning (ONE global sort) + the lane-packed
     micro kernel (pallas_micro). Coefficients stream from HBM, so there is
@@ -148,26 +162,44 @@ def render_frame_micro(
     if pair_cap == 0:
         pair_cap = binning.default_pair_cap_micro(T, ntx * nty * 16)
 
-    vis = face_tex is not None
+    textured = face_tex is not None
+    texf = (textured and tex_mode == "fused"
+            and tex_filter in ("nearest", "bilinear"))
+    vis = textured and not texf
 
     use_front = use_pallas_front
     if use_front is None:
+        # Round 4: the fused front also emits the material (35-row) and
+        # fused-texture (44-row) tables, so only the deferred-vis mode —
+        # whose tail needs the XLA chain's screen/world intermediates —
+        # still disqualifies it.
         use_front = (not interpret and screen is None and tri_table is None
-                     and not vis and face_kd is None)
+                     and not vis)
     if use_front:
         # Fused front end: one Pallas pass produces the cover meta (fed
-        # straight to the pair-expansion kernel) and the 32 coefficient
-        # rows (packed to the (T, 16) c64 table) — the XLA vertex/setup/
-        # table chain below never materializes.
+        # straight to the pair-expansion kernel) and the coefficient rows
+        # (packed to the c64 table) — the XLA vertex/setup/table chain
+        # below never materializes.
         from compute_renderer_tpu.backends import pallas_front
 
         if pos_soa is None:
             pos_soa = positions[tri].transpose(1, 2, 0)
         if nrm_soa is None:
             nrm_soa = normals[tri].transpose(1, 2, 0)
+        front_kw = {}
+        if texf:
+            front_kw = {
+                "kd_rows": face_kd,
+                "uv_soa": (uvs.astype(F32)[tri].transpose(1, 2, 0)
+                           if uv_soa is None else uv_soa),
+                "tex_rows": (common.tex_rows_f32(face_tex, tex_table)
+                             if tex_rows is None else tex_rows),
+            }
+        elif face_kd is not None:
+            front_kw = {"kd_rows": face_kd}
         coeff, meta = pallas_front.front_end(
             pos_soa, nrm_soa, view_proj, effect,
-            width=width, height=height, interpret=interpret,
+            width=width, height=height, interpret=interpret, **front_kw,
         )
         bins = binning.bin_cells_sort_meta(
             meta[3], meta[2], meta[0], meta[1], ntx, nty, pair_cap,
@@ -213,14 +245,29 @@ def render_frame_micro(
         # count (the frame's most expensive op at mega scale) — bit-exact.
         # Visibility mode only reads the coverage/depth columns, so the
         # table stays 16-wide (kd applies in the deferred tail instead).
-        tri_table = pallas_micro.build_tri_table_c64(
-            screen_soa, nrm_tuples, world_soa,
-            face_kd=None if vis else face_kd,
-        )
+        # The fused-texture (texf) table adds uv/kd/TextureInfo columns.
+        if texf:
+            uv_c = (uvs.astype(F32)[tri].transpose(1, 2, 0)
+                    if uv_soa is None else uv_soa)  # (3, 2, T)
+            tri_table = pallas_micro.build_tri_table_c64(
+                screen_soa, nrm_tuples, world_soa, face_kd=face_kd,
+                uv_soa=tuple(
+                    tuple(uv_c[k, c] for c in range(2)) for k in range(3)
+                ),
+                tex_rows=(common.tex_rows_f32(face_tex, tex_table)
+                          if tex_rows is None else tex_rows),
+            )
+        else:
+            tri_table = pallas_micro.build_tri_table_c64(
+                screen_soa, nrm_tuples, world_soa,
+                face_kd=None if vis else face_kd,
+            )
     # Static: material tables are wider than the 32-coefficient base form
     # ((T, 35) f32 or (T, 18) c64) and select the 40-row stream + the
-    # modulated shading epilogue.
-    mat = tri_table.shape[1] > (16 if jnp.iscomplexobj(tri_table) else 32)
+    # modulated shading epilogue (texf dispatches explicitly, not by
+    # shape).
+    mat = (not texf) and tri_table.shape[1] > (
+        16 if jnp.iscomplexobj(tri_table) else 32)
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
     rgba_packed, best_key_p = pallas_micro.raster_shade_micro(
         pair_coeffs,
@@ -239,9 +286,17 @@ def render_frame_micro(
         effect_kind=effect_kind,
         mat=mat,
         vis=vis,
+        texf=texf,
     )
     best_key = best_key_p[:height, :width]
     overflow = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
+    if texf:
+        rgba = common.fused_texture_tail(
+            rgba_packed[:, :height, :width], best_key, texels,
+            light_color.astype(F32), light_intensity.astype(F32),
+            tex_filter=tex_filter, texels_packed=texels_packed,
+        )
+        return rgba, best_key, overflow
     if not vis:
         rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
         return rgba, best_key, overflow
@@ -329,6 +384,14 @@ def micro_vis_tail(
     )
 
 
+def texf_eligible(tex_table) -> bool:
+    """Fused texturing carries TextureInfo offsets as f32 constants in the
+    coefficient table — exact only below 2^24 texels (64 MB of atlas).
+    Larger atlases fall back to the deferred tail."""
+    t = np.asarray(tex_table)
+    return t.size == 0 or int(t[:, 0].max()) < (1 << 24)
+
+
 def resolve_path(path: str, num_triangles: int, tri_chunk: int = 0) -> str:
     """'auto' picks the lane-packed micro path exactly where the tile path
     would have to chunk its VMEM triangle table (and pay one sort per
@@ -344,7 +407,7 @@ def resolve_path(path: str, num_triangles: int, tri_chunk: int = 0) -> str:
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "pair_cap",
                      "tile_cap", "interpret", "tri_chunk", "path",
-                     "worklist", "effect_kind", "tex_filter"),
+                     "worklist", "effect_kind", "tex_filter", "tex_mode"),
 )
 def render_frame(
     positions,
@@ -394,6 +457,21 @@ def render_frame(
     # tail (trilinear: texels = mip-extended pool, tex_mips = level table).
     tex_filter: str = "nearest",
     tex_mips=None,
+    # Texture execution mode (round 4): "fused" (default) runs the kernels'
+    # texf epilogue for nearest/bilinear — uv/kd/TextureInfo/diff/spec all
+    # interpolated in-kernel, the XLA tail reduced to the texel fetch
+    # (common.fused_texture_tail; bitwise-equal image to the deferred
+    # tail). "deferred" keeps the round-3 vis-walk + resolve/sample tail
+    # (also taken automatically for trilinear/anisotropic, which need the
+    # mip machinery). Requires atlas offsets < 2^24 (texf_eligible).
+    tex_mode: str = "fused",
+    # Optional (P,) i32 u8-packed pool (io.textures.pack_pool_u8): 1 gather
+    # element per tap instead of a 3-element row; bitwise-identical (but
+    # measured SLOWER on v5e — see the note in ``render``).
+    texels_packed=None,
+    # Precomputed per-mesh texf inputs (see render_frame_micro).
+    uv_soa=None,
+    tex_rows=None,
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
     overflow (2,) i32 = [pair_cap_needed, tile_cap_needed] where 0 means
@@ -427,15 +505,24 @@ def render_frame(
             effect_kind=effect_kind, face_kd=face_kd,
             face_tex=face_tex, texels=texels, tex_table=tex_table,
             tex_filter=tex_filter, tex_mips=tex_mips,
+            tex_mode=tex_mode, texels_packed=texels_packed,
+            uv_soa=uv_soa, tex_rows=tex_rows,
         )
+    textured = face_tex is not None
+    texf = (textured and tex_mode == "fused"
+            and tex_filter in ("nearest", "bilinear"))
+    vis = textured and not texf
     if tri_chunk == 0:
         # Size chunks for the table that will actually be built: the
-        # material table is MAT_TRI_TABLE_WIDTH (35) columns, not 32 —
-        # sizing by 32 would overshoot the VMEM budget ~9% on chunked
-        # material scenes.
-        table_width = (pallas_raster.MAT_TRI_TABLE_WIDTH
-                       if face_kd is not None and face_tex is None
-                       else pallas_raster.TRI_TABLE_WIDTH)
+        # material table is MAT_TRI_TABLE_WIDTH (35) columns, not 32, and
+        # the fused-texture table TEX_TRI_TABLE_WIDTH (44) — sizing by 32
+        # would overshoot the VMEM budget on chunked extended scenes.
+        if texf:
+            table_width = pallas_raster.TEX_TRI_TABLE_WIDTH
+        elif face_kd is not None and face_tex is None:
+            table_width = pallas_raster.MAT_TRI_TABLE_WIDTH
+        else:
+            table_width = pallas_raster.TRI_TABLE_WIDTH
         tri_chunk = MAX_TRI_TABLE_BYTES // (table_width * 4)
     if tile_h == 0 or tile_w == 0:
         tile_h, tile_w = choose_tile(T, width, height)
@@ -454,7 +541,8 @@ def render_frame(
     normals32 = normals.astype(F32)
     num_chunks = (T + tri_chunk - 1) // tri_chunk
 
-    vis = face_tex is not None
+    if texf and tex_rows is None:
+        tex_rows = common.tex_rows_f32(face_tex, tex_table)
     rgba_packed = best_key_p = overflow = None
     for c in range(num_chunks):
         c0 = c * tri_chunk
@@ -479,6 +567,7 @@ def render_frame(
         tri_table = pallas_raster.build_tri_table(
             screen, tri[c0:c1], uvs32, normals32, world,
             face_kd=(None if face_kd is None or vis else face_kd[c0:c1]),
+            tex_rows=None if tex_rows is None else tex_rows[c0:c1],
         )
         pair_data = (
             bins["bin_rows"] if bins["layout"] == "dense" else bins["pair_tri"]
@@ -502,6 +591,7 @@ def render_frame(
             interpret=interpret,
             worklist=worklist,
             vis=vis,
+            texf=texf,
         )
         if vis:
             # Chunk-local winner ids -> global triangle ids before merging.
@@ -511,11 +601,21 @@ def render_frame(
             rgba_packed, best_key_p, overflow = rgba_c, key_c, chunk_flags
         else:
             win = key_c < best_key_p
-            rgba_packed = jnp.where(win, rgba_c, rgba_packed)
+            # texf chunk merge: the (C,Hp,Wp) G-buffer merges channel-wise
+            # by the same depth-key winner mask.
+            rgba_packed = jnp.where(win[None] if texf else win,
+                                    rgba_c, rgba_packed)
             best_key_p = jnp.where(win, key_c, best_key_p)
             overflow = jnp.maximum(overflow, chunk_flags)
 
     best_key = best_key_p[:height, :width]
+    if texf:
+        rgba = common.fused_texture_tail(
+            rgba_packed[:, :height, :width], best_key, texels,
+            light_color.astype(F32), light_intensity.astype(F32),
+            tex_filter=tex_filter, texels_packed=texels_packed,
+        )
+        return rgba, best_key, overflow
     if not vis:
         rgba = pallas_raster.unpack_rgba(rgba_packed)[:height, :width]
         return rgba, best_key, overflow
@@ -576,7 +676,8 @@ def default_caps(path: str, num_triangles: int, width: int, height: int,
 def render(mesh, camera_uniform, lights, effect, width, height,
            tile_h: int = 0, tile_w: int = 0, pair_cap: int = 0,
            tile_cap: int = 0, max_retries: int = 3, path: str = "auto",
-           worklist: bool = True, tex_filter: str = "nearest"):
+           worklist: bool = True, tex_filter: str = "nearest",
+           tex_mode: str = "fused"):
     """Host-level entry with automatic capacity retry: if the binning
     capacities overflow (detected, unlike the reference's silent OOB), double
     them and re-render."""
@@ -610,6 +711,16 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             "pos_soa": args[0][args[3]].transpose(1, 2, 0),
             "nrm_soa": args[1][args[3]].transpose(1, 2, 0),
         }
+        if textured and tex_mode == "fused" \
+                and texf_eligible(mesh.tex_table):
+            # texf inputs are static per mesh: precompute them once like
+            # pos_soa/nrm_soa (the in-jit derivation is a 9M-element
+            # gather per frame at 1M tris).
+            micro_kwargs["uv_soa"] = args[2].astype(F32)[
+                args[3]].transpose(1, 2, 0)
+            micro_kwargs["tex_rows"] = common.tex_rows_f32(
+                jnp.asarray(mesh.face_tex),
+                jnp.asarray(mesh.tex_table))
     tex_kwargs = {}
     if textured:
         tex_kwargs = {
@@ -624,6 +735,14 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             pool, mips = trilinear_tex_arrays(mesh.texels, mesh.tex_table)
             tex_kwargs["texels"] = jnp.asarray(pool)
             tex_kwargs["tex_mips"] = jnp.asarray(mips)
+        elif not (tex_mode == "fused" and texf_eligible(mesh.tex_table)):
+            tex_kwargs["tex_mode"] = "deferred"
+        # NOTE: the u8-packed pool (pack_pool_u8 / texels_packed) is NOT
+        # used by default: measured on v5e (tex_fused A/B, 2026-08-19) the
+        # flat 1-element gather is ~2x SLOWER than the (P, 3) row gather
+        # (11.1 vs 6.5 ms at 36k tris) — XLA:TPU vectorizes row gathers
+        # better than same-count flat gathers. The path stays available
+        # (texels_packed=...) and bitwise-verified for future backends.
     for _ in range(max_retries):
         if path == "micro":
             rgba, _, overflow = render_frame_micro(

@@ -135,6 +135,20 @@ class Renderer:
                 self.textures["tex_mips"] = jnp.asarray(mips)
             else:
                 self.textures["texels"] = jnp.asarray(mesh.texels)
+                if self.backend_name == "tpu":
+                    # Fused texturing (tpu backend default for nearest/
+                    # bilinear) with the deferred fallback for over-large
+                    # atlases — the SAME decisions tpu.render makes, so
+                    # engine frames compile to the identical program. (The
+                    # u8-packed pool is deliberately not used: see the
+                    # measured note in tpu.render.)
+                    from compute_renderer_tpu.backends.tpu import (
+                        texf_eligible,
+                    )
+
+                    if not (self.options.get("tex_mode", "fused") == "fused"
+                            and texf_eligible(mesh.tex_table)):
+                        self.options["tex_mode"] = "deferred"
         # Corner-SoA geometry (3 corners, 3 comps, T) for the tpu backend's
         # micro (mega-scene) path: gathered + transposed ONCE at upload
         # (indices are static per mesh) so the per-frame front-end is
@@ -150,6 +164,23 @@ class Renderer:
             if path == "micro":
                 self.pos_soa = self.positions[self.tri].transpose(1, 2, 0)
                 self.nrm_soa = self.normals[self.tri].transpose(1, 2, 0)
+                if (self.textures is not None
+                        and self.options.get("tex_mode", "fused") != (
+                            "deferred")
+                        and self.options.get("tex_filter", "nearest")
+                        in ("nearest", "bilinear")):
+                    # texf inputs are static per mesh — precompute like
+                    # pos_soa/nrm_soa (in-jit derivation costs a
+                    # 9M-element gather per frame at 1M tris).
+                    from compute_renderer_tpu.backends.common import (
+                        tex_rows_f32,
+                    )
+
+                    self.textures["uv_soa"] = self.uvs.astype(
+                        jnp.float32)[self.tri].transpose(1, 2, 0)
+                    self.textures["tex_rows"] = tex_rows_f32(
+                        self.textures["face_tex"],
+                        self.textures["tex_table"])
         self._step_cache.clear()
 
     @property

@@ -195,6 +195,27 @@ def trilinear_tex_arrays(texels, tex_table) -> tuple:
     return build_mips(np.asarray(texels), np.asarray(tex_table))
 
 
+def pack_pool_u8(texels: np.ndarray):
+    """u8-pack a flat (P, 3) f32 texel pool into (P,) i32 ``r|g<<8|b<<16``
+    — EXACTLY when every value round-trips: v == round(v*255)/255 bitwise
+    in f32, which holds for any u8-sourced image (the loaders above produce
+    u8/255). Returns the packed pool, or None when any texel is not
+    u8-exact (16-bit PPMs, mip-filtered means) — callers then gather the
+    f32 rows instead. The fused texture tail's unpack performs the same
+    k/255 f32 division the loader did, so sampling the packed pool is
+    bitwise-identical to sampling ``texels``."""
+    texels = np.asarray(texels, dtype=F32)
+    if texels.size == 0:
+        return None
+    k = np.round(texels * 255.0).astype(np.int64)
+    if k.min() < 0 or k.max() > 255:
+        return None
+    if not np.array_equal((k.astype(F32) / F32(255.0)), texels):
+        return None
+    k = k.astype(np.int32)
+    return np.ascontiguousarray(k[:, 0] | (k[:, 1] << 8) | (k[:, 2] << 16))
+
+
 def write_ppm(path, img: np.ndarray) -> None:
     """Write (H, W, 3) u8 (or f32 in [0,1]) as binary P6 — the procedural
     texture asset writer (tests + objgen's generated scenes)."""

@@ -35,7 +35,7 @@ from compute_renderer_tpu.backends import tpu
     static_argnames=("mesh", "width", "height", "num_lights", "pair_cap",
                      "tile_cap", "path", "interpret", "effect_kind",
                      "tile_h", "tile_w", "tri_chunk", "worklist",
-                     "tex_filter", "ssaa"),
+                     "tex_filter", "ssaa", "tex_mode"),
 )
 def render_frames_sharded(
     positions, normals, uvs, tri,
@@ -66,6 +66,10 @@ def render_frames_sharded(
     tex_table=None,
     tex_filter: str = "nearest",
     tex_mips=None,  # (M, L, 3) mip level table (trilinear only)
+    tex_mode: str = "fused",  # "fused" texf kernels | "deferred" vis+tail
+    texels_packed=None,  # optional u8-packed pool (pack_pool_u8)
+    uv_soa=None,  # precomputed (3, 2, T) texf uv corners (engine upload)
+    tex_rows=None,  # precomputed (T, 3) TextureInfo rows
     # SSAA extension: width/height are the RENDER resolution (output x
     # ssaa); each frame box-resolves to the output size inside the scan.
     ssaa: int = 1,
@@ -100,7 +104,7 @@ def render_frames_sharded(
                 tile_cap=tile_cap, path=path, interpret=interpret,
                 effect_kind=effect_kind, tile_h=tile_h, tile_w=tile_w,
                 tri_chunk=tri_chunk, worklist=worklist,
-                tex_filter=tex_filter, **kwargs,
+                tex_filter=tex_filter, tex_mode=tex_mode, **kwargs,
             )
             if ssaa > 1:
                 from compute_renderer_tpu.engine.renderer import (
@@ -129,6 +133,14 @@ def render_frames_sharded(
             operands = operands + (tex_mips,)
             in_specs = in_specs + (P(),)
             extra_names.append("tex_mips")
+        if texels_packed is not None:
+            operands = operands + (texels_packed,)
+            in_specs = in_specs + (P(),)
+            extra_names.append("texels_packed")
+        if uv_soa is not None:
+            operands = operands + (uv_soa, tex_rows)
+            in_specs = in_specs + (P(), P())
+            extra_names.extend(["uv_soa", "tex_rows"])
     return jax.shard_map(
         device_body,
         mesh=mesh,
@@ -187,6 +199,7 @@ def render_frames(renderer, uniforms_seq, mesh: Mesh,
             tri_chunk=renderer.options.get("tri_chunk", 0),
             worklist=renderer.options.get("worklist", True),
             tex_filter=renderer.options.get("tex_filter", "nearest"),
+            tex_mode=renderer.options.get("tex_mode", "fused"),
             face_kd=renderer.face_kd,
             **(renderer.textures or {}),
         )

@@ -53,12 +53,12 @@ def _stripe_render(
     light_world_pos, light_color, light_intensity,
     effect,
     face_kd=None, face_tex=None, texels=None, tex_table=None,
-    tex_mips=None,
+    tex_mips=None, texels_packed=None,
     *,
     width: int, height: int, tile_h: int, tile_w: int, nty_total: int,
     pair_cap: int, tile_cap: int, n_shards: int,
     axis_name: str, interpret: bool, tex_filter: str = "nearest",
-    ssaa: int = 1,
+    ssaa: int = 1, tex_mode: str = "fused",
 ):
     """Per-device body run under shard_map. All inputs replicated; outputs
     are this device's horizontal stripe.
@@ -89,10 +89,14 @@ def _stripe_render(
 
     bins = binning.bin_triangles(local_setup, ntx, nty_local, pair_cap, tile_cap)
 
-    vis = face_tex is not None
+    textured = face_tex is not None
+    texf = (textured and tex_mode == "fused"
+            and tex_filter in ("nearest", "bilinear"))
+    vis = textured and not texf
     tri_table = pallas_raster.build_tri_table(
         screen, tri, uvs.astype(F32), normals.astype(F32), world,
         face_kd=None if vis else face_kd,
+        tex_rows=common.tex_rows_f32(face_tex, tex_table) if texf else None,
     )
     pair_data = bins["bin_rows"] if bins["layout"] == "dense" else bins["pair_tri"]
     rgba_packed, best_key = pallas_raster.raster_shade_tiles(
@@ -103,10 +107,17 @@ def _stripe_render(
         height_padded=nty_local * tile_h, width_padded=ntx * tile_w,
         tile_h=tile_h, tile_w=tile_w, tile_cap=tile_cap,
         layout=bins["layout"], interpret=interpret, y_offset=y_offset,
-        vis=vis,
+        vis=vis, texf=texf,
     )
     needed = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
-    if vis:
+    if texf:
+        # Fused-texture tail per stripe: one texel fetch + elementwise.
+        rgba = common.fused_texture_tail(
+            rgba_packed, best_key, texels,
+            light_color.astype(F32), light_intensity.astype(F32),
+            tex_filter=tex_filter, texels_packed=texels_packed,
+        )
+    elif vis:
         # Deferred texturing over this stripe at its global pixel offset.
         best_tri = rgba_packed
         gbuffer = common.resolve_attributes(
@@ -141,12 +152,12 @@ def _stripe_render_micro(
     light_world_pos, light_color, light_intensity,
     effect,
     face_kd=None, face_tex=None, texels=None, tex_table=None,
-    tex_mips=None,
+    tex_mips=None, texels_packed=None,
     *,
     width: int, height: int, nty_total: int,
     pair_cap: int, n_shards: int,
     axis_name: str, interpret: bool, tex_filter: str = "nearest",
-    ssaa: int = 1,
+    ssaa: int = 1, tex_mode: str = "fused",
 ):
     """Per-device micro-path body (lane-packed kernel, 8x8-cell binning).
 
@@ -192,15 +203,28 @@ def _stripe_render_micro(
                                   interpret=interpret,
                                   use_pallas_expand=False)
 
-    vis = face_tex is not None
+    textured = face_tex is not None
+    texf = (textured and tex_mode == "fused"
+            and tex_filter in ("nearest", "bilinear"))
+    vis = textured and not texf
     nrm_soa = normals[tri].astype(F32).transpose(1, 2, 0)
     nrm_tuples = tuple(
         tuple(nrm_soa[k, c] for c in range(3)) for k in range(3)
     )
-    tri_table = pallas_micro.build_tri_table_c64(
-        screen_soa, nrm_tuples, world_soa,
-        face_kd=None if vis else face_kd,
-    )
+    if texf:
+        uv_c = uvs.astype(F32)[tri]
+        tri_table = pallas_micro.build_tri_table_c64(
+            screen_soa, nrm_tuples, world_soa, face_kd=face_kd,
+            uv_soa=tuple(
+                tuple(uv_c[:, k, c] for c in range(2)) for k in range(3)
+            ),
+            tex_rows=common.tex_rows_f32(face_tex, tex_table),
+        )
+    else:
+        tri_table = pallas_micro.build_tri_table_c64(
+            screen_soa, nrm_tuples, world_soa,
+            face_kd=None if vis else face_kd,
+        )
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
     rgba_packed, best_key = pallas_micro.raster_shade_micro(
         pair_coeffs, bins["seg_start"], bins["seg_count"],
@@ -210,11 +234,18 @@ def _stripe_render_micro(
         light_color.astype(F32), light_intensity.astype(F32),
         height_padded=nty_local * 8, width_padded=ntx * 128,
         interpret=interpret, y_offset=y_offset,
-        mat=tri_table.shape[1] > 16,  # c64 table: 16 base / 18 material
-        vis=vis,
+        # c64 table: 16 base / 18 material (texf's 22 dispatches explicitly)
+        mat=(not texf) and tri_table.shape[1] > 16,
+        vis=vis, texf=texf,
     )
     needed = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
-    if vis:
+    if texf:
+        rgba = common.fused_texture_tail(
+            rgba_packed, best_key, texels,
+            light_color.astype(F32), light_intensity.astype(F32),
+            tex_filter=tex_filter, texels_packed=texels_packed,
+        )
+    elif vis:
         # Deferred texturing over this stripe: pair ids map through the
         # stripe-local sorted pair list to GLOBAL triangle ids (expansion
         # ran over the full scene with stripe-clipped cell ranges).
@@ -243,13 +274,13 @@ def _stripe_render_sortmiddle(
     light_world_pos, light_color, light_intensity,
     effect,
     face_kd=None, face_tex=None, texels=None, tex_table=None,
-    tex_mips=None,
+    tex_mips=None, texels_packed=None,
     screen=None, world=None, tri_table=None,
     *,
     width: int, height: int, nty_total: int,
     pair_cap: int, bucket_cap: int, n_shards: int,
     axis_name: str, interpret: bool, tex_filter: str = "nearest",
-    ssaa: int = 1,
+    ssaa: int = 1, tex_mode: str = "fused",
 ):
     """Sort-middle micro-path stripe (SURVEY §2.3 multi-device stretch).
 
@@ -386,30 +417,51 @@ def _stripe_render_sortmiddle(
     # 16 B * T / n per link per step, riding ICI alongside the pair
     # exchange. (Previously the full-T table build was replicated —
     # VERDICT r2 weak #4.)
-    vis = face_tex is not None
+    textured = face_tex is not None
+    # texf needs the uv/kd/TextureInfo columns in the table — unavailable
+    # when the parity tests inject a precomputed table, so injection keeps
+    # the deferred tail.
+    texf = (textured and tex_mode == "fused" and tri_table is None
+            and tex_filter in ("nearest", "bilinear"))
+    vis = textured and not texf
     nrm_tuples = None
+
+    def slice_rows(a, width_):
+        # Per-slice rows, padded exactly like the triangle slice (padded
+        # rows are dead: their pairs were killed in setup above).
+        return jax.lax.dynamic_slice(
+            jnp.concatenate(
+                [a.astype(F32), jnp.zeros((n_shards * Tl - T, width_), F32)]
+            ),
+            (shard * Tl, 0), (Tl, width_),
+        )
+
     if tri_table is None:
         nrm_soa = normals[tri_local].astype(F32).transpose(1, 2, 0)
         nrm_tuples = tuple(
             tuple(nrm_soa[k, c] for c in range(3)) for k in range(3)
         )
         kd_local = None
-        if not vis and face_kd is not None:
-            # kd rows slice exactly like the triangle slice (padded rows
-            # are dead: their pairs were killed in setup above).
-            kd_local = jax.lax.dynamic_slice(
-                jnp.concatenate(
-                    [face_kd.astype(F32),
-                     jnp.zeros((n_shards * Tl - T, 3), F32)]
+        if (texf or not vis) and face_kd is not None:
+            kd_local = slice_rows(face_kd, 3)
+        if texf:
+            uv_c = uvs.astype(F32)[tri_local]  # (Tl, 3, 2)
+            table_local = pallas_micro.build_tri_table_c64(
+                screen_soa, nrm_tuples, world_soa, face_kd=kd_local,
+                uv_soa=tuple(
+                    tuple(uv_c[:, k, c] for c in range(2)) for k in range(3)
                 ),
-                (shard * Tl, 0), (Tl, 3),
-            )
-        table_local = pallas_micro.build_tri_table_c64(
-            screen_soa, nrm_tuples, world_soa, face_kd=kd_local
-        )  # (Tl, 16|18) c64
+                tex_rows=slice_rows(
+                    common.tex_rows_f32(face_tex, tex_table), 3
+                ),
+            )  # (Tl, 22) c64 — the texf columns ride the same all_gather
+        else:
+            table_local = pallas_micro.build_tri_table_c64(
+                screen_soa, nrm_tuples, world_soa, face_kd=kd_local
+            )  # (Tl, 16|18) c64
         tri_table = jax.lax.all_gather(
             table_local, axis_name, axis=0, tiled=True
-        )  # (n_shards * Tl, 16|18) — padded-global triangle order
+        )  # (n_shards * Tl, cols) — padded-global triangle order
     pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, s_tri)
     rgba_packed, best_key = pallas_micro.raster_shade_micro(
         pair_coeffs, seg_start, seg_count, win_start, tile_count,
@@ -419,11 +471,21 @@ def _stripe_render_sortmiddle(
         height_padded=nty_local * 8, width_padded=ntx * 128,
         interpret=interpret, y_offset=y_offset,
         # Width threshold depends on element type: injected tables are
-        # (T, 32|35) f32, the production table is (Tl, 16|18) c64.
-        mat=tri_table.shape[1] > (16 if jnp.iscomplexobj(tri_table) else 32),
-        vis=vis,
+        # (T, 32|35) f32, the production table is (Tl, 16|18) c64 (texf's
+        # 22 dispatches explicitly).
+        mat=(not texf) and tri_table.shape[1] > (
+            16 if jnp.iscomplexobj(tri_table) else 32),
+        vis=vis, texf=texf,
     )
-    if vis:
+    if texf:
+        # Fused tail: no corner arrays, no extra collectives — everything
+        # per-pixel came through the table all_gather already.
+        rgba = common.fused_texture_tail(
+            rgba_packed, best_key, texels,
+            light_color.astype(F32), light_intensity.astype(F32),
+            tex_filter=tex_filter, texels_packed=texels_packed,
+        )
+    elif vis:
         # Deferred texturing tail: pair ids are padded-global triangle ids
         # (tri_base + local), so the corner arrays must be padded-global
         # too — each device builds its slice's rows (O(T/n) compute, every
@@ -474,7 +536,7 @@ def _stripe_render_sortmiddle(
     jax.jit,
     static_argnames=("mesh", "width", "height", "tile_h", "tile_w",
                      "pair_cap", "tile_cap", "interpret", "path",
-                     "bucket_cap", "tex_filter", "ssaa"),
+                     "bucket_cap", "tex_filter", "ssaa", "tex_mode"),
 )
 def render_frame_sharded(
     positions, normals, uvs, tri,
@@ -485,8 +547,8 @@ def render_frame_sharded(
     mesh: Mesh,
     width: int,
     height: int,
-    tile_h: int = 16,
-    tile_w: int = 256,
+    tile_h: int = 8,
+    tile_w: int = 128,
     pair_cap: int = 0,
     tile_cap: int = 0,
     interpret: bool | None = None,
@@ -501,6 +563,8 @@ def render_frame_sharded(
     tex_table=None,
     tex_filter: str = "nearest",
     tex_mips=None,  # (M, L, 3) mip level table (trilinear only)
+    tex_mode: str = "fused",  # "fused" texf kernels | "deferred" vis+tail
+    texels_packed=None,  # optional u8-packed pool (pack_pool_u8)
     # SSAA extension: stripes render at ssaa x the output resolution and
     # each resolves its own rows (exact in any order: block means of
     # integer-valued u8 data), so only resolved pixels leave the step.
@@ -560,6 +624,7 @@ def render_frame_sharded(
             width=rw, height=rh, nty_total=nty, pair_cap=pair_cap,
             bucket_cap=bucket_cap, n_shards=n_shards, axis_name=axis_name,
             interpret=interpret, tex_filter=tex_filter, ssaa=ssaa,
+            tex_mode=tex_mode,
         )
     elif path == "micro":
         ntx = (rw + 127) // 128
@@ -572,7 +637,7 @@ def render_frame_sharded(
             _stripe_render_micro,
             width=rw, height=rh, nty_total=nty, pair_cap=pair_cap,
             n_shards=n_shards, axis_name=axis_name, interpret=interpret,
-            tex_filter=tex_filter, ssaa=ssaa,
+            tex_filter=tex_filter, ssaa=ssaa, tex_mode=tex_mode,
         )
     else:
         ntx = (rw + tile_w - 1) // tile_w
@@ -603,7 +668,7 @@ def render_frame_sharded(
             width=rw, height=rh, tile_h=tile_h, tile_w=tile_w,
             nty_total=nty, pair_cap=pair_cap, tile_cap=tile_cap,
             n_shards=n_shards, axis_name=axis_name, interpret=interpret,
-            tex_filter=tex_filter, ssaa=ssaa,
+            tex_filter=tex_filter, ssaa=ssaa, tex_mode=tex_mode,
         )
 
     operands = (
@@ -622,6 +687,9 @@ def render_frame_sharded(
         if tex_mips is not None:
             operands = operands + (tex_mips,)
             extra_names.append("tex_mips")
+        if texels_packed is not None:
+            operands = operands + (texels_packed,)
+            extra_names.append("texels_packed")
     if screen is not None:
         if path != "sortmiddle" or world is None or tri_table is None:
             raise ValueError(
@@ -687,6 +755,16 @@ def render_sharded(
         )
         options["texels"] = jnp.asarray(pool)
         options["tex_mips"] = jnp.asarray(mips)
+    elif options.get("texels") is not None:
+        # Host entry parity with tpu.render: fused texf mode with the
+        # deferred fallback for over-large atlases (texf carries offsets
+        # as f32 constants). The u8-packed pool is deliberately not built
+        # — measured 2x slower than row gathers on v5e (see tpu.render).
+        from compute_renderer_tpu.backends.tpu import texf_eligible
+
+        if not (options.get("tex_mode", "fused") == "fused"
+                and texf_eligible(np.asarray(options["tex_table"]))):
+            options["tex_mode"] = "deferred"
     requested_path = options.get("path", "auto")
     path = requested_path
     if path != "sortmiddle":
@@ -705,7 +783,7 @@ def render_sharded(
         "micro" if path in ("micro", "sortmiddle") else "tile",
         Tl if path == "sortmiddle" else T,
         width * rs, height * rs,
-        options.get("tile_h", 16), options.get("tile_w", 256),
+        options.get("tile_h", 8), options.get("tile_w", 128),
     )
     for _ in range(max_retries):
         rgba, keys, overflow = render_frame_sharded(

@@ -55,12 +55,44 @@ STEPS = [
     # the round-3 default levers one at a time at 16k-tri scale.
     ("exterior", [sys.executable, "scripts/ab_exterior.py",
                   "--iters", "12"], 3600.0),
+    # Where the "binning 6.6 ms" actually goes: the sort A/B measured the
+    # sort itself at 0.44 ms, so the cost must be in expansion/segments/
+    # pair-coeff gather — time every sub-stage separately.
+    ("binning_profile", [sys.executable, "scripts/profile_binning.py",
+                         "--iters", "12"], 3600.0),
+    # Where the 63 ms deferred-texturing tail actually goes (resolve vs
+    # sample vs shade) + raw gather cost calibration.
+    ("tex_profile", [sys.executable, "scripts/profile_tex_tail.py",
+                     "--iters", "8"], 3600.0),
     # Texture/material fusion A/B: the round's #1 item. Old deferred tail
     # vs the fused-epilogue path, per stage, at 36k-tex / 1M-mat / 1M-tex.
     # (Written later in the round: steps whose script does not exist yet
     # are skipped WITHOUT burning an attempt.)
     ("tex_fused", [sys.executable, "scripts/ab_tex_fused.py",
                    "--iters", "8"], 3600.0),
+    # Tile-shape x worklist sweep at small/mid scene sizes (the Exterior
+    # bisect found 8x128 beating the 16x256+worklist default at 16k tris).
+    ("tile_sweep", [sys.executable, "scripts/ab_tile_sweep.py",
+                    "--iters", "12"], 3600.0),
+    # Rerun of the binning profile WITH the searchsorted-method variants
+    # (the first run predates them; it exposed segments = 5.5 ms of the
+    # 6.7 ms binning stage and expand at 4.2 ms vs the bisect's 0.49).
+    ("binning_profile2", [sys.executable, "scripts/profile_binning.py",
+                          "--iters", "12"], 3600.0),
+    # Micro raster kernel cost decomposition (vis/base/mat/texf walks,
+    # chunk depth, work list) — the round's item 5 (raster <= 6 ms).
+    ("raster_ab", [sys.executable, "scripts/ab_raster.py",
+                   "--iters", "8"], 3600.0),
+    # Round-final suite AFTER the fused-texturing default landed (the
+    # suite_r4 rows predate it) + regression diff against it.
+    ("suite_r4b", [sys.executable, "-m", "compute_renderer_tpu.cli",
+                   "benchmarks", "--batch", "64", "--max-frames", "512",
+                   "--duration", "5",
+                   "--json", str(OUT / "suite_round4b.a{attempt}.json")],
+     4 * 3600.0),
+    ("suite_diff_b", [sys.executable, "scripts/suite_diff.py",
+                      str(OUT / "suite_round4.json"),
+                      str(OUT / "suite_round4b.json")], 300.0),
     # Driver-grade headline number with whatever landed above.
     ("bench_r4", [sys.executable, "bench.py"], 3900.0),
     # Full 17-scene suite + round-over-round regression diff.
@@ -72,6 +104,18 @@ STEPS = [
     ("suite_diff", [sys.executable, "scripts/suite_diff.py",
                     str(OUT / "suite_round3b.json"),
                     str(OUT / "suite_round4.json")], 300.0),
+    # True round-final suite: after the 8x128 tile-default flip (sweep:
+    # wins at every scale) and the per-mesh texf input precompute (the
+    # 1M-tri textured row's per-frame 9M-element gather).
+    ("suite_r4c", [sys.executable, "-m", "compute_renderer_tpu.cli",
+                   "benchmarks", "--batch", "64", "--max-frames", "512",
+                   "--duration", "5",
+                   "--json", str(OUT / "suite_round4c.a{attempt}.json")],
+     4 * 3600.0),
+    ("suite_diff_c", [sys.executable, "scripts/suite_diff.py",
+                      str(OUT / "suite_round4b.json"),
+                      str(OUT / "suite_round4c.json")], 300.0),
+    ("bench_r4b", [sys.executable, "bench.py"], 3900.0),
 ]
 
 

@@ -70,7 +70,7 @@ def test_fuzz_backends_agree_exactly(seed):
     lights = random_lights(rng, int(rng.integers(1, 4)))
     effect = random_effect(rng)
 
-    ref = xla.render(mesh, u, lights, effect, W, H, tile_h=16, tile_w=256)
+    ref = xla.render(mesh, u, lights, effect, W, H, tile_h=8, tile_w=128)
     ours = tpu.render(mesh, u, lights, effect, W, H)
     np.testing.assert_array_equal(ours, ref)
 
@@ -110,7 +110,7 @@ def test_fuzz_degenerate_soup():
     u = cam.uniform()
     lights = random_lights(rng, 1)
     eff = EffectUniform().as_array()
-    ref = xla.render(mesh, u, lights, eff, W, H, tile_h=16, tile_w=256)
+    ref = xla.render(mesh, u, lights, eff, W, H, tile_h=8, tile_w=128)
     ours = tpu.render(mesh, u, lights, eff, W, H)
     np.testing.assert_array_equal(ours, ref)
 
@@ -192,7 +192,7 @@ def test_fuzz_textured_filters_backends_agree(seed):
     eff = EffectUniform().as_array()
     filt = ("nearest", "bilinear")[int(rng.integers(0, 2))]
 
-    ref_tile = xla.render(mesh, u, lights, eff, W, H, tile_h=16, tile_w=256,
+    ref_tile = xla.render(mesh, u, lights, eff, W, H, tile_h=8, tile_w=128,
                           tex_filter=filt)
     tile = tpu.render(mesh, u, lights, eff, W, H, tex_filter=filt)
     np.testing.assert_array_equal(tile, ref_tile)

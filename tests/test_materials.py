@@ -47,7 +47,7 @@ def render_pair(mesh, w=W, h=H, **tpu_kw):
     u = camera.uniform()
     effect = EffectUniform().as_array()
     lights = lights_at_camera()
-    ref = xla.render(mesh, u, lights, effect, w, h, tile_h=16, tile_w=256)
+    ref = xla.render(mesh, u, lights, effect, w, h, tile_h=8, tile_w=128)
     ours = tpu.render(mesh, u, lights, effect, w, h, **tpu_kw)
     return ref, ours, (u, lights, effect)
 

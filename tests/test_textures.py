@@ -287,7 +287,7 @@ def render_tpu_mesh(mesh, w=W, h=H, **kw):
 
 def test_xla_vs_tpu_textured():
     mesh = textured_quad()
-    ref = render_xla_mesh(mesh, tile_h=16, tile_w=256)
+    ref = render_xla_mesh(mesh, tile_h=8, tile_w=128)
     ours = render_tpu_mesh(mesh)
     np.testing.assert_array_equal(ours, ref)
 
@@ -295,7 +295,7 @@ def test_xla_vs_tpu_textured():
 def test_xla_vs_tpu_textured_with_kd_no_worklist():
     kd = np.array([[0.9, 0.8, 0.2], [0.2, 0.8, 0.9]], dtype=F32)
     mesh = textured_quad(kd=kd)
-    ref = render_xla_mesh(mesh, tile_h=16, tile_w=256)
+    ref = render_xla_mesh(mesh, tile_h=8, tile_w=128)
     ours = render_tpu_mesh(mesh, worklist=False)
     np.testing.assert_array_equal(ours, ref)
 
@@ -371,15 +371,26 @@ def test_cli_textures_flag():
 
 
 def test_tpu_textured_micro_path():
-    # The mega-scene path's visibility mode: winner PAIR ids mapped through
-    # the sorted pair list, attributes resolved from corner-SoA virtual
-    # vertex arrays. Micro coverage clips to 8x8 cells = the xla baseline
-    # at tile_h=tile_w=8 (PARITY.md), so the comparison is exact there.
+    # The mega-scene path: micro coverage clips to 8x8 cells = the xla
+    # baseline at tile_h=tile_w=8 (PARITY.md). The default FUSED texture
+    # mode interpolates uv/kd/diff/spec in-kernel; on XLA:CPU (these
+    # tests) the kernel program and the comparator program may contract
+    # mul+add chains differently, so the contract here is <=1 LSB with at
+    # most a couple of flipped pixels (measured: exactly 1 px/1 LSB on
+    # this quad); on TPU neither program contracts and the comparison is
+    # bitwise. DEFERRED mode shares the tail code with the comparator and
+    # stays bitwise even on CPU — asserted below as the anchor.
     mesh = textured_quad(kd=np.array([[0.9, 0.8, 0.2], [0.2, 0.8, 0.9]],
                                      dtype=F32))
     ref = render_xla_mesh(mesh, tile_h=8, tile_w=8)
-    ours = render_tpu_mesh(mesh, path="micro")
-    np.testing.assert_array_equal(ours, ref)
+    deferred = render_tpu_mesh(mesh, path="micro", tex_mode="deferred")
+    np.testing.assert_array_equal(deferred, ref)
+    fused = render_tpu_mesh(mesh, path="micro")
+    diff = np.abs(fused.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).any(axis=-1).sum() <= 4, (
+        f"{(diff > 0).any(axis=-1).sum()} px differ from the comparator"
+    )
 
 
 def test_uv_wrap_repeats():
@@ -424,7 +435,20 @@ def test_engine_textured_micro_calibration():
     assert r.pos_soa is not None  # corner-SoA prepared for textured micro
     img = r.render(fu)
     ref = render_tpu_mesh(mesh, path="micro")
-    np.testing.assert_array_equal(img, ref)
+    # The engine settles pair_cap to need, so its fused-texture program has
+    # different static shapes than the backend default's; on XLA:CPU the
+    # two programs may FMA-contract the kernel float chains differently
+    # (PARITY.md 1-ULP class; measured 2 px / 1 LSB here). Bitwise on TPU.
+    diff = np.abs(img.astype(int) - ref.astype(int))
+    assert diff.max() <= 1 and (diff > 0).any(axis=-1).sum() <= 4, (
+        f"{(diff > 0).any(axis=-1).sum()} px, max {diff.max()}"
+    )
+    # Deferred mode shares the tail code and stays bitwise even on CPU.
+    r2 = Renderer(mesh, W, H, backend="tpu", path="micro",
+                  tex_mode="deferred")
+    np.testing.assert_array_equal(
+        r2.render(fu), render_tpu_mesh(mesh, path="micro",
+                                       tex_mode="deferred"))
 
 
 # ---------------------------------------------------------------------------
@@ -494,13 +518,22 @@ def test_golden_vs_xla_bilinear():
 
 def test_xla_vs_tpu_bilinear_tile_and_micro():
     mesh = textured_quad()
-    ref16 = render_xla_mesh(mesh, tile_h=16, tile_w=256,
+    ref8x128 = render_xla_mesh(mesh, tile_h=8, tile_w=128,
                             tex_filter="bilinear")
     tile = render_tpu_mesh(mesh, tex_filter="bilinear")
-    np.testing.assert_array_equal(tile, ref16)
+    np.testing.assert_array_equal(tile, ref8x128)
     ref8 = render_xla_mesh(mesh, tile_h=8, tile_w=8, tex_filter="bilinear")
+    # Deferred micro shares the tail code with the comparator: bitwise.
+    deferred = render_tpu_mesh(mesh, path="micro", tex_filter="bilinear",
+                               tex_mode="deferred")
+    np.testing.assert_array_equal(deferred, ref8)
+    # Fused micro (default): <=1 LSB on XLA:CPU (cross-program FMA
+    # contraction, PARITY.md 1-ULP class); bitwise on TPU.
     micro = render_tpu_mesh(mesh, path="micro", tex_filter="bilinear")
-    np.testing.assert_array_equal(micro, ref8)
+    diff = np.abs(micro.astype(int) - ref8.astype(int))
+    assert diff.max() <= 1 and (diff > 0).any(axis=-1).sum() <= 4, (
+        f"{(diff > 0).any(axis=-1).sum()} px, max {diff.max()}"
+    )
 
 
 def test_cli_texture_filter_flag():
@@ -648,10 +681,10 @@ def test_golden_vs_xla_trilinear():
 
 def test_xla_vs_tpu_trilinear_tile_and_micro():
     mesh = _minified_quad()
-    ref16 = render_xla_mesh(mesh, tile_h=16, tile_w=256,
+    ref8x128 = render_xla_mesh(mesh, tile_h=8, tile_w=128,
                             tex_filter="trilinear")
     tile = render_tpu_mesh(mesh, tex_filter="trilinear")
-    np.testing.assert_array_equal(tile, ref16)
+    np.testing.assert_array_equal(tile, ref8x128)
     ref8 = render_xla_mesh(mesh, tile_h=8, tile_w=8, tex_filter="trilinear")
     micro = render_tpu_mesh(mesh, path="micro", tex_filter="trilinear")
     np.testing.assert_array_equal(micro, ref8)
@@ -826,10 +859,10 @@ def test_golden_vs_xla_trilinear_oblique():
 
 def test_xla_vs_tpu_anisotropic_tile_and_micro():
     mesh = _oblique_quad()
-    ref16 = render_xla_mesh(mesh, tile_h=16, tile_w=256,
+    ref8x128 = render_xla_mesh(mesh, tile_h=8, tile_w=128,
                             tex_filter="anisotropic")
     tile = render_tpu_mesh(mesh, tex_filter="anisotropic")
-    np.testing.assert_array_equal(tile, ref16)
+    np.testing.assert_array_equal(tile, ref8x128)
     ref8 = render_xla_mesh(mesh, tile_h=8, tile_w=8,
                            tex_filter="anisotropic")
     micro = render_tpu_mesh(mesh, path="micro", tex_filter="anisotropic")
@@ -844,3 +877,108 @@ def test_cli_anisotropic_choice():
          "--model-path", "x.obj"]
     )
     assert scene_config_from_args(args).texture_filter == "anisotropic"
+
+
+# ---------------------------------------------------------------------------
+# Fused texturing (round 4): texf kernels + packed pool
+# ---------------------------------------------------------------------------
+
+def _u8_checker_mesh(kd=None):
+    """textured_quad variant whose atlas is exactly u8-representable, so
+    the packed-pool fast path engages (the default checker_atlas contains
+    a 0.5 decoy texel, which is NOT k/255 for any k and correctly defeats
+    pack_pool_u8)."""
+    mesh = textured_quad(kd=kd)
+    texels = np.round(mesh.texels * 255.0).astype(np.uint8).astype(F32)
+    texels /= F32(255.0)
+    return Mesh(positions=mesh.positions, normals=mesh.normals,
+                uvs=mesh.uvs, indices=mesh.indices, face_kd=mesh.face_kd,
+                face_tex=mesh.face_tex, texels=texels,
+                tex_table=mesh.tex_table)
+
+
+def test_pack_pool_u8_exactness_contract():
+    from compute_renderer_tpu.io.textures import pack_pool_u8
+
+    # u8-derived pool packs; round-trip is bitwise.
+    pool = (np.arange(12, dtype=F32).reshape(4, 3) * 17 % 256)
+    pool = pool.astype(np.uint8).astype(F32) / F32(255.0)
+    packed = pack_pool_u8(pool)
+    assert packed is not None
+    r = (packed & 0xFF).astype(F32) / F32(255.0)
+    np.testing.assert_array_equal(r, pool[:, 0])
+    # A non-u8 value (0.5) must refuse to pack.
+    bad = pool.copy()
+    bad[0, 0] = F32(0.5)
+    assert pack_pool_u8(bad) is None
+    # Empty pool: no pack.
+    assert pack_pool_u8(np.zeros((0, 3), F32)) is None
+
+
+def test_fused_packed_pool_matches_f32_pool():
+    # The packed-pool gather must be bitwise-identical to the f32 rows —
+    # same render, only the fetch representation differs.
+    import jax.numpy as jnp
+
+    from compute_renderer_tpu.backends import tpu
+    from compute_renderer_tpu.io.textures import pack_pool_u8
+
+    mesh = _u8_checker_mesh()
+    packed = pack_pool_u8(mesh.texels)
+    assert packed is not None
+    camera = Camera.first_person([0, 0, 2.0], aspect=W / H)
+    u = camera.uniform()
+    lwp, lc, li = lights_at_camera()
+    args = (
+        jnp.asarray(mesh.positions), jnp.asarray(mesh.normals),
+        jnp.asarray(mesh.uvs),
+        jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3),
+        jnp.asarray(u.view_proj), jnp.asarray(u.view_position),
+        jnp.asarray(lwp), jnp.asarray(lc), jnp.asarray(li),
+        jnp.asarray(EffectUniform().as_array()),
+    )
+    kw = dict(width=W, height=H, face_tex=jnp.asarray(mesh.face_tex),
+              texels=jnp.asarray(mesh.texels),
+              tex_table=jnp.asarray(mesh.tex_table))
+    for filt in ("nearest", "bilinear"):
+        a, _, _ = tpu.render_frame(*args, tex_filter=filt, **kw)
+        b, _, _ = tpu.render_frame(
+            *args, tex_filter=filt,
+            texels_packed=jnp.asarray(packed), **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_vs_deferred_tile_bitwise():
+    # Same backend, same path, both texture modes: the tile kernel's texf
+    # epilogue must reproduce the deferred tail's image (measured bitwise
+    # on this scene even on XLA:CPU; the contract everywhere else is
+    # <=1 LSB under cross-program contraction, bitwise on TPU).
+    kd = np.array([[0.9, 0.8, 0.2], [0.2, 0.8, 0.9]], dtype=F32)
+    mesh = textured_quad(kd=kd)
+    for filt in ("nearest", "bilinear"):
+        fused = render_tpu_mesh(mesh, tex_filter=filt)
+        deferred = render_tpu_mesh(mesh, tex_filter=filt,
+                                   tex_mode="deferred")
+        diff = np.abs(fused.astype(int) - deferred.astype(int))
+        assert diff.max() <= 1 and (diff > 0).any(axis=-1).sum() <= 4, (
+            filt, (diff > 0).any(axis=-1).sum(), diff.max())
+
+
+def test_fused_untextured_faces_keep_kd():
+    # face_tex -1 rows become tw == 0 in the texf table; those pixels must
+    # shade with their raw kd (the modulation identity), exactly like the
+    # deferred tail's `has` mask.
+    kd = np.array([[0.9, 0.8, 0.2], [0.2, 0.8, 0.9]], dtype=F32)
+    mesh = textured_quad(kd=kd)
+    mesh = Mesh(positions=mesh.positions, normals=mesh.normals,
+                uvs=mesh.uvs, indices=mesh.indices, face_kd=kd,
+                face_tex=np.array([1, -1], np.int32), texels=mesh.texels,
+                tex_table=mesh.tex_table)
+    fused = render_tpu_mesh(mesh)
+    deferred = render_tpu_mesh(mesh, tex_mode="deferred")
+    diff = np.abs(fused.astype(int) - deferred.astype(int))
+    assert diff.max() <= 1 and (diff > 0).any(axis=-1).sum() <= 4
+    # And the untextured triangle's region really differs from white.
+    ref_plain = render_xla_mesh(mesh)
+    np.testing.assert_array_equal(
+        np.abs(fused.astype(int) - ref_plain.astype(int)).max() <= 1, True)

@@ -32,7 +32,7 @@ def compare_backends(mesh, effect=None, camera=None, w=W, h=H, exact=True,
     effect = effect if effect is not None else EffectUniform().as_array()
     lights = lights_default()
 
-    ref = xla.render(mesh, u, lights, effect, w, h, tile_h=16, tile_w=256)
+    ref = xla.render(mesh, u, lights, effect, w, h, tile_h=8, tile_w=128)
     ours = tpu.render(mesh, u, lights, effect, w, h, **tpu_kw)
     if exact:
         np.testing.assert_array_equal(ours, ref)
