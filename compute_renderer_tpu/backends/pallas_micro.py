@@ -117,6 +117,7 @@ def _micro_kernel(
     mat: bool = False,
     vis: bool = False,
     texf: bool = False,
+    unroll: int = 2,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -163,6 +164,7 @@ def _micro_kernel(
             coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
             w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
             skip_mirage=skip_mirage, mat=mat, vis=vis, texf=texf,
+            unroll=unroll,
         )
 
 
@@ -195,6 +197,7 @@ def _micro_kernel_wl(
     mat: bool = False,
     vis: bool = False,
     texf: bool = False,
+    unroll: int = 2,
 ):
     """Work-list variant of ``_micro_kernel`` (the micro-path analog of
     pallas_raster._raster_kernel_wl): the grid is the dynamic count of
@@ -225,6 +228,7 @@ def _micro_kernel_wl(
         coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
         w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
         skip_mirage=skip_mirage, mat=mat, vis=vis, texf=texf,
+        unroll=unroll,
     )
 
 
@@ -233,10 +237,14 @@ def _raster_tile_micro(
     rgba_ref, key_ref, win_a, win_b, sem_a, sem_b, w0, nchunks,
     ti, tj, tile_id,
     *, num_lights: int, skip_mirage: bool = False, mat: bool = False,
-    vis: bool = False, texf: bool = False,
+    vis: bool = False, texf: bool = False, unroll: int = 2,
 ):
     threshold = params_ref[0, 0]
     melt_threshold = params_ref[0, 1]
+    # Combined coverage bound (see pallas_raster: min_bc >= max(t, melt) is
+    # bit-identical to the 4-test form, NaNs included, and ~6 ops cheaper
+    # per 16-pair block).
+    cov_min = jnp.maximum(threshold, melt_threshold)
     mirage = params_ref[0, 2]
     amplitude = params_ref[0, 3]
     frequency = params_ref[0, 4]
@@ -310,9 +318,9 @@ def _raster_tile_micro(
                 px = jnp.where(mirage > 0.5, xs + off_x, xs)
                 py = jnp.where(mirage > 0.5, ys_base + off_y, ys_base)
 
-            def body(k, carry):
+            def eval_block(kb, carry):
                 best_key, best_pair, attrs, cur = carry
-                ap = base0 + k * 16  # absolute pair index of this block
+                ap = base0 + kb * 16  # absolute pair index of this block
                 ck = (ap - w0) // CP  # chunk holding the whole block
                 adv = ck != cur
                 even = (ck % 2) == 0
@@ -379,19 +387,26 @@ def _raster_tile_micro(
                 bc2 = coef(3) + coef(4) * dx + coef(5) * dy
                 bc3 = coef(6) + coef(7) * dx + coef(8) * dy
 
-                mask = (bc1 >= threshold) & (bc2 >= threshold) & (bc3 >= threshold)
                 min_bc = jnp.minimum(bc1, jnp.minimum(bc2, bc3))
-                mask &= min_bc >= melt_threshold
+                mask = min_bc >= cov_min
 
                 z = coef(9) + coef(10) * dx + coef(11) * dy
                 mask &= jnp.isfinite(z) & valid
 
                 key = jnp.where(mask, pltpu.bitcast(z, jnp.uint32),
                                 DEPTH_CLEAR_BITS)
-                # Lexicographic (key, pair) min: lowest pair = lowest triangle
-                # id within the cell (sorted stable by cell, generated in
-                # triangle order).
-                win = (key < best_key) | ((key == best_key) & (pair_idx < best_pair))
+                # Lexicographic (key, pair) min with the pair clause FREE:
+                # within a lane group, pairs arrive in strictly ascending
+                # order across blocks (group g sees pairs ap+g, ap+16+g,
+                # ...), so on a key tie the carried winner already has the
+                # lower pair index — strict < reproduces the lexicographic
+                # result exactly. (Groups hold DIFFERENT pairs; the
+                # cross-group butterfly below still compares (key, pair).)
+                # Covered pixels are unaffected; uncovered lanes now keep
+                # PAIR_IDX_CLEAR instead of adopting the cell's lowest pair
+                # on the CLEAR==CLEAR tie — every consumer masks attrs/pair
+                # by key != DEPTH_CLEAR_BITS.
+                win = key < best_key
                 best_key = jnp.where(win, key, best_key)
                 best_pair = jnp.where(win, pair_idx, best_pair)
                 new_attrs = []
@@ -425,6 +440,29 @@ def _raster_tile_micro(
                             )
                 return best_key, best_pair, tuple(new_attrs), ck
 
+            # Unrolled walk: UNROLL independent roll->matmul->coverage
+            # chains per trip. The walk is latency-bound, not ALU-bound
+            # (round-4 raster A/B: the nattr=0 vis walk costs the SAME as
+            # the nattr=6 walk), so giving Mosaic independent chains to
+            # interleave is worth more than saving ops. The odd tail
+            # re-evaluates the LAST real block, which is a bitwise no-op:
+            # strict `key < best_key` rejects the equal re-candidate, and
+            # its chunk is already resident (adv == False). Two sub-blocks
+            # can never both cross a chunk boundary in one trip (crossings
+            # are >= CP/16 blocks apart).
+            if unroll <= 1:
+                body = eval_block
+                trips = nblocks
+            else:
+                def body(it, carry):
+                    carry = eval_block(it * unroll, carry)
+                    for u in range(1, unroll):
+                        kb = jnp.minimum(it * unroll + u, nblocks - 1)
+                        carry = eval_block(kb, carry)
+                    return carry
+
+                trips = (nblocks + unroll - 1) // unroll
+
             init = (
                 jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32),
                 jnp.full((8, 128), PAIR_IDX_CLEAR, jnp.int32),
@@ -432,7 +470,7 @@ def _raster_tile_micro(
                 cur,
             )
             ckey, cpair, cattrs, cur = jax.lax.fori_loop(
-                0, nblocks, body, init
+                0, trips, body, init
             )
 
             # Cross-group butterfly: all 16 groups hold candidates for the
@@ -658,7 +696,7 @@ def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int | None = None):
     jax.jit,
     static_argnames=("height_padded", "width_padded", "chunk_rows",
                      "interpret", "effect_kind", "worklist", "mat", "vis",
-                     "texf"),
+                     "texf", "unroll"),
 )
 def raster_shade_micro(
     pair_coeffs,  # (P_pad, 128) f32
@@ -682,6 +720,7 @@ def raster_shade_micro(
     mat: bool = False,
     vis: bool = False,
     texf: bool = False,
+    unroll: int = 2,
 ):
     """Run the micro kernel over the padded framebuffer.
 
@@ -780,6 +819,7 @@ def raster_shade_micro(
         wl_kernel = functools.partial(
             _micro_kernel_wl, ntx=ntx, num_lights=num_lights,
             skip_mirage=skip_mirage, mat=mat, vis=vis, texf=texf,
+            unroll=unroll,
         )
         if vis:
             rgba_clear = jnp.full((height_padded, width_padded),
@@ -838,6 +878,7 @@ def raster_shade_micro(
         return rgba, best_key
 
     kernel = functools.partial(_micro_kernel, num_lights=num_lights,
+                               unroll=unroll,
                                skip_mirage=skip_mirage, mat=mat, vis=vis,
                                texf=texf)
     rgba, best_key = pl.pallas_call(

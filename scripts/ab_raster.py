@@ -132,7 +132,19 @@ def main() -> int:
         ("base_chunk256", streams["base"], dict(chunk_rows=256)),
         ("base_chunk1024", streams["base"], dict(chunk_rows=1024)),
         ("base_nowl", streams["base"], dict(worklist=False)),
+        # Unrolled-walk lever (round 4): independent roll->coverage chains
+        # per fori trip for a latency-bound loop. base == unroll=2 default.
+        ("base_unroll1", streams["base"], dict(unroll=1)),
+        ("base_unroll4", streams["base"], dict(unroll=4)),
+        ("texf_unroll1", streams["texf"], dict(texf=True, unroll=1)),
     ]
+    # Bitwise contract: the unrolled walk must be a no-op on the output.
+    r1, k1 = jax.block_until_ready(kernel(streams["base"], unroll=1))
+    r2, k2 = jax.block_until_ready(kernel(streams["base"], unroll=2))
+    results["unroll_bitwise_equal"] = bool(
+        jnp.array_equal(r1, r2) & jnp.array_equal(k1, k2))
+    print(json.dumps({"unroll_bitwise_equal":
+                      results["unroll_bitwise_equal"]}), flush=True)
     for name, stream, kw in cases:
         f = partial(kernel, stream, **kw)
         try:

@@ -83,6 +83,12 @@ STEPS = [
     # chunk depth, work list) — the round's item 5 (raster <= 6 ms).
     ("raster_ab", [sys.executable, "scripts/ab_raster.py",
                    "--iters", "8"], 3600.0),
+    # Stage decomposition of the EXTENDED mega frames: the fused-texture
+    # 1M row landed at 137 ms (target 60) and materials-only at +53%
+    # (target +15%) — attribute the overage to front/bins/pair-gather/
+    # raster/tail before engineering a lever blind.
+    ("tex_mega_profile", [sys.executable, "scripts/profile_tex_mega.py",
+                          "--iters", "8"], 3600.0),
     # Round-final suite AFTER the fused-texturing default landed (the
     # suite_r4 rows predate it) + regression diff against it.
     ("suite_r4b", [sys.executable, "-m", "compute_renderer_tpu.cli",
