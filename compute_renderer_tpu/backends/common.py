@@ -482,6 +482,16 @@ def _bilinear_level(texels, off, tw, th, fu, fv, safe_idx):
     """One bilinear tap at a given {offset, width, height} level (GL
     half-texel convention, repeat wrap; lerp order fixed and mirrored by
     the golden rasterizer)."""
+    return _bilinear_level_fetch(
+        lambda i: texels[i], off, tw, th, fu, fv, safe_idx
+    )
+
+
+def _bilinear_level_fetch(fetch, off, tw, th, fu, fv, safe_idx):
+    """``_bilinear_level`` over an arbitrary texel ``fetch`` (f32 row
+    gather or the u8-packed-pool unpack) — same ops in the same order, so
+    the tap is bitwise-identical for any fetch that returns the same
+    values."""
     pu = fu * tw.astype(F32) - F32(0.5)
     pv = fv * th.astype(F32) - F32(0.5)
     x0f = jnp.floor(pu)
@@ -494,14 +504,49 @@ def _bilinear_level(texels, off, tw, th, fu, fv, safe_idx):
     y0 = jnp.mod(y0f.astype(jnp.int32), th)
     x1 = jnp.mod(x0 + 1, tw)
     y1 = jnp.mod(y0 + 1, th)
-    t00 = texels[safe_idx(off + y0 * tw + x0)]
-    t10 = texels[safe_idx(off + y0 * tw + x1)]
-    t01 = texels[safe_idx(off + y1 * tw + x0)]
-    t11 = texels[safe_idx(off + y1 * tw + x1)]
+    t00 = fetch(safe_idx(off + y0 * tw + x0))
+    t10 = fetch(safe_idx(off + y0 * tw + x1))
+    t01 = fetch(safe_idx(off + y1 * tw + x0))
+    t11 = fetch(safe_idx(off + y1 * tw + x1))
     one = F32(1.0)
     top = t00 * (one - wx) + t10 * wx
     bot = t01 * (one - wx) + t11 * wx
     return top * (one - wy) + bot * wy
+
+
+def _uv_gradients_comps(v1x, v1y, v2x, v2y, v3x, v3y, e2u, e2v, e3u, e3v):
+    """The uv-gradient math on (T,) components, fenced by optimization
+    barriers so every caller compiles the IDENTICAL subgraph.
+
+    Why the fences: the mul-add chains below are FMA-contraction bait, and
+    XLA:CPU's contraction decisions depend on the surrounding fusion — the
+    same formula inlined into the micro program and the XLA-reference
+    program produced rows 1 ULP apart (observed on the minified-quad
+    parity test, plugin-inert CPU regime only). Barriers on the inputs and
+    the output isolate the chain into its own fusion with identical
+    producers/consumers everywhere, so codegen — and therefore every bit
+    of the result — matches across programs. Rank is (T,), so the lost
+    fusion is noise."""
+    from jax import lax
+
+    (v1x, v1y, v2x, v2y, v3x, v3y, e2u, e2v, e3u, e3v) = (
+        lax.optimization_barrier(
+            (v1x, v1y, v2x, v2y, v3x, v3y, e2u, e2v, e3u, e3v)
+        )
+    )
+    uz = (v3x - v1x) * (v2y - v1y) - (v2x - v1x) * (v3y - v1y)
+    safe = jnp.where(jnp.abs(uz) > F32(1e-20), uz, F32(1.0))
+    inv = jnp.where(jnp.abs(uz) > F32(1e-20), F32(1.0) / safe, F32(0.0))
+    db2_dx = -(v3y - v1y) * inv
+    db3_dx = (v2y - v1y) * inv
+    db2_dy = (v3x - v1x) * inv
+    db3_dy = -(v2x - v1x) * inv
+    cols = []
+    for grad_b2, grad_b3 in ((db2_dx, db3_dx), (db2_dy, db3_dy)):
+        for e2, e3 in ((e2u, e3u), (e2v, e3v)):
+            cols.append(e2 * grad_b2 + e3 * grad_b3)
+    out = jnp.stack(cols, axis=1).astype(F32)  # (T, 4)
+    return lax.optimization_barrier(out)
 
 
 def uv_gradients(tri, screen, uvs):
@@ -514,132 +559,117 @@ def uv_gradients(tri, screen, uvs):
     from the screen vertices: with uz the (constant) denominator,
     b2 = uy/uz, b3 = ux/uz, dux/dx = (v2y-v1y), duy/dx = -(v3y-v1y),
     dux/dy = -(v2x-v1x), duy/dy = (v3x-v1x). Degenerate triangles
-    (uz ~ 0) get gradient 0 (=> mip level 0)."""
+    (uz ~ 0) get gradient 0 (=> mip level 0). Routed through the fenced
+    component kernel (``_uv_gradients_comps``) so the rows are bitwise
+    stable across every program that embeds them."""
     i1, i2, i3 = tri[:, 0], tri[:, 1], tri[:, 2]
     v1 = screen[i1]
     v2 = screen[i2]
     v3 = screen[i3]
-    uz = ((v3[:, 0] - v1[:, 0]) * (v2[:, 1] - v1[:, 1])
-          - (v2[:, 0] - v1[:, 0]) * (v3[:, 1] - v1[:, 1]))
-    safe = jnp.where(jnp.abs(uz) > F32(1e-20), uz, F32(1.0))
-    inv = jnp.where(jnp.abs(uz) > F32(1e-20), F32(1.0) / safe, F32(0.0))
     e2 = uvs[i2] - uvs[i1]  # (T, 2)
     e3 = uvs[i3] - uvs[i1]
-    db2_dx = -(v3[:, 1] - v1[:, 1]) * inv
-    db3_dx = (v2[:, 1] - v1[:, 1]) * inv
-    db2_dy = (v3[:, 0] - v1[:, 0]) * inv
-    db3_dy = -(v2[:, 0] - v1[:, 0]) * inv
-    gx = e2 * db2_dx[:, None] + e3 * db3_dx[:, None]  # (T, 2) d(uv)/dx
-    gy = e2 * db2_dy[:, None] + e3 * db3_dy[:, None]
-    return jnp.concatenate([gx, gy], axis=1).astype(F32)
+    return _uv_gradients_comps(
+        v1[:, 0], v1[:, 1], v2[:, 0], v2[:, 1], v3[:, 0], v3[:, 1],
+        e2[:, 0], e2[:, 1], e3[:, 0], e3[:, 1],
+    )
 
 
-def sample_atlas_aniso(texels, mip_table, face_tex, best_tri, flag, uv,
-                       guv, max_aniso: int = 4):
-    """Anisotropic sample: MAX_ANISO trilinear-LOD taps spread along the
-    footprint's MAJOR axis (EXT_texture_filter_anisotropic model).
+def uv_gradients_soa(screen_soa, uv_c):
+    """``uv_gradients`` on corner-SoA inputs: ``screen_soa`` the vertex
+    stage's 3-corner tuples of (T,) components, ``uv_c`` the (3, 2, T) uv
+    corner array. Routed through the same fenced component kernel on the
+    same f32 values, so the rows are bitwise-equal to ``uv_gradients``
+    over the equivalent per-vertex arrays (the micro path's deferred tail
+    builds exactly those via ``corner_vertex_arrays``)."""
+    v1, v2, v3 = screen_soa
+    return _uv_gradients_comps(
+        v1[0], v1[1], v2[0], v2[1], v3[0], v3[1],
+        uv_c[1][0] - uv_c[0][0], uv_c[1][1] - uv_c[0][1],
+        uv_c[2][0] - uv_c[0][0], uv_c[2][1] - uv_c[0][1],
+    )
 
-    Per pixel: Px/Py = the texel-space lengths of the uv gradients,
-    N = clamp(Pmax/Pmin, 1, max_aniso), lod = log2(Pmax / N) — the LOD a
-    footprint squashed by N would have — and ``max_aniso`` bilinear taps
-    at uv + major_axis * s_i with s_i spanning (1 - 1/N) of the footprint
-    (a pixel with Px == Py bitwise collapses every tap onto the center
-    and reproduces the trilinear sample exactly: summing max_aniso
-    identical f32 taps then dividing by max_aniso is exact; nearly-
-    isotropic pixels land within a few LSB). All work is fixed-shape
-    vector math — no data-dependent tap counts, so XLA fuses it like any
-    other elementwise chain."""
-    L = mip_table.shape[1]
-    tid = face_tex[jnp.where(flag, best_tri, 0)]
+
+def _sample_mip_px(texels, mip_table, tid, lod, mu, mv, spread, u, v, flag,
+                   tex_filter: str, texels_packed=None, max_aniso: int = 4):
+    """Shared per-pixel mip sampler over PER-TRIANGLE constants.
+
+    ``tid``/``lod``/``mu``/``mv``/``spread`` are the ``mip_tri_rows``
+    columns brought to pixel rank — either gathered by winner (deferred
+    tail) or interpolated as flat columns by the fused kernels (TEXF_MIP
+    G-buffer). Both routes deliver bitwise-identical values, and this is
+    the ONE implementation of the taps, so fused == deferred bitwise by
+    construction (hoisting the lod/footprint math to triangle rank in
+    ``mip_tri_rows`` is what makes that possible: the same formulas at
+    pixel rank compile into different fusion contexts, where XLA's FMA
+    contraction is free to differ by 1 ULP between codegen regimes).
+
+    Trilinear: two bilinear taps at the straddling levels, lerped by the
+    LOD fraction. Anisotropic: ``max_aniso`` such taps spread along the
+    major footprint axis (EXT_texture_filter_anisotropic model; a pixel
+    with zero ``spread`` bitwise collapses every tap onto the center —
+    summing max_aniso identical f32 taps then dividing by max_aniso is
+    exact). All fixed-shape vector math — no data-dependent tap counts,
+    so XLA fuses it like any other elementwise chain."""
     has = flag & (tid >= 0)
     t0 = jnp.where(has, tid, 0)
-    base = mip_table[t0, 0]
     safe_idx = lambda i: jnp.where(has, i, 0)
+    fetch = _pool_fetcher(texels, texels_packed)
 
-    tw0 = base[..., 1].astype(F32)
-    th0 = base[..., 2].astype(F32)
-    gx_u = guv[..., 0] * tw0
-    gx_v = guv[..., 1] * th0
-    gy_u = guv[..., 2] * tw0
-    gy_v = guv[..., 3] * th0
-    px = jnp.sqrt(gx_u * gx_u + gx_v * gx_v)
-    py = jnp.sqrt(gy_u * gy_u + gy_v * gy_v)
-    pmax = jnp.maximum(jnp.maximum(px, py), F32(1e-12))
-    pmin = jnp.maximum(jnp.minimum(px, py), F32(1e-12))
-    n_eff = jnp.clip(pmax / pmin, F32(1.0), F32(max_aniso))
-    lod = jnp.clip(jnp.log2(pmax / n_eff), F32(0.0), F32(L - 1))
+    L = mip_table.shape[1]
     l0 = lod.astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, L - 1)
     frac = (lod - l0.astype(F32))[..., None]
+    row0 = mip_table[t0, l0]
+    row1 = mip_table[t0, l1]
 
-    # Major-axis direction in UV units (not texel units), scaled so the
-    # taps span (1 - 1/N) of the footprint: isotropic N=1 -> zero spread.
-    x_major = px >= py
-    mu = jnp.where(x_major, guv[..., 0], guv[..., 2])
-    mv = jnp.where(x_major, guv[..., 1], guv[..., 3])
-    spread = F32(1.0) - F32(1.0) / n_eff
-
-    u = uv[..., 0]
-    v = uv[..., 1]
-    acc = None
-    for i in range(max_aniso):
-        s = (F32((i + 0.5) / max_aniso) - F32(0.5)) * spread
-        ui = u + mu * s
-        vi = v + mv * s
+    def tap(ui, vi):
         fu = ui - jnp.floor(ui)
         fv = vi - jnp.floor(vi)
+        return (_bilinear_level_fetch(fetch, row0[..., 0], row0[..., 1],
+                                      row0[..., 2], fu, fv, safe_idx)
+                * (F32(1.0) - frac)
+                + _bilinear_level_fetch(fetch, row1[..., 0], row1[..., 1],
+                                        row1[..., 2], fu, fv, safe_idx)
+                * frac)
 
-        row0 = mip_table[t0, l0]
-        row1 = mip_table[t0, l1]
-        tap = (_bilinear_level(texels, row0[..., 0], row0[..., 1],
-                               row0[..., 2], fu, fv, safe_idx)
-               * (F32(1.0) - frac)
-               + _bilinear_level(texels, row1[..., 0], row1[..., 1],
-                                 row1[..., 2], fu, fv, safe_idx) * frac)
-        acc = tap if acc is None else acc + tap
-    texel = acc / F32(max_aniso)
+    if tex_filter == "trilinear":
+        texel = tap(u, v)
+    elif tex_filter == "anisotropic":
+        acc = None
+        for i in range(max_aniso):
+            s = (F32((i + 0.5) / max_aniso) - F32(0.5)) * spread
+            t = tap(u + mu * s, v + mv * s)
+            acc = t if acc is None else acc + t
+        texel = acc / F32(max_aniso)
+    else:
+        raise ValueError(
+            f"mip sampler needs trilinear/anisotropic, not {tex_filter!r}"
+        )
     return jnp.where(has[..., None], texel, F32(1.0)), has
 
 
-def sample_atlas_trilinear(texels, mip_table, face_tex, best_tri, flag, uv,
-                           guv):
-    """Trilinear (mipmapped) repeat-wrap sample of the mip-extended atlas.
+def sample_atlas_mip(texels, mip_table, face_tex, best_tri, flag, uv,
+                     guv_rows, tex_filter: str, max_aniso: int = 4):
+    """Trilinear/anisotropic repeat-wrap sample of the mip-extended atlas.
 
     ``mip_table`` is (M, L, 3) i32 {offset, width, height} per level from
-    ``io.textures.build_mips``; ``guv`` the winner's per-pixel (H, W, 4)
-    screen-space uv gradient rows (``uv_gradients`` gathered by winner).
-    LOD follows the GL footprint rule: lod = log2(max(|d(uv)/dx * dims|,
-    |d(uv)/dy * dims|)), clamped to [0, L-1]; the two straddling levels
-    are bilinearly tapped and lerped."""
-    L = mip_table.shape[1]
-    tid = face_tex[jnp.where(flag, best_tri, 0)]
-    has = flag & (tid >= 0)
-    t0 = jnp.where(has, tid, 0)
-    base = mip_table[t0, 0]  # (H, W, 3): level-0 {off, w, h}
-    u = uv[..., 0]
-    v = uv[..., 1]
-    fu = u - jnp.floor(u)
-    fv = v - jnp.floor(v)
-    safe_idx = lambda i: jnp.where(has, i, 0)
-
-    tw0 = base[..., 1].astype(F32)
-    th0 = base[..., 2].astype(F32)
-    rx = jnp.sqrt((guv[..., 0] * tw0) ** 2 + (guv[..., 1] * th0) ** 2)
-    ry = jnp.sqrt((guv[..., 2] * tw0) ** 2 + (guv[..., 3] * th0) ** 2)
-    rho = jnp.maximum(jnp.maximum(rx, ry), F32(1e-12))
-    lod = jnp.clip(jnp.log2(rho), F32(0.0), F32(L - 1))
-    l0 = lod.astype(jnp.int32)
-    l1 = jnp.minimum(l0 + 1, L - 1)
-    frac = (lod - l0.astype(F32))[..., None]
-
-    def tap(level):
-        row = mip_table[t0, level]
-        return _bilinear_level(
-            texels, row[..., 0], row[..., 1], row[..., 2], fu, fv, safe_idx
-        )
-
-    texel = tap(l0) * (F32(1.0) - frac) + tap(l1) * frac
-    return jnp.where(has[..., None], texel, F32(1.0)), has
+    ``io.textures.build_mips``; ``guv_rows`` the PER-TRIANGLE (T, 4)
+    screen-space uv-gradient table (``common.uv_gradients``). The LOD /
+    footprint terms are computed at triangle rank (``mip_tri_rows``) and
+    gathered by winner — both because they ARE per-triangle constants
+    (the pipeline's barycentrics are affine) and because triangle rank is
+    the only formulation the fused kernels can carry, so sharing it keeps
+    deferred and fused bitwise-equal. LOD follows the GL footprint rule:
+    lod = log2(max(|d(uv)/dx * dims|, |d(uv)/dy * dims|)), clamped to
+    [0, L-1]."""
+    rows = mip_tri_rows(face_tex, mip_table, guv_rows, tex_filter,
+                        max_aniso=max_aniso)
+    r = rows[jnp.where(flag, best_tri, 0)]  # (H, W, 5)
+    return _sample_mip_px(
+        texels, mip_table, r[..., 0].astype(jnp.int32), r[..., 1],
+        r[..., 2], r[..., 3], r[..., 4], uv[..., 0], uv[..., 1], flag,
+        tex_filter, max_aniso=max_aniso,
+    )
 
 
 def textured_shade(gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
@@ -671,12 +701,9 @@ def textured_shade(gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
                 "io.textures.trilinear_tex_arrays(texels, tex_table) (the "
                 "engine/CLI entries do this automatically)"
             )
-        guv_px = guv[jnp.where(flag, best_tri, 0)]
-        sampler = (sample_atlas_aniso if tex_filter == "anisotropic"
-                   else sample_atlas_trilinear)
-        texel, has = sampler(
+        texel, has = sample_atlas_mip(
             texels, tex_mips, face_tex.astype(jnp.int32), best_tri, flag,
-            uv=gbuffer["uv"], guv=guv_px,
+            uv=gbuffer["uv"], guv_rows=guv, tex_filter=tex_filter,
         )
     else:
         texel, has = sample_atlas(
@@ -716,9 +743,107 @@ def textured_shade(gbuffer, best_tri, face_kd, face_tex, texels, tex_table,
 #                                 the kernels' shading epilogue
 TEXF_BASE_CHANNELS = 8
 
+# Mip-filtered (trilinear/anisotropic) fused-texture G-buffer (round 4):
+# mip sampling needs per-level {off, w, h} rows from the mip table rather
+# than one TextureInfo row, and its LOD/footprint terms are PER-TRIANGLE
+# constants (guv is per-triangle and the pipeline's barycentrics are
+# affine), so the kernel carries them as flat columns exactly like kd:
+#   0: u      1: v          interpolated texcoord (as TEXF)
+#   2: kd.r   3: kd.g   4: kd.b
+#   5: tid    winner's texture slot as exact f32 int (-1 = untextured —
+#             the mip tail indexes the i32 mip table, so no 2^24 offset
+#             eligibility bound applies)
+#   6: lod    clipped mip level (mip_tri_rows formula)
+#   7: mu     8: mv        major-axis tap direction in uv units (aniso;
+#                          zeros for trilinear)
+#   9: spread              tap span 1 - 1/N (aniso; zero for trilinear)
+#   10+2i / 11+2i           per-light diff/spec as TEXF
+TEXF_MIP_BASE_CHANNELS = 10
+
 
 def texf_channels(num_lights: int) -> int:
     return TEXF_BASE_CHANNELS + 2 * num_lights
+
+
+def texf_mip_channels(num_lights: int) -> int:
+    return TEXF_MIP_BASE_CHANNELS + 2 * num_lights
+
+
+def mip_tri_rows(face_tex, mip_table, guv, tex_filter: str,
+                 max_aniso: int = 4):
+    """Per-triangle mip-sampling constants (T, 5) f32 for the fused-texture
+    coefficient table: [tid, lod, mu, mv, spread].
+
+    The mip samplers' LOD/footprint math at its NATURAL rank: every input
+    (``guv`` row, texture dims) is constant per triangle, so this is the
+    one place the formulas are evaluated — both the deferred tail
+    (``sample_atlas_mip`` gathers these rows by winner) and the fused
+    kernels (the rows ride the coefficient table as flat columns) sample
+    via ``_sample_mip_px`` on these values, which keeps the two paths
+    bitwise-equal by construction. Unlike ``tex_rows_f32`` these rows are
+    per-FRAME (guv depends on the screen transform), so they are built
+    inside the jitted frame.
+
+    Fenced by optimization barriers for the same reason as
+    ``_uv_gradients_comps``: the sqrt/log2 feeding chains are
+    FMA-contraction bait, and the rows are embedded into very different
+    programs (the fused kernels' table build vs the deferred tails) —
+    barriers pin one codegen for all of them."""
+    from jax import lax
+
+    L = mip_table.shape[1]
+    tid = face_tex.astype(jnp.int32)
+    t0 = jnp.where(tid >= 0, tid, 0)
+    base = mip_table[t0, 0]
+    tw0 = base[:, 1].astype(F32)
+    th0 = base[:, 2].astype(F32)
+    guv, tw0, th0 = lax.optimization_barrier((guv, tw0, th0))
+    gx_u = guv[:, 0] * tw0
+    gx_v = guv[:, 1] * th0
+    gy_u = guv[:, 2] * tw0
+    gy_v = guv[:, 3] * th0
+    zero = jnp.zeros_like(tw0)
+    if tex_filter == "trilinear":
+        rx = jnp.sqrt(gx_u * gx_u + gx_v * gx_v)
+        ry = jnp.sqrt(gy_u * gy_u + gy_v * gy_v)
+        rho = jnp.maximum(jnp.maximum(rx, ry), F32(1e-12))
+        lod = jnp.clip(jnp.log2(rho), F32(0.0), F32(L - 1))
+        mu = mv = spread = zero
+    elif tex_filter == "anisotropic":
+        px = jnp.sqrt(gx_u * gx_u + gx_v * gx_v)
+        py = jnp.sqrt(gy_u * gy_u + gy_v * gy_v)
+        pmax = jnp.maximum(jnp.maximum(px, py), F32(1e-12))
+        pmin = jnp.maximum(jnp.minimum(px, py), F32(1e-12))
+        n_eff = jnp.clip(pmax / pmin, F32(1.0), F32(max_aniso))
+        lod = jnp.clip(jnp.log2(pmax / n_eff), F32(0.0), F32(L - 1))
+        x_major = px >= py
+        mu = jnp.where(x_major, guv[:, 0], guv[:, 2])
+        mv = jnp.where(x_major, guv[:, 1], guv[:, 3])
+        spread = F32(1.0) - F32(1.0) / n_eff
+    else:
+        raise ValueError(f"mip_tri_rows: not a mip filter: {tex_filter!r}")
+    rows = jnp.stack([tid.astype(F32), lod, mu, mv, spread], axis=1)
+    return lax.optimization_barrier(rows)
+
+
+def _pool_fetcher(texels, texels_packed):
+    """Texel fetch for the fused tails: a (P, 3) f32 row gather, or — when
+    the u8-packed (P,) i32 pool is given — a 1-element gather plus exact
+    unpack (io.textures.pack_pool_u8 verifies the f32 round-trip, so both
+    fetches return bitwise-identical rows)."""
+    if texels_packed is not None:
+        def fetch(idx):
+            p = texels_packed[idx]
+            return jnp.stack(
+                [
+                    (p & 0xFF).astype(F32) / F32(255.0),
+                    ((p >> 8) & 0xFF).astype(F32) / F32(255.0),
+                    ((p >> 16) & 0xFF).astype(F32) / F32(255.0),
+                ],
+                axis=-1,
+            )
+        return fetch
+    return lambda idx: texels[idx]
 
 
 def fused_texture_tail(gbuf, best_key, texels, light_color, light_intensity,
@@ -754,20 +879,7 @@ def fused_texture_tail(gbuf, best_key, texels, light_color, light_intensity,
     twf = tws.astype(F32)
     thf = ths.astype(F32)
 
-    if texels_packed is not None:
-        def fetch(idx):
-            p = texels_packed[idx]
-            return jnp.stack(
-                [
-                    (p & 0xFF).astype(F32) / F32(255.0),
-                    ((p >> 8) & 0xFF).astype(F32) / F32(255.0),
-                    ((p >> 16) & 0xFF).astype(F32) / F32(255.0),
-                ],
-                axis=-1,
-            )
-    else:
-        def fetch(idx):
-            return texels[idx]
+    fetch = _pool_fetcher(texels, texels_packed)
 
     fu = u - jnp.floor(u)
     fv = v - jnp.floor(v)
@@ -803,15 +915,20 @@ def fused_texture_tail(gbuf, best_key, texels, light_color, light_intensity,
         )
 
     kdt = jnp.where(has[..., None], kd * texel, kd)
+    return _texf_shade_epilogue(kdt, flag, gbuf, TEXF_BASE_CHANNELS,
+                                light_color, light_intensity)
 
-    # shade()'s material branch, with the per-light diff/spec scalars read
-    # from the G-buffer instead of recomputed (the kernel computed them
-    # with the identical op chain).
+
+def _texf_shade_epilogue(kdt, flag, gbuf, base, light_color,
+                         light_intensity):
+    """shade()'s material branch, with the per-light diff/spec scalars read
+    from the G-buffer (channels ``base``..) instead of recomputed — the
+    kernel computed them with the identical op chain."""
     final = F32(0.1) * kdt
-    num_lights = (gbuf.shape[0] - TEXF_BASE_CHANNELS) // 2
+    num_lights = (gbuf.shape[0] - base) // 2
     for li in range(num_lights):
-        diff = gbuf[TEXF_BASE_CHANNELS + 2 * li]
-        spec = gbuf[TEXF_BASE_CHANNELS + 2 * li + 1]
+        diff = gbuf[base + 2 * li]
+        spec = gbuf[base + 2 * li + 1]
         contrib = diff[..., None] * kdt + (spec * F32(0.5))[..., None]
         lc = light_color[li].astype(F32)
         inten = light_intensity[li].astype(F32)
@@ -824,6 +941,33 @@ def fused_texture_tail(gbuf, best_key, texels, light_color, light_intensity,
     rgb = jnp.where(flag[..., None], shaded, background[None, None, :])
     alpha = jnp.full(flag.shape + (1,), 255, dtype=jnp.uint8)
     return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def fused_texture_tail_mip(gbuf, best_key, texels, mip_table, light_color,
+                           light_intensity, tex_filter: str = "trilinear",
+                           texels_packed=None, max_aniso: int = 4):
+    """Shade a TEXF_MIP G-buffer: trilinear is two bilinear taps lerped by
+    the carried LOD, anisotropic ``max_aniso`` such taps spread along the
+    carried major axis — the SAME ``_sample_mip_px`` the deferred tail
+    runs, on bitwise-equal inputs (the LOD/footprint terms are
+    per-triangle constants hoisted by ``mip_tri_rows`` and interpolated
+    by the kernel as flat columns), so the image equals the deferred
+    tail's bitwise. ``texels`` must be the mip-extended pool and
+    ``mip_table`` its (M, L, 3) i32 level table (io.textures.build_mips).
+    The remaining per-pixel gathers are the texel taps plus two 3-element
+    mip-table row reads — everything the deferred resolve chain gathered
+    (vertex attributes, guv rows, face slots) arrives interpolated in
+    ``gbuf``."""
+    flag = best_key != DEPTH_CLEAR_BITS
+    kd = jnp.stack([gbuf[2], gbuf[3], gbuf[4]], axis=-1)
+    texel, has = _sample_mip_px(
+        texels, mip_table, gbuf[5].astype(jnp.int32), gbuf[6], gbuf[7],
+        gbuf[8], gbuf[9], gbuf[0], gbuf[1], flag, tex_filter,
+        texels_packed=texels_packed, max_aniso=max_aniso,
+    )
+    kdt = jnp.where(has[..., None], kd * texel, kd)
+    return _texf_shade_epilogue(kdt, flag, gbuf, TEXF_MIP_BASE_CHANNELS,
+                                light_color, light_intensity)
 
 
 def tex_rows_f32(face_tex, tex_table):

@@ -68,10 +68,14 @@ PAIR_IDX_CLEAR = np.int32(2**31 - 1)
 # used rows padded to 40 so superblock row offsets stay 8-aligned for VMEM
 # slicing. Fused-texture extension (uv affine 32:38 + kd 38:41 +
 # TextureInfo 41:44, pallas_raster.TEX_TRI_TABLE_WIDTH): 44 used rows
-# padded to 48.
+# padded to 48. Mip fused texturing (kd 38:41 + [tid, lod, mu, mv, spread]
+# 41:46, pallas_raster.TEX_MIP_TRI_TABLE_WIDTH): 46 rows, same 48-row
+# superblock — the stream hides the true width, so the ``texf`` static is
+# a MODE (False | True | TEXF_MIP == 2) rather than a flag.
 SB_ROWS = 32
 SB_ROWS_MAT = 40
 SB_ROWS_TEX = 48
+TEXF_MIP = 2
 
 
 def _sb_rows(mat: bool, texf: bool = False) -> int:
@@ -260,7 +264,7 @@ def _raster_tile_micro(
     if vis:
         nattr = 0
     elif texf:
-        nattr = 14
+        nattr = 16 if texf == TEXF_MIP else 14
     else:
         nattr = 9 if mat else 6
     CP = (W // rows) * 128  # pairs per chunk
@@ -425,8 +429,9 @@ def _raster_tile_micro(
                             )
                     elif texf:
                         # Fused texturing: interpolated uv (affine rows
-                        # 32:38) + the winner's kd and TextureInfo
-                        # constants (rows 38:44) — pallas_raster layout.
+                        # 32:38) + the winner's kd and TextureInfo (rows
+                        # 38:44) — or kd and mip (rows 38:46, TEXF_MIP) —
+                        # constants; pallas_raster layout.
                         for ch in range(2):
                             interp = (coef(32 + ch * 3)
                                       + coef(33 + ch * 3) * dx
@@ -434,7 +439,7 @@ def _raster_tile_micro(
                             new_attrs.append(
                                 jnp.where(win, interp, attrs[6 + ch])
                             )
-                        for ch in range(6):
+                        for ch in range(8 if texf == TEXF_MIP else 6):
                             new_attrs.append(
                                 jnp.where(win, coef(38 + ch), attrs[8 + ch])
                             )
@@ -724,11 +729,17 @@ def raster_shade_micro(
 ):
     """Run the micro kernel over the padded framebuffer.
 
-    ``texf`` (static): fused-texture walk — ``pair_coeffs`` must come from
-    a TEX-width table; the first output is the (C, Hp, Wp) f32 common.TEXF
-    G-buffer (C = texf_channels(L)) and the XLA tail
-    (common.fused_texture_tail) is one texel fetch. Mutually exclusive
-    with ``mat``/``vis``.
+    ``texf`` (static MODE, not flag): True — fused-texture walk;
+    ``pair_coeffs`` must come from a TEX-width (44) table; the first
+    output is the (C, Hp, Wp) f32 common.TEXF G-buffer
+    (C = texf_channels(L)) and the XLA tail (common.fused_texture_tail)
+    is one texel fetch. TEXF_MIP (2) — mip-filtered fused texturing; the
+    table must be TEX_MIP-width (46, mip constants in place of the
+    TextureInfo row), the G-buffer is the TEXF_MIP layout
+    (texf_mip_channels(L)) and the tail common.fused_texture_tail_mip.
+    The packed stream pads both widths to the same 48-row superblock, so
+    the mode cannot be inferred from shapes — callers pass it explicitly.
+    Mutually exclusive with ``mat``/``vis``.
 
     ``vis`` (static): visibility-only walk (deferred texturing) — the
     first output is the winner's absolute PAIR index (Hp,Wp) i32
@@ -792,7 +803,8 @@ def raster_shade_micro(
     out0_dtype = jnp.int32 if vis else (F32 if texf else jnp.uint32)
     from compute_renderer_tpu.backends import common as _common
 
-    C = _common.texf_channels(num_lights)
+    C = (_common.texf_mip_channels(num_lights) if texf == TEXF_MIP
+         else _common.texf_channels(num_lights))
     if texf:
         out0_shape = (C, height_padded, width_padded)
         out0_block = (C, 8, 128)

@@ -76,6 +76,11 @@ DEPTH_CLEAR_BITS = np.uint32(0xFFFFFFFF)
 TRI_TABLE_WIDTH = 32
 MAT_TRI_TABLE_WIDTH = 35
 TEX_TRI_TABLE_WIDTH = 44
+# Mip-filtered (trilinear/anisotropic) fused texturing appends the (T, 5)
+# common.mip_tri_rows block [tid, lod, mu, mv, spread] in place of the
+# TextureInfo row (the mip tail derives per-level {off, w, h} from the i32
+# mip table instead) — see common.TEXF_MIP_BASE_CHANNELS for the G-buffer.
+TEX_MIP_TRI_TABLE_WIDTH = 46
 
 
 def build_tri_table(screen, tri, uvs, normals, world, face_kd=None,
@@ -152,9 +157,11 @@ def tri_table_columns(screen_soa, nrm_soa, wld_soa, face_kd=None,
         else:
             ones = jnp.ones_like(cols[0])
             cols += [ones, ones, ones]
+        # TextureInfo block: (T, 3) {off, tw, th} rows (TEXF), or the
+        # (T, 5) mip constants [tid, lod, mu, mv, spread] (TEXF_MIP).
         tr = tex_rows.astype(F32)
-        cols += [tr[:, 0], tr[:, 1], tr[:, 2]]
-        assert len(cols) == TEX_TRI_TABLE_WIDTH
+        cols += [tr[:, c] for c in range(tr.shape[1])]
+        assert len(cols) in (TEX_TRI_TABLE_WIDTH, TEX_MIP_TRI_TABLE_WIDTH)
     elif face_kd is not None:
         kd = face_kd.astype(F32)
         cols += [kd[:, 0], kd[:, 1], kd[:, 2]]
@@ -328,19 +335,22 @@ def _raster_kernel(
 def _emit_texf_gbuffer(gbuf_ref, key_ref, lights_ref, best_key, attrs,
                        eye_x, eye_y, eye_z, *, num_lights: int):
     """Shared texf epilogue (tile and micro kernels): write the
-    common.TEXF G-buffer channels. ``attrs`` = the walk's winner channels
-    [nx, ny, nz, wx, wy, wz, u, v, kd.r, kd.g, kd.b, off, tw, th];
-    ``gbuf_ref`` the (C, th, tw) output block. diff/spec use the same op
-    chain as the shading epilogues (bitwise contract with common.shade)."""
+    common.TEXF (or TEXF_MIP) G-buffer channels. ``attrs`` = the walk's
+    winner channels [nx, ny, nz, wx, wy, wz, u, v, kd.r, kd.g, kd.b, then
+    the TextureInfo row (off, tw, th) or the mip constants (tid, lod, mu,
+    mv, spread) — the count picks the layout]; ``gbuf_ref`` the (C, th,
+    tw) output block. diff/spec use the same op chain as the shading
+    epilogues (bitwise contract with common.shade)."""
     nx, ny, nz = attrs[0], attrs[1], attrs[2]
     wx, wy, wz = attrs[3], attrs[4], attrs[5]
+    ntex = len(attrs) - 11  # 3 (TEXF) or 5 (TEXF_MIP)
 
     gbuf_ref[0, :, :] = attrs[6]  # u
     gbuf_ref[1, :, :] = attrs[7]  # v
     for c in range(3):
         gbuf_ref[2 + c, :, :] = attrs[8 + c]  # kd
-    for c in range(3):
-        gbuf_ref[5 + c, :, :] = attrs[11 + c]  # TextureInfo row
+    for c in range(ntex):
+        gbuf_ref[5 + c, :, :] = attrs[11 + c]  # TextureInfo / mip consts
 
     vdx = eye_x - wx
     vdy = eye_y - wy
@@ -374,8 +384,8 @@ def _emit_texf_gbuffer(gbuf_ref, key_ref, lights_ref, best_key, attrs,
         s = jnp.where(s > F32(0.0), s, F32(0.0))
         spec = _pow32(s)
 
-        gbuf_ref[8 + 2 * li, :, :] = diff
-        gbuf_ref[9 + 2 * li, :, :] = spec
+        gbuf_ref[5 + ntex + 2 * li, :, :] = diff
+        gbuf_ref[6 + ntex + 2 * li, :, :] = spec
 
     key_ref[:, :] = best_key
 
@@ -488,16 +498,18 @@ def _raster_tile(
         elif texf:
             # Fused-texture extension: interpolated uv (affine rows 32:38,
             # same formula resolve_attributes evaluates) + the winner's kd
-            # and TextureInfo constants (rows 38:44).
+            # and TextureInfo (rows 38:44) — or kd and mip (rows 38:46,
+            # TEXF_MIP) — constants, count static from the table width.
             for c in range(2):
                 interp = (row[32 + c * 3] + row[33 + c * 3] * dx
                           + row[34 + c * 3] * dy)
                 new_attrs.append(jnp.where(win, interp, attrs[6 + c]))
-            for c in range(6):
+            for c in range(tri_table_ref.shape[-1] - 38):
                 new_attrs.append(jnp.where(win, row[38 + c], attrs[8 + c]))
         return best_key, tuple(new_attrs)
 
-    nattr = 14 if texf else (9 if has_materials else 6)
+    nattr = (8 + tri_table_ref.shape[-1] - 38 if texf
+             else (9 if has_materials else 6))
     init = (
         jnp.full((tile_h, tile_w), DEPTH_CLEAR_BITS, jnp.uint32),
         tuple(zero for _ in range(nattr)),
@@ -789,9 +801,11 @@ def raster_shade_tiles(
 
     if texf and vis:
         raise ValueError("texf and vis are mutually exclusive")
-    if texf and tri_table.shape[1] != TEX_TRI_TABLE_WIDTH:
+    if texf and tri_table.shape[1] not in (TEX_TRI_TABLE_WIDTH,
+                                           TEX_MIP_TRI_TABLE_WIDTH):
         raise ValueError(
-            f"texf needs a {TEX_TRI_TABLE_WIDTH}-wide table, got "
+            f"texf needs a {TEX_TRI_TABLE_WIDTH}- or "
+            f"{TEX_MIP_TRI_TABLE_WIDTH}-wide table, got "
             f"{tri_table.shape[1]}"
         )
 
@@ -829,7 +843,9 @@ def raster_shade_tiles(
         texf=texf,
     )
     out0_dtype = jnp.int32 if vis else (F32 if texf else jnp.uint32)
-    C = common.texf_channels(num_lights)
+    C = (common.texf_mip_channels(num_lights)
+         if texf and tri_table.shape[1] == TEX_MIP_TRI_TABLE_WIDTH
+         else common.texf_channels(num_lights))
     if texf:
         out0_shape = (C, height_padded, width_padded)
         out0_block = (C, tile_h, tile_w)

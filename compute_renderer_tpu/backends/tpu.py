@@ -163,8 +163,15 @@ def render_frame_micro(
         pair_cap = binning.default_pair_cap_micro(T, ntx * nty * 16)
 
     textured = face_tex is not None
-    texf = (textured and tex_mode == "fused"
-            and tex_filter in ("nearest", "bilinear"))
+    texf = False
+    if textured and tex_mode == "fused":
+        if tex_filter in ("nearest", "bilinear"):
+            texf = True
+        elif tex_mips is not None:
+            # Trilinear/anisotropic fused texturing (round 4): the table
+            # carries common.mip_tri_rows constants instead of the
+            # TextureInfo row and the tail is fused_texture_tail_mip.
+            texf = pallas_micro.TEXF_MIP
     vis = textured and not texf
 
     use_front = use_pallas_front
@@ -172,9 +179,11 @@ def render_frame_micro(
         # Round 4: the fused front also emits the material (35-row) and
         # fused-texture (44-row) tables, so only the deferred-vis mode —
         # whose tail needs the XLA chain's screen/world intermediates —
-        # still disqualifies it.
+        # still disqualifies it. TEXF_MIP also disqualifies: its mip rows
+        # derive from per-frame uv gradients over the screen vertices,
+        # which the fused front never materializes.
         use_front = (not interpret and screen is None and tri_table is None
-                     and not vis)
+                     and not vis and texf != pallas_micro.TEXF_MIP)
     if use_front:
         # Fused front end: one Pallas pass produces the cover meta (fed
         # straight to the pair-expansion kernel) and the coefficient rows
@@ -249,13 +258,23 @@ def render_frame_micro(
         if texf:
             uv_c = (uvs.astype(F32)[tri].transpose(1, 2, 0)
                     if uv_soa is None else uv_soa)  # (3, 2, T)
+            if texf == pallas_micro.TEXF_MIP:
+                # Per-FRAME mip constants (lod depends on the screen
+                # transform): per-triangle uv gradients over the same
+                # corner values the deferred tail differentiates.
+                tex_block = common.mip_tri_rows(
+                    face_tex, tex_mips,
+                    common.uv_gradients_soa(screen_soa, uv_c), tex_filter,
+                )
+            else:
+                tex_block = (common.tex_rows_f32(face_tex, tex_table)
+                             if tex_rows is None else tex_rows)
             tri_table = pallas_micro.build_tri_table_c64(
                 screen_soa, nrm_tuples, world_soa, face_kd=face_kd,
                 uv_soa=tuple(
-                    tuple(uv_c[k, c] for c in range(2)) for k in range(3)
+                    tuple(uv_c[k][c] for c in range(2)) for k in range(3)
                 ),
-                tex_rows=(common.tex_rows_f32(face_tex, tex_table)
-                          if tex_rows is None else tex_rows),
+                tex_rows=tex_block,
             )
         else:
             tri_table = pallas_micro.build_tri_table_c64(
@@ -290,6 +309,13 @@ def render_frame_micro(
     )
     best_key = best_key_p[:height, :width]
     overflow = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
+    if texf == pallas_micro.TEXF_MIP:
+        rgba = common.fused_texture_tail_mip(
+            rgba_packed[:, :height, :width], best_key, texels, tex_mips,
+            light_color.astype(F32), light_intensity.astype(F32),
+            tex_filter=tex_filter, texels_packed=texels_packed,
+        )
+        return rgba, best_key, overflow
     if texf:
         rgba = common.fused_texture_tail(
             rgba_packed[:, :height, :width], best_key, texels,
@@ -509,15 +535,23 @@ def render_frame(
             uv_soa=uv_soa, tex_rows=tex_rows,
         )
     textured = face_tex is not None
-    texf = (textured and tex_mode == "fused"
-            and tex_filter in ("nearest", "bilinear"))
+    texf = False
+    if textured and tex_mode == "fused":
+        if tex_filter in ("nearest", "bilinear"):
+            texf = True
+        elif tex_mips is not None:
+            # Trilinear/anisotropic fused texturing (round 4): mip
+            # constants ride the table, fused_texture_tail_mip shades.
+            texf = pallas_micro.TEXF_MIP
     vis = textured and not texf
     if tri_chunk == 0:
         # Size chunks for the table that will actually be built: the
         # material table is MAT_TRI_TABLE_WIDTH (35) columns, not 32, and
         # the fused-texture table TEX_TRI_TABLE_WIDTH (44) — sizing by 32
         # would overshoot the VMEM budget on chunked extended scenes.
-        if texf:
+        if texf == pallas_micro.TEXF_MIP:
+            table_width = pallas_raster.TEX_MIP_TRI_TABLE_WIDTH
+        elif texf:
             table_width = pallas_raster.TEX_TRI_TABLE_WIDTH
         elif face_kd is not None and face_tex is None:
             table_width = pallas_raster.MAT_TRI_TABLE_WIDTH
@@ -541,7 +575,16 @@ def render_frame(
     normals32 = normals.astype(F32)
     num_chunks = (T + tri_chunk - 1) // tri_chunk
 
-    if texf and tex_rows is None:
+    if texf == pallas_micro.TEXF_MIP:
+        # Per-frame mip constants (lod depends on the screen transform) —
+        # the same uv_gradients call the deferred tail makes, hoisted to
+        # the per-triangle table (bitwise contract: common.mip_tri_rows).
+        tex_rows = common.mip_tri_rows(
+            face_tex, tex_mips,
+            common.uv_gradients(tri.astype(jnp.int32), screen, uvs32),
+            tex_filter,
+        )
+    elif texf and tex_rows is None:
         tex_rows = common.tex_rows_f32(face_tex, tex_table)
     rgba_packed = best_key_p = overflow = None
     for c in range(num_chunks):
@@ -609,6 +652,13 @@ def render_frame(
             overflow = jnp.maximum(overflow, chunk_flags)
 
     best_key = best_key_p[:height, :width]
+    if texf == pallas_micro.TEXF_MIP:
+        rgba = common.fused_texture_tail_mip(
+            rgba_packed[:, :height, :width], best_key, texels, tex_mips,
+            light_color.astype(F32), light_intensity.astype(F32),
+            tex_filter=tex_filter, texels_packed=texels_packed,
+        )
+        return rgba, best_key, overflow
     if texf:
         rgba = common.fused_texture_tail(
             rgba_packed[:, :height, :width], best_key, texels,
@@ -711,16 +761,20 @@ def render(mesh, camera_uniform, lights, effect, width, height,
             "pos_soa": args[0][args[3]].transpose(1, 2, 0),
             "nrm_soa": args[1][args[3]].transpose(1, 2, 0),
         }
+        mip = tex_filter in ("trilinear", "anisotropic")
         if textured and tex_mode == "fused" \
-                and texf_eligible(mesh.tex_table):
+                and (mip or texf_eligible(mesh.tex_table)):
             # texf inputs are static per mesh: precompute them once like
             # pos_soa/nrm_soa (the in-jit derivation is a 9M-element
-            # gather per frame at 1M tris).
+            # gather per frame at 1M tris). The mip modes' tex_rows are
+            # per-FRAME (lod follows the screen transform) and are built
+            # inside the jitted frame instead — only uv_soa precomputes.
             micro_kwargs["uv_soa"] = args[2].astype(F32)[
                 args[3]].transpose(1, 2, 0)
-            micro_kwargs["tex_rows"] = common.tex_rows_f32(
-                jnp.asarray(mesh.face_tex),
-                jnp.asarray(mesh.tex_table))
+            if not mip:
+                micro_kwargs["tex_rows"] = common.tex_rows_f32(
+                    jnp.asarray(mesh.face_tex),
+                    jnp.asarray(mesh.tex_table))
     tex_kwargs = {}
     if textured:
         tex_kwargs = {

@@ -241,13 +241,10 @@ def render_frame(
             if tex_filter in ("trilinear", "anisotropic"):
                 guv = common.uv_gradients(
                     tri.astype(jnp.int32), screen, uvs.astype(F32)
-                )[jnp.where(flag, best_tri, 0)]
-                sampler = (common.sample_atlas_aniso
-                           if tex_filter == "anisotropic"
-                           else common.sample_atlas_trilinear)
-                texel, has = sampler(
+                )
+                texel, has = common.sample_atlas_mip(
                     texels, tex_mips, face_tex.astype(jnp.int32), best_tri,
-                    flag, gbuffer["uv"], guv,
+                    flag, gbuffer["uv"], guv, tex_filter,
                 )
             else:
                 texel, has = common.sample_atlas(

@@ -350,7 +350,7 @@ def render_golden(
             return (top * (one - wy) + bot * wy).astype(F32)
 
         if tex_filter in ("trilinear", "anisotropic"):
-            # Mirrors common.sample_atlas_trilinear / sample_atlas_aniso:
+            # Mirrors common.mip_tri_rows + _sample_mip_px:
             # GL footprint LOD from the winner triangle's constant uv
             # gradient; two bilinear taps lerped (anisotropic: MAX_ANISO
             # such taps spread along the major footprint axis).
