@@ -39,6 +39,10 @@ F32 = jnp.float32
 DEPTH_CLEAR_BITS = jnp.uint32(0xFFFFFFFF)
 # Sentinel triangle id for "no fragment" (flag == 0 in the reference).
 NO_TRI = jnp.int32(-1)
+# Anisotropic-filtering tap count AND the footprint clamp baked into
+# mip_tri_rows' per-triangle spread/lod constants — the one shared
+# definition (see core.maths.MAX_ANISO; ADVICE r4).
+from compute_renderer_tpu.core.maths import MAX_ANISO  # noqa: E402
 
 
 def empty_frame(width: int, height: int):
@@ -590,7 +594,7 @@ def uv_gradients_soa(screen_soa, uv_c):
 
 
 def _sample_mip_px(texels, mip_table, tid, lod, mu, mv, spread, u, v, flag,
-                   tex_filter: str, texels_packed=None, max_aniso: int = 4):
+                   tex_filter: str, texels_packed=None, max_aniso: int = MAX_ANISO):
     """Shared per-pixel mip sampler over PER-TRIANGLE constants.
 
     ``tid``/``lod``/``mu``/``mv``/``spread`` are the ``mip_tri_rows``
@@ -649,7 +653,7 @@ def _sample_mip_px(texels, mip_table, tid, lod, mu, mv, spread, u, v, flag,
 
 
 def sample_atlas_mip(texels, mip_table, face_tex, best_tri, flag, uv,
-                     guv_rows, tex_filter: str, max_aniso: int = 4):
+                     guv_rows, tex_filter: str, max_aniso: int = MAX_ANISO):
     """Trilinear/anisotropic repeat-wrap sample of the mip-extended atlas.
 
     ``mip_table`` is (M, L, 3) i32 {offset, width, height} per level from
@@ -770,7 +774,7 @@ def texf_mip_channels(num_lights: int) -> int:
 
 
 def mip_tri_rows(face_tex, mip_table, guv, tex_filter: str,
-                 max_aniso: int = 4):
+                 max_aniso: int = MAX_ANISO):
     """Per-triangle mip-sampling constants (T, 5) f32 for the fused-texture
     coefficient table: [tid, lod, mu, mv, spread].
 
@@ -945,7 +949,7 @@ def _texf_shade_epilogue(kdt, flag, gbuf, base, light_color,
 
 def fused_texture_tail_mip(gbuf, best_key, texels, mip_table, light_color,
                            light_intensity, tex_filter: str = "trilinear",
-                           texels_packed=None, max_aniso: int = 4):
+                           texels_packed=None, max_aniso: int = MAX_ANISO):
     """Shade a TEXF_MIP G-buffer: trilinear is two bilinear taps lerped by
     the carried LOD, anisotropic ``max_aniso`` such taps spread along the
     carried major axis — the SAME ``_sample_mip_px`` the deferred tail

@@ -48,20 +48,33 @@ MAX_TILE_CAP = 8192
 
 
 def choose_tile(num_triangles: int, width: int, height: int) -> tuple:
-    """Framebuffer tile shape: (8, 128) — the native VPU vreg shape.
+    """Framebuffer tile shape default: (16, 256).
 
-    Round-4 hardware sweep (scripts/ab_tile_sweep.py, v5e 2026-08-19,
-    tile shape x work-list x scene size): with the occupied-tile work
-    list, 8x128 beats the former 16x256 default at EVERY scale measured —
-    suzanne 1.3k tris 0.22 vs 0.28 ms, vokselia-small 8k 0.75 vs 1.36,
-    exterior 16k 0.66 vs 1.77, san-miguel-small 42k 2.84 vs 3.07. The
-    round-1 sweep that picked 16x256 predates the work-list kernel (which
-    already absorbs the per-tile overhead big tiles amortized); each
-    binned pair costs a full-tile vector pass, so the 4x smaller tile
-    wastes 4x fewer pixel lanes per pair. Kept as a function (with the
-    former signature) so a future density-adaptive rule slots back in."""
+    Round-5 bisect of the round-4 regression (scripts/bisect_r4_tile.py,
+    v5e 2026-08-20, BATCHED-slope methodology — the driver's): the round-4
+    flip to 8x128 was based on a SINGLE-dispatch sweep
+    (scripts/ab_tile_sweep.py) whose ~0.4 ms link overhead swamped the
+    real per-frame compute; under the batched lax.scan the ordering
+    inverts at most scales. Measured slope ms/frame (16x256 vs 8x128):
+    suzanne 1.3k tris 0.325 vs 0.560 (the whole BENCH_r04 regression),
+    san-miguel-small 42k 3.66 vs 4.20 — but exterior 16k 1.42 vs 0.97,
+    so the optimum is scene-dependent (no density statistic measured so
+    far separates exterior from san-miguel: alive-median bbox and
+    pairs-per-occupied-tile are near-identical). The engine therefore
+    auto-tunes the shape per scene by TIMING the candidates once at
+    calibration (Renderer._maybe_tune_tile); this static default is the
+    batched-methodology winner for direct render_frame callers and
+    non-TPU runs."""
     del num_triangles, width, height
-    return 8, 128
+    return 16, 256
+
+
+# Candidate framebuffer tile shapes for the engine's measured per-scene
+# auto-tune. Two shapes cover every scene measured so far within 5% of its
+# best: 16x256 wins suzanne/san-miguel-class, 8x128 wins exterior-class
+# (16x128 edged 8x128 by 5% on exterior but loses 19% on suzanne — not
+# worth a third compile per scene).
+TILE_CANDIDATES = ((16, 256), (8, 128))
 
 
 @partial(
@@ -184,6 +197,28 @@ def render_frame_micro(
         # which the fused front never materializes.
         use_front = (not interpret and screen is None and tri_table is None
                      and not vis and texf != pallas_micro.TEXF_MIP)
+    elif use_front:
+        # Explicit override: refuse the combinations the auto rule
+        # disqualifies instead of silently mis-shading. TEXF_MIP reads the
+        # table's rows 41:46 as [tid,lod,mu,mv,spread] but the front emits
+        # the 44-wide TextureInfo layout there (garbage image); vis mode's
+        # deferred tail needs the XLA chain's screen/world intermediates,
+        # which the front never materializes (ADVICE r4).
+        if texf == pallas_micro.TEXF_MIP:
+            raise ValueError(
+                "use_pallas_front=True is incompatible with fused "
+                "trilinear/anisotropic texturing (TEXF_MIP): the fused "
+                "front emits the 44-column TextureInfo table, not the "
+                "per-frame mip rows. Use tex_mode='deferred' or drop the "
+                "override."
+            )
+        if vis:
+            raise ValueError(
+                "use_pallas_front=True is incompatible with deferred "
+                "(vis-mode) texturing: the tail needs the XLA chain's "
+                "screen/world intermediates, which the fused front never "
+                "materializes. Drop the override or use tex_mode='fused'."
+            )
     if use_front:
         # Fused front end: one Pallas pass produces the cover meta (fed
         # straight to the pair-expansion kernel) and the coefficient rows

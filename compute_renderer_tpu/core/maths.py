@@ -17,6 +17,14 @@ import numpy as np
 
 F32 = np.float32
 
+# Anisotropic-filtering tap count AND the footprint clamp baked into the
+# per-triangle mip constants (backends.common.mip_tri_rows). ONE constant,
+# defined here (numpy-only, importable by the jax-free golden oracle and
+# the jax backends alike) so the table build and every sampler can never
+# desynchronize (ADVICE r4): a table baked at one value but shaded at
+# another would silently mis-scale the filter footprint.
+MAX_ANISO = 4
+
 
 def normalize(v: np.ndarray) -> np.ndarray:
     v = v.astype(F32)

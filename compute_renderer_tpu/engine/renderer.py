@@ -86,6 +86,12 @@ class Renderer:
             # Texture filtering rides the texture extension (tpu/xla only;
             # wgpu-faithful models the reference's texture-less pipeline).
             options.pop("tex_filter", None)
+        # Measured per-scene tile-shape auto-tune (tile path, real TPU
+        # only): no density statistic separates the 16x256 scenes from the
+        # 8x128 scenes (see tpu.choose_tile), so the engine TIMES the
+        # candidates once per scene/resolution and keeps the winner.
+        # tile_autotune=False (or pinning tile_h/tile_w) disables it.
+        self._tile_autotune = bool(options.pop("tile_autotune", True))
         self.options = options
         self._step_cache = {}
         self._pending_overflow = None
@@ -93,6 +99,8 @@ class Renderer:
         # scene/size unless the caller pinned pair_cap explicitly.
         self._user_pair_cap = "pair_cap" in options
         self._calibrate_pair_cap = not self._user_pair_cap
+        self._user_tile = "tile_h" in options or "tile_w" in options
+        self._tile_tuned = self._user_tile or not self._tile_autotune
         self._upload(mesh)
 
     def _upload(self, mesh) -> None:
@@ -204,6 +212,11 @@ class Renderer:
             # coverage scales with the cell grid, so re-settle.
             self.options.pop("pair_cap", None)
             self._calibrate_pair_cap = True
+        if self._tile_autotune and not self._user_tile:
+            # The tuned shape was measured at the old resolution.
+            self.options.pop("tile_h", None)
+            self.options.pop("tile_w", None)
+            self._tile_tuned = False
         self._step_cache.clear()
 
     # -- per-frame step -------------------------------------------------------
@@ -228,7 +241,8 @@ class Renderer:
 
     def _get_step(self, num_lights: int):
         """Compiled per-frame step with geometry baked in as constants."""
-        key = (num_lights, self.rw, self.rh)
+        key = (num_lights, self.rw, self.rh,
+               self.options.get("tile_h"), self.options.get("tile_w"))
         step = self._step_cache.get(key)
         if step is not None:
             return step
@@ -292,6 +306,91 @@ class Renderer:
         )
         self._step_cache.clear()
 
+    def _maybe_tune_tile(self, uniforms_seq) -> None:
+        """Pick the framebuffer tile shape by MEASUREMENT, once per
+        scene/resolution (tile path, real TPU only).
+
+        The round-5 bisect (scripts/bisect_r4_tile.py, v5e 2026-08-20)
+        showed the optimum is scene-dependent under the batched-slope
+        methodology — 16x256 wins suzanne (0.325 vs 0.560 ms/frame) and
+        san-miguel-small (3.66 vs 4.20), 8x128 wins exterior (0.97 vs
+        1.42) — and that no cheap density statistic separates them. So:
+        time each tpu.TILE_CANDIDATES shape on the caller's own
+        granularity (the first batch for the batched path, single-frame
+        dispatches otherwise) and keep the winner. For the plain/wave/
+        edge-melt effect classes the image is bitwise identical across
+        tile shapes (coverage confines pixels to the triangle, and the
+        (key, tri) depth resolve is tiling-independent), so the choice is
+        purely scheduling. Mirage and voxelize EXPAND coverage beyond the
+        triangle (sample warp / relaxed threshold), making the covered-
+        tile rectangle part of the per-pixel semantics — tuning would tie
+        the image to timing noise, so those scenes (and dynamic-effect
+        renderers with no static effect_kind) keep the default shape.
+        Costs one extra compile per losing candidate, amortized by the
+        persistent compilation cache. Disabled when the caller pins
+        tile_h/tile_w, passes tile_autotune=False, is not on the tile
+        path, or runs interpret-mode (timing would be meaningless)."""
+        if self._tile_tuned:
+            return
+        self._tile_tuned = True
+        if (self.backend_name != "tpu" or self.num_triangles == 0
+                or jax.default_backend() != "tpu" or not uniforms_seq):
+            return
+
+        from compute_renderer_tpu.core.effects import (
+            EFFECT_MIRAGE,
+            EFFECT_VOXELIZE,
+        )
+
+        if self.options.get("effect_kind") in (None, EFFECT_MIRAGE,
+                                               EFFECT_VOXELIZE):
+            return
+
+        from compute_renderer_tpu.backends.tpu import (
+            TILE_CANDIDATES,
+            resolve_path,
+        )
+
+        path = resolve_path(self.options.get("path", "auto"),
+                            self.num_triangles,
+                            self.options.get("tri_chunk", 0))
+        if path != "tile":
+            return
+
+        import time as _time
+
+        batched = len(uniforms_seq) > 1
+        rounds = 3 if batched else 6
+        results = {}
+        for th, tw in TILE_CANDIDATES:
+            self.options["tile_h"], self.options["tile_w"] = th, tw
+            # Checked warm-up: compiles the candidate and settles its
+            # binning capacities (a retry here must not be timed).
+            if batched:
+                out = self.render_batch_device(list(uniforms_seq))
+                np.asarray(out[-1, 0, 0])
+            else:
+                out = self._checked(uniforms_seq[0])
+                np.asarray(out[0][0, 0])
+            if self.options.get("path") == "micro":
+                # Over-dense tile->micro fallback fired during warm-up:
+                # the tile shape is moot, keep micro.
+                return
+            best = float("inf")
+            for _ in range(rounds):
+                t0 = _time.perf_counter()
+                if batched:
+                    self.render_batch_device(list(uniforms_seq),
+                                             check=False)
+                    self.fence_pending()
+                else:
+                    o = self.render_device(uniforms_seq[0])
+                    np.asarray(o[2] if len(o) > 2 else o[0][0, 0])
+                best = min(best, _time.perf_counter() - t0)
+            results[(th, tw)] = best
+        winner = min(results, key=results.get)
+        self.options["tile_h"], self.options["tile_w"] = winner
+
     def render_device(self, uniforms: FrameUniforms):
         """Render and return the device-resident (H,W,4) u8 framebuffer
         (plus the depth-key buffer; the tpu backend also returns its binning
@@ -308,6 +407,7 @@ class Renderer:
         carries the NEEDED capacities, so a retry recompiles once with a
         sufficient size (doubling blindly cost minutes of recompiles per
         step at mega scale)."""
+        self._maybe_tune_tile([uniforms])
         for _ in range(max_retries):
             # Inside the loop: a tile->micro fallback (_grow_caps) re-arms
             # calibration, and the micro pair capacity must be re-measured
@@ -394,7 +494,8 @@ class Renderer:
         """Compiled K-frame step: lax.scan over a stack of packed uniforms
         inside ONE XLA program. Amortizes per-dispatch latency (a remote TPU
         adds fixed cost per execute call) — the offline/animation path."""
-        key = ("batch", num_lights, self.rw, self.rh)
+        key = ("batch", num_lights, self.rw, self.rh,
+               self.options.get("tile_h"), self.options.get("tile_w"))
         step = self._step_cache.get(key)
         if step is not None:
             return step
@@ -426,6 +527,7 @@ class Renderer:
         loops (benchmarks) pass ``check=False`` — the flags accumulate on
         device and ``flush_overflow()`` fetches them once at the end."""
         uniforms_seq = list(uniforms_seq)
+        self._maybe_tune_tile(uniforms_seq)
         packs = []
         L = None
         for u in uniforms_seq:

@@ -38,7 +38,7 @@ from compute_renderer_tpu.core.effects import (
     EFFECT_VOXELIZE,
     EFFECT_WAVE,
 )
-from compute_renderer_tpu.core.maths import F32
+from compute_renderer_tpu.core.maths import F32, MAX_ANISO
 
 DEPTH_CLEAR_BITS = np.uint32(0xFFFFFFFF)
 
@@ -185,6 +185,7 @@ def render_golden(
     height: int,
     tile_size: int = 8,
     return_gbuffer: bool = False,
+    return_float: bool = False,  # also return pre-quantization (H,W,3) f32
     face_kd: np.ndarray | None = None,  # (T, 3) per-tri diffuse (extension)
     face_tex: np.ndarray | None = None,  # (T,) i32 texture slot (extension)
     texels: np.ndarray | None = None,  # (P, 3) f32 pool (mips appended for trilinear)
@@ -363,7 +364,6 @@ def render_golden(
             ry = np.sqrt((frag_guv[..., 2] * tw0) ** 2
                          + (frag_guv[..., 3] * th0) ** 2, dtype=F32)
             if tex_filter == "anisotropic":
-                MAX_ANISO = 4
                 pmax = np.maximum(np.maximum(rx, ry), F32(1e-12))
                 pmin = np.maximum(np.minimum(rx, ry), F32(1e-12))
                 n_eff = np.clip(pmax / pmin, F32(1.0), F32(MAX_ANISO))
@@ -418,9 +418,19 @@ def render_golden(
     rgba = shade_fragments(
         frag_flag, frag_normal, frag_pos,
         view_position, light_world_pos, light_color, light_intensity,
-        kd=frag_kd,
+        kd=frag_kd, return_float=return_float,
     )
     if return_gbuffer:
+        if return_float:
+            rgba, fimg = rgba
+            return rgba, fimg, {
+                "depth_bits": depth,
+                "flag": frag_flag,
+                "tri": frag_tri,
+                "uv": frag_uv,
+                "normal": frag_normal,
+                "world_pos": frag_pos,
+            }
         return rgba, {
             "depth_bits": depth,
             "flag": frag_flag,
@@ -433,7 +443,8 @@ def render_golden(
 
 
 def shade_fragments(flag, normal, pos, view_position, light_world_pos,
-                    light_color, light_intensity, kd=None):
+                    light_color, light_intensity, kd=None,
+                    return_float: bool = False):
     """Deferred Phong shading pass (fragment.wgsl:50-93).
 
     Quirks kept from the reference: world-space light direction (the uploaded
@@ -496,4 +507,10 @@ def shade_fragments(flag, normal, pos, view_position, light_world_pos,
     rgba[flag, 0] = shaded[flag, 0]
     rgba[flag, 1] = shaded[flag, 1]
     rgba[flag, 2] = shaded[flag, 2]
+    if return_float:
+        # Pre-quantization channel values (covered pixels only meaningful):
+        # lets parity tests prove a 1-LSB backend disagreement is a
+        # rounding-boundary tie (value within eps of k + 0.5) rather than
+        # a real shading delta.
+        return rgba, (srgb * F32(255.0)).astype(F32)
     return rgba

@@ -679,22 +679,90 @@ def test_golden_vs_xla_trilinear():
     assert (diff <= 1).all()
 
 
-def _assert_near_tie_tolerant(img, ref, max_px=4):
-    """Bitwise except at depth near-tie winner flips.
+def _near_tie_mask(mesh, w=W, h=H):
+    """Pixels where the quad's two triangles' depth KEYS differ by <= 1 ULP
+    (both covering): the (key, tri) winner may legitimately flip there
+    between FMA contractions. Computed by rendering each triangle ALONE
+    through the XLA comparator and bit-comparing the returned u32 keys —
+    a per-pixel ground truth, not a global pixel budget (ADVICE r4)."""
+    import jax.numpy as jnp
 
-    The minified quad's two triangles are nearly coplanar: across the
-    diagonal their interpolated z differ by <= 1 ULP at ~800 pixels, and
-    the micro kernel's in-kernel affine eval (z = c0 + cx*dx + cy*dy)
-    contracts to FMA differently from the XLA comparator's, so the
-    (key, tri) winner legitimately flips at those pixels (measured:
-    identical 1-ULP key drift at round 3 — the image matched then only
-    because both triangles' shading rounded to the same u8). Shading is
-    continuous across the shared edge, so a flip costs at most 1 LSB at
-    a handful of pixels; everything else must be bitwise."""
+    from compute_renderer_tpu.backends import xla
+    from compute_renderer_tpu.backends.common import DEPTH_CLEAR_BITS
+
+    camera = Camera.first_person([0, 0, 2.0], aspect=w / h)
+    u = camera.uniform()
+    keys = []
+    for t in range(mesh.num_triangles):
+        _, key = xla.render_frame(
+            jnp.asarray(mesh.positions), jnp.asarray(mesh.normals),
+            jnp.asarray(mesh.uvs),
+            jnp.asarray(mesh.indices[3 * t:3 * t + 3].astype(np.int32)
+                        ).reshape(-1, 3),
+            jnp.asarray(u.view_proj), jnp.asarray(u.view_position),
+            *map(jnp.asarray, lights_at_camera()),
+            jnp.asarray(EffectUniform().as_array()),
+            width=w, height=h, tile_h=8, tile_w=8,
+        )
+        keys.append(np.asarray(key).astype(np.int64))
+    clear = np.int64(np.uint32(DEPTH_CLEAR_BITS))
+    tie = np.zeros(keys[0].shape, dtype=bool)
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            both = (keys[i] != clear) & (keys[j] != clear)
+            tie |= both & (np.abs(keys[i] - keys[j]) <= 1)
+    return tie
+
+
+def _assert_near_tie_tolerant(img, ref, mesh, tex_filter="trilinear"):
+    """Bitwise except at PROVEN ties, per-pixel (ADVICE r4).
+
+    Two legitimate 1-LSB divergence classes exist between executables of
+    the same f32 program on XLA:CPU (FMA contraction differs with
+    compilation context — e.g. warm-cache executables vs fresh ones):
+
+    1. depth near-ties: the quad's triangles are nearly coplanar, so a
+       1-ULP drift in the affine depth eval flips the (key, tri) winner
+       where the two keys differ by <= 1 ULP (``_near_tie_mask`` — exact,
+       from single-triangle renders);
+    2. rounding-boundary ties: a shaded channel lands within eps of a
+       u8 half-boundary (measured: G = 190.50018 at the two historically
+       flaky pixels), so a 1-ULP drift in the shading chain flips the
+       rounding. Proven against the float-precision golden oracle
+       (``render_golden(return_float=True)``).
+
+    Every differing channel must fall in one of those classes; everything
+    else must be bitwise. No global pixel budget."""
     d = np.abs(img.astype(int) - ref.astype(int))
-    bad = d.max(axis=-1) > 0
     assert d.max() <= 1, d.max()
-    assert bad.sum() <= max_px, bad.sum()
+    ch_bad = d[..., :3] > 0
+    if not ch_bad.any():
+        return
+    tie = _near_tie_mask(mesh)
+
+    from compute_renderer_tpu.golden.rasterizer import render_golden
+    from compute_renderer_tpu.io.textures import build_mips
+
+    pool, mips = mesh.texels, None
+    if tex_filter in ("trilinear", "anisotropic"):
+        pool, mips = build_mips(mesh.texels, mesh.tex_table)
+    camera = Camera.first_person([0, 0, 2.0], aspect=W / H)
+    u = camera.uniform()
+    lwp, lc, li = lights_at_camera()
+    _, fimg = render_golden(
+        mesh.positions, mesh.normals, mesh.uvs, mesh.indices,
+        u.view_proj, u.view_position, lwp, lc, li,
+        EffectUniform().as_array(), W, H,
+        face_kd=mesh.face_kd, face_tex=mesh.face_tex,
+        texels=pool, tex_table=mesh.tex_table,
+        tex_filter=tex_filter, tex_mips=mips, return_float=True,
+    )
+    boundary = np.abs(fimg - np.floor(fimg) - np.float32(0.5)) < 1e-3
+    stray = ch_bad & ~boundary & ~tie[..., None]
+    assert not stray.any(), (
+        f"{int(stray.sum())} differing channels outside the proven-tie "
+        f"classes (of {int(ch_bad.sum())} differing; depth-tied px "
+        f"{int(tie.sum())}, boundary-tied ch {int(boundary.sum())})")
 
 
 def test_xla_vs_tpu_trilinear_tile_and_micro():
@@ -705,7 +773,7 @@ def test_xla_vs_tpu_trilinear_tile_and_micro():
     np.testing.assert_array_equal(tile, ref8x128)
     ref8 = render_xla_mesh(mesh, tile_h=8, tile_w=8, tex_filter="trilinear")
     micro = render_tpu_mesh(mesh, path="micro", tex_filter="trilinear")
-    _assert_near_tie_tolerant(micro, ref8)
+    _assert_near_tie_tolerant(micro, ref8, mesh)
 
 
 def test_fused_mip_micro_matches_deferred():

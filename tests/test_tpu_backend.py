@@ -32,7 +32,12 @@ def compare_backends(mesh, effect=None, camera=None, w=W, h=H, exact=True,
     effect = effect if effect is not None else EffectUniform().as_array()
     lights = lights_default()
 
-    ref = xla.render(mesh, u, lights, effect, w, h, tile_h=8, tile_w=128)
+    # The xla ref must share the tpu default tile shape: the raster REGION
+    # (covered-tile rectangle) is part of the per-pixel semantics for the
+    # region-expanding effects (mirage warps samples ACROSS the triangle
+    # edge, voxelize relaxes the coverage threshold), so their images
+    # legitimately depend on the tiling. tpu.choose_tile returns (16, 256).
+    ref = xla.render(mesh, u, lights, effect, w, h, tile_h=16, tile_w=256)
     ours = tpu.render(mesh, u, lights, effect, w, h, **tpu_kw)
     if exact:
         np.testing.assert_array_equal(ours, ref)
