@@ -51,6 +51,33 @@ def cover_counts(setup):
     return rx, ry, jnp.where(setup["alive"], rx * ry, 0)
 
 
+def setup_from_meta(meta):
+    """Reconstruct the minimal ``triangle_setup`` dict the binning paths
+    consume (tile_x0/x1/y0/y1, alive) from the fused front end's meta rows
+    (pallas_front.front_end: [tile_x0, tile_y0, rx, c]).
+
+    Bit-exact for alive triangles: c = rx * ry with integer rx >= 1, so
+    ry = c // rx recovers the rect height exactly. Dead triangles (c == 0)
+    get an empty rect — every consumer (cover_counts, the dense coverage
+    matrix, exact_tile_counts) masks them by ``alive`` anyway. This lets
+    the TILE path ride the fused front too (round 5): front meta replaces
+    the ~150-op XLA vertex/setup chain that dominates sub-ms frames."""
+    i32 = jnp.int32
+    x0 = meta[0].astype(i32)
+    y0 = meta[1].astype(i32)
+    rx = meta[2].astype(i32)
+    c = meta[3].astype(i32)
+    alive = c > 0
+    ry = c // jnp.maximum(rx, 1)
+    return {
+        "tile_x0": x0,
+        "tile_y0": y0,
+        "tile_x1": x0 + jnp.where(alive, rx, 0),
+        "tile_y1": y0 + jnp.where(alive, ry, 0),
+        "alive": alive,
+    }
+
+
 def bin_triangles(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
     """Dispatch to the dense-rank or sort-based binning implementation.
 
@@ -208,7 +235,12 @@ def bin_triangles_sort(setup, ntx: int, nty: int, pair_cap: int, tile_cap: int):
     i32 = jnp.int32
     rx, _, c = cover_counts(setup)
 
-    starts = jnp.cumsum(c) - c  # exclusive prefix (replaces the 2-pass scan)
+    from compute_renderer_tpu.backends.pallas_expand import blocked_cumsum_i32
+
+    # Exclusive prefix (replaces the reference's 2-pass scan). Blocked
+    # two-level form: jnp.cumsum's serialized whole-array lowering was the
+    # bulk of the expand stage at scale (round 5; bit-identical for ints).
+    starts = blocked_cumsum_i32(c) - c
     total = starts[-1] + c[-1]
 
     p = jnp.arange(pair_cap, dtype=i32)
@@ -437,7 +469,11 @@ def expand_cells_meta(c, rx, x0, y0, ntx_t: int, num_cells: int,
             interpret=interpret,
         )
     else:
-        starts = jnp.cumsum(c) - c
+        from compute_renderer_tpu.backends.pallas_expand import (
+            blocked_cumsum_i32,
+        )
+
+        starts = blocked_cumsum_i32(c) - c
         total = starts[-1] + c[-1]
 
         p = jnp.arange(pair_cap, dtype=i32)

@@ -50,6 +50,28 @@ CH = 512  # pairs per emission chunk (bounds the (CH, B) VMEM temporaries)
 PAD = 3072  # output slack so aligned RMW windows never go out of bounds
 
 
+def blocked_cumsum_i32(c):
+    """Inclusive i32 cumsum via a two-level block decomposition: lane-dim
+    cumsums within 1024-element blocks + a cumsum of block totals.
+
+    ``jnp.cumsum`` over a (T,) i32 row lowers to a serialized whole-array
+    scan on TPU — measured as the bulk of the 4.0 ms "expand" stage at 1M
+    triangles (binning_profile2: the expansion kernel itself is 0.49 ms).
+    The blocked form keeps both levels vectorized. Integer addition is
+    associative and exact, so the result is bit-identical to jnp.cumsum
+    (asserted in scripts/ab_expand_coeffs.py and tests/test_binning.py)."""
+    n = c.shape[0]
+    c = c.astype(I32)
+    if n <= 1024:
+        return jnp.cumsum(c)
+    npad = (n + 1023) // 1024 * 1024
+    r = jnp.pad(c, (0, npad - n)).reshape(-1, 1024)
+    within = jnp.cumsum(r, axis=1)
+    tot = within[:, -1]
+    offs = jnp.cumsum(tot) - tot
+    return (within + offs[:, None]).reshape(-1)[:n]
+
+
 def _expand_kernel(
     # SMEM scalars
     dims_ref,  # (4,) i32: [T, ntx_t, num_cells, pair_cap]
@@ -207,7 +229,7 @@ def expand_cells(c, rx, x0, y0, *, pair_cap: int, ntx_t: int,
     Returns (cell_of_pair (pair_cap,), tri_of_pair (pair_cap,),
     total_pairs ()) matching ``bin_cells_sort``'s pre-sort arrays."""
     T = c.shape[0]
-    starts = jnp.cumsum(c.astype(I32)) - c.astype(I32)
+    starts = blocked_cumsum_i32(c) - c.astype(I32)
     Tpad = (T + B - 1) // B * B
     if Tpad != T:
         z = jnp.zeros((Tpad - T,), I32)

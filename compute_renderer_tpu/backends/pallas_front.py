@@ -348,3 +348,15 @@ def pack_table_c64(coeff):
         )
     packed = jax.lax.complex(coeff[0::2, :], coeff[1::2, :])
     return packed.T
+
+
+def pack_table_c64_cm(coeff):
+    """Column-major pack: the (R, T) coefficient rows the front end
+    NATIVELY emits -> (R2, T) complex64 with no transpose at all. Feed to
+    ``pallas_micro.build_pair_coeffs_cm`` (bit-identical stream to the
+    row-major ``pack_table_c64`` + ``build_pair_coeffs`` pipeline)."""
+    if coeff.shape[0] % 2:
+        coeff = jnp.concatenate(
+            [coeff, jnp.zeros((1, coeff.shape[1]), F32)], axis=0
+        )
+    return jax.lax.complex(coeff[0::2, :], coeff[1::2, :])

@@ -122,6 +122,7 @@ def _micro_kernel(
     vis: bool = False,
     texf: bool = False,
     unroll: int = 2,
+    tree: bool = False,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -168,7 +169,7 @@ def _micro_kernel(
             coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
             w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
             skip_mirage=skip_mirage, mat=mat, vis=vis, texf=texf,
-            unroll=unroll,
+            unroll=unroll, tree=tree,
         )
 
 
@@ -189,12 +190,8 @@ def _micro_kernel_wl(
     # outputs (blocked per *visited* tile)
     rgba_ref,
     key_ref,
-    # scratch
-    win_a,
-    win_b,
-    sem_a,
-    sem_b,
-    *,
+    # scratch: win_a, win_b, sem_a, sem_b (+ par_ref SMEM when prefetch)
+    *scratch,
     ntx: int,
     num_lights: int,
     skip_mirage: bool = False,
@@ -202,14 +199,30 @@ def _micro_kernel_wl(
     vis: bool = False,
     texf: bool = False,
     unroll: int = 2,
+    tree: bool = False,
+    prefetch: bool = False,
 ):
     """Work-list variant of ``_micro_kernel`` (the micro-path analog of
     pallas_raster._raster_kernel_wl): the grid is the dynamic count of
     OCCUPIED (8, 128) tiles; step i renders tile ``wl[i]``. Empty tiles —
     most of the screen when a mega mesh is small on it — never become grid
     steps: their pixels come from the pre-cleared framebuffer aliased into
-    the outputs. Bitwise the same image as the full grid."""
+    the outputs. Bitwise the same image as the full grid.
+
+    ``prefetch``: cross-tile chunk-0 pipelining — each step issues the
+    NEXT tile's first window chunk before finishing, so the next step's
+    walk finds its DMA already in flight instead of stalling a full HBM
+    round trip at every tile. Buffer parity is carried across steps in a
+    one-element SMEM scratch (chunk ck of a tile lives in win_a iff
+    ck + base parity is even); every issued DMA is still waited exactly
+    once, so the semaphores stay balanced. Bitwise identical. Measured
+    (scripts/ab_raster2.py, v5e 2026-08-20, 1M tris / 327k pairs /
+    ~700 occupied tiles): 7.87 -> 6.84 ms (-13%), the round-5 default."""
     del rgba_clear_ref, key_clear_ref
+    if prefetch:
+        win_a, win_b, sem_a, sem_b, par_ref = scratch
+    else:
+        win_a, win_b, sem_a, sem_b = scratch
     i = pl.program_id(0)
     tile_id = wl_ref[i]
     ti = tile_id // ntx
@@ -224,16 +237,59 @@ def _micro_kernel_wl(
     span = first + count - w0
     nchunks = (span + chunk_pairs - 1) // chunk_pairs
 
-    pltpu.make_async_copy(
-        coeffs_ref.at[pl.ds((w0 // 128) * rows, W), :], win_a, sem_a
-    ).start()
+    if not prefetch:
+        pltpu.make_async_copy(
+            coeffs_ref.at[pl.ds((w0 // 128) * rows, W), :], win_a, sem_a
+        ).start()
+        _raster_tile_micro(
+            params_ref, lights_ref, seg_start_ref, seg_count_ref,
+            coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
+            w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
+            skip_mirage=skip_mirage, mat=mat, vis=vis, texf=texf,
+            unroll=unroll, tree=tree,
+        )
+        return
+
+    # Step 0 has no predecessor: issue its own chunk 0 (parity 0).
+    @pl.when(i == 0)
+    def _():
+        par_ref[0] = 0
+        pltpu.make_async_copy(
+            coeffs_ref.at[pl.ds((w0 // 128) * rows, W), :], win_a, sem_a
+        ).start()
+
+    base = par_ref[0]
     _raster_tile_micro(
         params_ref, lights_ref, seg_start_ref, seg_count_ref,
         coeffs_ref, rgba_ref, key_ref, win_a, win_b, sem_a, sem_b,
         w0, nchunks, ti, tj, tile_id, num_lights=num_lights,
         skip_mirage=skip_mirage, mat=mat, vis=vis, texf=texf,
-        unroll=unroll,
+        unroll=unroll, tree=tree, base_par=base,
     )
+
+    # The walk entered chunks 0..nchunks-1 (the tile's last pair lives in
+    # chunk nchunks-1 and segments are contiguous), so the last-used
+    # buffer is (base + nchunks - 1) & 1 and the next tile's chunk 0 goes
+    # to the other one.
+    nxt = (base + nchunks) % 2
+    par_ref[0] = nxt
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        tid2 = wl_ref[i + 1]
+        row2 = (win_start_ref[tid2] // 128) * rows
+
+        @pl.when(nxt == 0)
+        def _():
+            pltpu.make_async_copy(
+                coeffs_ref.at[pl.ds(row2, W), :], win_a, sem_a
+            ).start()
+
+        @pl.when(nxt == 1)
+        def _():
+            pltpu.make_async_copy(
+                coeffs_ref.at[pl.ds(row2, W), :], win_b, sem_b
+            ).start()
 
 
 def _raster_tile_micro(
@@ -242,6 +298,7 @@ def _raster_tile_micro(
     ti, tj, tile_id,
     *, num_lights: int, skip_mirage: bool = False, mat: bool = False,
     vis: bool = False, texf: bool = False, unroll: int = 2,
+    tree: bool = False, base_par=None,
 ):
     threshold = params_ref[0, 0]
     melt_threshold = params_ref[0, 1]
@@ -276,6 +333,15 @@ def _raster_tile_micro(
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     lane_local = (lane % 8).astype(F32)
     group = lane // 8  # (8, 128) i32: lane group = pair slot within a step
+
+    # Buffer parity: chunk ck resides in win_a iff (ck + base_par) is even.
+    # base_par is 0 except under the work-list cross-tile prefetch, where
+    # the next tile's chunk 0 lands in whichever buffer follows the
+    # previous tile's last chunk.
+    if base_par is None:
+        use_a_of = lambda ck: (ck % 2) == 0
+    else:
+        use_a_of = lambda ck: ((ck + base_par) % 2) == 0
 
     # Per-tile accumulated framebuffer state.
     acc_key = jnp.full((8, 128), DEPTH_CLEAR_BITS, jnp.uint32)
@@ -322,12 +388,17 @@ def _raster_tile_micro(
                 px = jnp.where(mirage > 0.5, xs + off_x, xs)
                 py = jnp.where(mirage > 0.5, ys_base + off_y, ys_base)
 
-            def eval_block(kb, carry):
-                best_key, best_pair, attrs, cur = carry
+            def eval_raw(kb, cur):
+                """Evaluate one 16-pair block WITHOUT merging: returns the
+                block's per-lane (key, pair, interpolated attrs) candidates
+                plus the chunk-walk state. Splitting evaluation from the
+                merge lets the unrolled walk run independent chains and
+                tree-merge them (the walk is latency-bound; the sequential
+                carry-select chain was the serialization)."""
                 ap = base0 + kb * 16  # absolute pair index of this block
                 ck = (ap - w0) // CP  # chunk holding the whole block
                 adv = ck != cur
-                even = (ck % 2) == 0
+                even = use_a_of(ck)
 
                 # Crossing into chunk ck: wait for its DMA, then put the next
                 # chunk in flight into the other buffer.
@@ -399,51 +470,61 @@ def _raster_tile_micro(
 
                 key = jnp.where(mask, pltpu.bitcast(z, jnp.uint32),
                                 DEPTH_CLEAR_BITS)
-                # Lexicographic (key, pair) min with the pair clause FREE:
-                # within a lane group, pairs arrive in strictly ascending
-                # order across blocks (group g sees pairs ap+g, ap+16+g,
-                # ...), so on a key tie the carried winner already has the
-                # lower pair index — strict < reproduces the lexicographic
-                # result exactly. (Groups hold DIFFERENT pairs; the
-                # cross-group butterfly below still compares (key, pair).)
-                # Covered pixels are unaffected; uncovered lanes now keep
-                # PAIR_IDX_CLEAR instead of adopting the cell's lowest pair
-                # on the CLEAR==CLEAR tie — every consumer masks attrs/pair
-                # by key != DEPTH_CLEAR_BITS.
-                win = key < best_key
-                best_key = jnp.where(win, key, best_key)
-                best_pair = jnp.where(win, pair_idx, best_pair)
-                new_attrs = []
+                interps = []
                 if not vis:
                     for ch in range(6):
-                        interp = (coef(12 + ch * 3) + coef(13 + ch * 3) * dx
-                                  + coef(14 + ch * 3) * dy)
-                        new_attrs.append(jnp.where(win, interp, attrs[ch]))
+                        interps.append(coef(12 + ch * 3)
+                                       + coef(13 + ch * 3) * dx
+                                       + coef(14 + ch * 3) * dy)
                     if mat:
                         # Winner's per-triangle diffuse: constant rows 32:35
                         # (broadcast, not interpolated — pallas_raster
                         # layout).
                         for ch in range(3):
-                            new_attrs.append(
-                                jnp.where(win, coef(32 + ch), attrs[6 + ch])
-                            )
+                            interps.append(coef(32 + ch))
                     elif texf:
                         # Fused texturing: interpolated uv (affine rows
                         # 32:38) + the winner's kd and TextureInfo (rows
                         # 38:44) — or kd and mip (rows 38:46, TEXF_MIP) —
                         # constants; pallas_raster layout.
                         for ch in range(2):
-                            interp = (coef(32 + ch * 3)
-                                      + coef(33 + ch * 3) * dx
-                                      + coef(34 + ch * 3) * dy)
-                            new_attrs.append(
-                                jnp.where(win, interp, attrs[6 + ch])
-                            )
+                            interps.append(coef(32 + ch * 3)
+                                           + coef(33 + ch * 3) * dx
+                                           + coef(34 + ch * 3) * dy)
                         for ch in range(8 if texf == TEXF_MIP else 6):
-                            new_attrs.append(
-                                jnp.where(win, coef(38 + ch), attrs[8 + ch])
-                            )
-                return best_key, best_pair, tuple(new_attrs), ck
+                            interps.append(coef(38 + ch))
+                return key, pair_idx, tuple(interps), ck
+
+            # Lexicographic (key, pair) min with the pair clause FREE:
+            # within a lane group, pairs arrive in strictly ascending
+            # order across blocks (group g sees pairs ap+g, ap+16+g,
+            # ...), so on a key tie the earlier candidate already has the
+            # lower pair index — strict < (keeping the LEFT operand on a
+            # tie) reproduces the lexicographic result exactly, and the
+            # reduction is associative, so sequential-chain and tree
+            # merges are bitwise identical. (Groups hold DIFFERENT pairs;
+            # the cross-group butterfly below still compares (key, pair).)
+            # Covered pixels are unaffected; uncovered lanes keep
+            # PAIR_IDX_CLEAR instead of adopting the cell's lowest pair
+            # on the CLEAR==CLEAR tie — every consumer masks attrs/pair
+            # by key != DEPTH_CLEAR_BITS.
+            def merge(a, b):
+                ka, pa, ia = a
+                kb_, pb, ib = b
+                win = kb_ < ka
+                return (
+                    jnp.where(win, kb_, ka),
+                    jnp.where(win, pb, pa),
+                    tuple(jnp.where(win, y, x) for x, y in zip(ia, ib)),
+                )
+
+            def eval_block(kb, carry):
+                best_key, best_pair, attrs, cur = carry
+                key, pair_idx, interps, ck = eval_raw(kb, cur)
+                best_key, best_pair, attrs = merge(
+                    (best_key, best_pair, attrs), (key, pair_idx, interps)
+                )
+                return best_key, best_pair, attrs, ck
 
             # Unrolled walk: UNROLL independent roll->matmul->coverage
             # chains per trip. The walk is latency-bound, not ALU-bound
@@ -454,10 +535,35 @@ def _raster_tile_micro(
             # strict `key < best_key` rejects the equal re-candidate, and
             # its chunk is already resident (adv == False). Two sub-blocks
             # can never both cross a chunk boundary in one trip (crossings
-            # are >= CP/16 blocks apart).
+            # are >= CP/16 blocks apart). ``tree`` additionally breaks the
+            # carry-select serialization: the UNROLL candidates tree-merge
+            # before one merge into the carry (bitwise identical — see the
+            # associativity note above).
             if unroll <= 1:
                 body = eval_block
                 trips = nblocks
+            elif tree:
+                def body(it, carry):
+                    best_key, best_pair, attrs, cur = carry
+                    cands = []
+                    for u in range(unroll):
+                        kb = it * unroll if u == 0 else jnp.minimum(
+                            it * unroll + u, nblocks - 1)
+                        key, pair_idx, interps, cur = eval_raw(kb, cur)
+                        cands.append((key, pair_idx, interps))
+                    while len(cands) > 1:
+                        nxt = [
+                            merge(cands[j], cands[j + 1])
+                            if j + 1 < len(cands) else cands[j]
+                            for j in range(0, len(cands), 2)
+                        ]
+                        cands = nxt
+                    best_key, best_pair, attrs = merge(
+                        (best_key, best_pair, attrs), cands[0]
+                    )
+                    return best_key, best_pair, attrs, cur
+
+                trips = (nblocks + unroll - 1) // unroll
             else:
                 def body(it, carry):
                     carry = eval_block(it * unroll, carry)
@@ -660,6 +766,64 @@ def build_tri_table_c64(screen_soa, nrm_soa, wld_soa, face_kd=None,
     return jnp.stack(packed, axis=1)
 
 
+def build_tri_table_c64_cm(screen_soa, nrm_soa, wld_soa, face_kd=None,
+                           uv_soa=None, tex_rows=None):
+    """Column-major twin of ``build_tri_table_c64``: (R2, T) complex64 with
+    TRIANGLES ON LANES — row k packs coefficient columns (2k, 2k+1).
+
+    The table build stacks the same contiguous (T,) coefficient columns
+    either way; what changes is the downstream pair gather
+    (``build_pair_coeffs_cm``): gathering pairs along the LANE axis leaves
+    the stream's coefficient-major layout one majors-permute away, where
+    the row-major form needs a 128x32 lane transpose per superblock.
+
+    MEASURED SLOWER on v5e (scripts/ab_expand_coeffs.py, 2026-08-20,
+    1M tris / 327k pairs): the lane-axis gather costs 4.02 ms vs 2.49 for
+    the row gather — XLA:TPU gathers whole (1, 16) c64 rows far faster
+    than strided (16, 1) columns — and the full colmajor build is 4.92 vs
+    4.19 row-major. Kept (with ``micro_colmajor``) as the documented
+    negative result; the row-major build stays the default."""
+    from compute_renderer_tpu.backends import pallas_raster
+
+    cols = pallas_raster.tri_table_columns(screen_soa, nrm_soa, wld_soa,
+                                           face_kd=face_kd, uv_soa=uv_soa,
+                                           tex_rows=tex_rows)
+    if len(cols) % 2:
+        cols = cols + [jnp.zeros_like(cols[0])]
+    packed = [
+        jax.lax.complex(cols[2 * k], cols[2 * k + 1])
+        for k in range(len(cols) // 2)
+    ]
+    return jnp.stack(packed, axis=0)
+
+
+def build_pair_coeffs_cm(tabT, pair_tri, chunk_rows: int | None = None):
+    """``build_pair_coeffs`` from the column-major (R2, T) c64 table:
+    bit-identical output stream, but the P-sized gather indexes the LANE
+    axis, so no 128x32 lane transpose remains — only a majors permute
+    (sublane/lane axes untouched, a strided copy at HBM rate). Pad values
+    match the row-major build exactly (zeros beyond the real pairs)."""
+    g = tabT[:, pair_tri]  # (R2, P) c64
+    gf = jnp.stack([jnp.real(g), jnp.imag(g)], axis=1).reshape(
+        2 * g.shape[0], g.shape[1]
+    )  # (width, P) f32; row order matches the row-major interleave
+    width = gf.shape[0]
+    if width <= SB_ROWS:
+        rows = SB_ROWS
+    elif width <= 36:
+        rows = SB_ROWS_MAT
+    else:
+        rows = SB_ROWS_TEX
+    if chunk_rows is None:
+        chunk_rows = default_chunk_rows(rows == SB_ROWS_MAT,
+                                        texf=rows == SB_ROWS_TEX)
+    chunk_pairs = (chunk_rows // rows) * 128
+    P = gf.shape[1]
+    P_pad = ((P + 127) // 128) * 128 + chunk_pairs + 128
+    gf = jnp.pad(gf, ((0, rows - width), (0, P_pad - P)))
+    return gf.reshape(rows, -1, 128).transpose(1, 0, 2).reshape(-1, 128)
+
+
 def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int | None = None):
     """Coefficient-major packed pair stream: (R, 128) f32 where superblock
     sb (rows W*sb .. W*sb+W-1, W = 32 base / 40 material) holds pairs
@@ -701,7 +865,7 @@ def build_pair_coeffs(tri_table, pair_tri, chunk_rows: int | None = None):
     jax.jit,
     static_argnames=("height_padded", "width_padded", "chunk_rows",
                      "interpret", "effect_kind", "worklist", "mat", "vis",
-                     "texf", "unroll"),
+                     "texf", "unroll", "tree", "prefetch"),
 )
 def raster_shade_micro(
     pair_coeffs,  # (P_pad, 128) f32
@@ -726,6 +890,8 @@ def raster_shade_micro(
     vis: bool = False,
     texf: bool = False,
     unroll: int = 2,
+    tree: bool = False,
+    prefetch: bool = True,
 ):
     """Run the micro kernel over the padded framebuffer.
 
@@ -827,11 +993,16 @@ def raster_shade_micro(
             occupied_worklist,
         )
 
+        if prefetch:
+            # Cross-step buffer parity (see _micro_kernel_wl).
+            scratch_shapes = scratch_shapes + [
+                pltpu.SMEM((1,), jnp.int32)
+            ]
         wl, k = occupied_worklist(tile_count.astype(jnp.int32))
         wl_kernel = functools.partial(
             _micro_kernel_wl, ntx=ntx, num_lights=num_lights,
             skip_mirage=skip_mirage, mat=mat, vis=vis, texf=texf,
-            unroll=unroll,
+            unroll=unroll, tree=tree, prefetch=prefetch,
         )
         if vis:
             rgba_clear = jnp.full((height_padded, width_padded),
@@ -890,7 +1061,7 @@ def raster_shade_micro(
         return rgba, best_key
 
     kernel = functools.partial(_micro_kernel, num_lights=num_lights,
-                               unroll=unroll,
+                               unroll=unroll, tree=tree,
                                skip_mirage=skip_mirage, mat=mat, vis=vis,
                                texf=texf)
     rgba, best_key = pl.pallas_call(

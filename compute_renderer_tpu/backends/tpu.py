@@ -81,7 +81,8 @@ TILE_CANDIDATES = ((16, 256), (8, 128))
     jax.jit,
     static_argnames=("width", "height", "pair_cap", "interpret",
                      "effect_kind", "tex_filter", "use_pallas_front",
-                     "tex_mode"),
+                     "tex_mode", "micro_unroll", "micro_tree",
+                     "micro_prefetch", "micro_colmajor"),
 )
 def render_frame_micro(
     positions,
@@ -137,6 +138,19 @@ def render_frame_micro(
     # (~15 ms) for values that are static per mesh.
     uv_soa=None,
     tex_rows=None,
+    # Micro-kernel walk levers (static; see pallas_micro.raster_shade_micro
+    # — bitwise-identical output either way). Hardware A/B at 1M tris
+    # (scripts/ab_raster2.py, v5e 2026-08-20): cross-tile chunk-0 prefetch
+    # alone cut the walk 7.87 -> 6.84 ms (-13%) and is default-ON;
+    # tree-merged unroll measured neutral-to-negative (tree2 7.97,
+    # pf_tree2 7.50 vs pf 6.84) and stays off.
+    micro_unroll: int = 2,
+    micro_tree: bool = False,
+    micro_prefetch: bool = True,
+    # Column-major coefficient table/gather (build_pair_coeffs_cm): the
+    # pair stream is bit-identical, the 128x32 lane transpose disappears.
+    # Ignored when ``tri_table`` is injected (tests pass row-major).
+    micro_colmajor: bool = False,
 ):
     """Mega-scene path: 8x8-cell binning (ONE global sort) + the lane-packed
     micro kernel (pallas_micro). Coefficients stream from HBM, so there is
@@ -219,6 +233,9 @@ def render_frame_micro(
                 "screen/world intermediates, which the fused front never "
                 "materializes. Drop the override or use tex_mode='fused'."
             )
+    # Column-major tables only when WE build the table (injected tables are
+    # row-major by contract).
+    micro_colmajor = micro_colmajor and tri_table is None
     if use_front:
         # Fused front end: one Pallas pass produces the cover meta (fed
         # straight to the pair-expansion kernel) and the coefficient rows
@@ -249,7 +266,9 @@ def render_frame_micro(
             meta[3], meta[2], meta[0], meta[1], ntx, nty, pair_cap,
             interpret=interpret,
         )
-        tri_table = pallas_front.pack_table_c64(coeff)
+        tri_table = (pallas_front.pack_table_c64_cm(coeff)
+                     if micro_colmajor else
+                     pallas_front.pack_table_c64(coeff))
         screen_soa = world_soa = None
     else:
         if screen is not None:
@@ -304,7 +323,9 @@ def render_frame_micro(
             else:
                 tex_block = (common.tex_rows_f32(face_tex, tex_table)
                              if tex_rows is None else tex_rows)
-            tri_table = pallas_micro.build_tri_table_c64(
+            build = (pallas_micro.build_tri_table_c64_cm if micro_colmajor
+                     else pallas_micro.build_tri_table_c64)
+            tri_table = build(
                 screen_soa, nrm_tuples, world_soa, face_kd=face_kd,
                 uv_soa=tuple(
                     tuple(uv_c[k][c] for c in range(2)) for k in range(3)
@@ -312,17 +333,25 @@ def render_frame_micro(
                 tex_rows=tex_block,
             )
         else:
-            tri_table = pallas_micro.build_tri_table_c64(
+            build = (pallas_micro.build_tri_table_c64_cm if micro_colmajor
+                     else pallas_micro.build_tri_table_c64)
+            tri_table = build(
                 screen_soa, nrm_tuples, world_soa,
                 face_kd=None if vis else face_kd,
             )
     # Static: material tables are wider than the 32-coefficient base form
     # ((T, 35) f32 or (T, 18) c64) and select the 40-row stream + the
     # modulated shading epilogue (texf dispatches explicitly, not by
-    # shape).
-    mat = (not texf) and tri_table.shape[1] > (
+    # shape). Column-major tables carry the width on axis 0.
+    coeff_width = (tri_table.shape[0] if micro_colmajor
+                   else tri_table.shape[1])
+    mat = (not texf) and coeff_width > (
         16 if jnp.iscomplexobj(tri_table) else 32)
-    pair_coeffs = pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
+    pair_coeffs = (
+        pallas_micro.build_pair_coeffs_cm(tri_table, bins["pair_tri"])
+        if micro_colmajor else
+        pallas_micro.build_pair_coeffs(tri_table, bins["pair_tri"])
+    )
     rgba_packed, best_key_p = pallas_micro.raster_shade_micro(
         pair_coeffs,
         bins["seg_start"],
@@ -341,6 +370,9 @@ def render_frame_micro(
         mat=mat,
         vis=vis,
         texf=texf,
+        unroll=micro_unroll,
+        tree=micro_tree,
+        prefetch=micro_prefetch,
     )
     best_key = best_key_p[:height, :width]
     overflow = jnp.stack([bins["pair_needed"], bins["tile_needed"]])
@@ -468,7 +500,8 @@ def resolve_path(path: str, num_triangles: int, tri_chunk: int = 0) -> str:
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "pair_cap",
                      "tile_cap", "interpret", "tri_chunk", "path",
-                     "worklist", "effect_kind", "tex_filter", "tex_mode"),
+                     "worklist", "effect_kind", "tex_filter", "tex_mode",
+                     "use_pallas_front"),
 )
 def render_frame(
     positions,
@@ -533,6 +566,13 @@ def render_frame(
     # Precomputed per-mesh texf inputs (see render_frame_micro).
     uv_soa=None,
     tex_rows=None,
+    # Fused Pallas front end on the TILE path too (round 5): vertex +
+    # setup + coefficient table in one kernel at TILE granularity
+    # (front_end tile_h/tile_w), the binning consuming the meta rows via
+    # binning.setup_from_meta. None = auto (on exactly when Mosaic-
+    # compiled, single-chunk, and extension-free); forwarded to the micro
+    # path unchanged.
+    use_pallas_front: bool | None = None,
 ):
     """Render one frame; returns ((H,W,4) u8 RGBA, depth_key (H,W) u32,
     overflow (2,) i32 = [pair_cap_needed, tile_cap_needed] where 0 means
@@ -568,6 +608,7 @@ def render_frame(
             tex_filter=tex_filter, tex_mips=tex_mips,
             tex_mode=tex_mode, texels_packed=texels_packed,
             uv_soa=uv_soa, tex_rows=tex_rows,
+            use_pallas_front=use_pallas_front,
         )
     textured = face_tex is not None
     texf = False
@@ -599,12 +640,55 @@ def render_frame(
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
 
-    # Stage 1: vertex processing (one batched transform; the reference
-    # re-transforms shared vertices per triangle-slot, binning.wgsl:216-219).
-    world, screen = common.vertex_stage(positions, view_proj, effect, width, height)
+    num_chunks_pre = (T + tri_chunk - 1) // tri_chunk
+    use_front_t = use_pallas_front
+    if use_front_t is None:
+        # Auto rule (mirrors the micro path's): the front cannot feed the
+        # deferred-vis tail (needs screen/world intermediates), the mip
+        # table (per-frame uv gradients over screen vertices), or the
+        # chunked multi-pass (the front emits the FULL table; chunk-local
+        # ids would need re-slicing) — and interpret-mode tests measure
+        # nothing, so keep their compile graphs on the XLA chain.
+        use_front_t = (not interpret and not textured and face_kd is None
+                       and num_chunks_pre == 1)
+    elif use_front_t and (textured or face_kd is not None
+                          or num_chunks_pre > 1):
+        raise ValueError(
+            "use_pallas_front=True on the tile path supports only the "
+            "single-chunk extension-free configuration"
+        )
 
-    # Stage 2: triangle setup (full scene, once).
-    setup = common.triangle_setup(screen, tri, effect, width, height, tile_h, tile_w)
+    front_table = None
+    if use_front_t:
+        # Stages 1+2 fused (round 5): ONE Pallas pass emits the
+        # coefficient rows (the tile kernel's (T, 32) table, transposed)
+        # and the cover meta at TILE granularity; binning consumes the
+        # meta via setup_from_meta. Bit-identical to the XLA chain on TPU
+        # (tests/test_front_kernel.py) — at sub-ms scenes the ~150-op
+        # vertex/setup chain is dispatch-bound, not bandwidth-bound.
+        from compute_renderer_tpu.backends import pallas_front
+
+        ps = (positions[tri].transpose(1, 2, 0)
+              if pos_soa is None else pos_soa)
+        ns = (normals[tri].transpose(1, 2, 0)
+              if nrm_soa is None else nrm_soa)
+        coeff, meta = pallas_front.front_end(
+            ps, ns, view_proj, effect, width=width, height=height,
+            tile_h=tile_h, tile_w=tile_w, interpret=interpret,
+        )
+        setup = binning.setup_from_meta(meta)
+        front_table = coeff.T
+        world = screen = None
+    else:
+        # Stage 1: vertex processing (one batched transform; the reference
+        # re-transforms shared vertices per triangle-slot,
+        # binning.wgsl:216-219).
+        world, screen = common.vertex_stage(positions, view_proj, effect,
+                                            width, height)
+
+        # Stage 2: triangle setup (full scene, once).
+        setup = common.triangle_setup(screen, tri, effect, width, height,
+                                      tile_h, tile_w)
 
     uvs32 = uvs.astype(F32)
     normals32 = normals.astype(F32)
@@ -642,11 +726,15 @@ def render_frame(
         # shading over the padded tile grid (chunk-local triangle ids).
         # Visibility mode only reads the coverage/depth rows, so the table
         # stays 32-wide (kd applies in the deferred tail instead).
-        tri_table = pallas_raster.build_tri_table(
-            screen, tri[c0:c1], uvs32, normals32, world,
-            face_kd=(None if face_kd is None or vis else face_kd[c0:c1]),
-            tex_rows=None if tex_rows is None else tex_rows[c0:c1],
-        )
+        if front_table is not None:
+            tri_table = front_table
+        else:
+            tri_table = pallas_raster.build_tri_table(
+                screen, tri[c0:c1], uvs32, normals32, world,
+                face_kd=(None if face_kd is None or vis
+                         else face_kd[c0:c1]),
+                tex_rows=None if tex_rows is None else tex_rows[c0:c1],
+            )
         pair_data = (
             bins["bin_rows"] if bins["layout"] == "dense" else bins["pair_tri"]
         )

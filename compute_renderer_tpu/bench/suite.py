@@ -64,13 +64,25 @@ def benchmark_scene_configs(duration_secs: float = 30.0) -> list:
         benchmark_duration_secs=duration_secs,
     )
 
+    import dataclasses
+
     scenes = []
     for base in (san_miguel, exterior, suzanne, vokselia,
                  san_miguel_small, vokselia_small):
         scenes.append(base)
-        import dataclasses
-
         scenes.append(dataclasses.replace(base, backend_type="xla"))
+    # Hardware-pipeline rows (VERDICT r4 next #6): the reference's headline
+    # benchmark is every scene on BOTH its pipelines — the custom compute
+    # rasterizer AND the plain wgpu hardware pipeline (main.rs:150-232,
+    # wgpu_pipeline/renderer.rs:290-393). The tpu rows above are the custom
+    # pipeline's analog; these rows are the hardware pipeline's
+    # (backends/wgpu_faithful.py: near-plane clipping, top-left rule,
+    # perspective-correct interpolation, sRGB — the reference's visual
+    # baseline). Like the reference's wgpu path they fence every frame
+    # (wait_for_gpu, renderer.rs:383-393) — batch 1 in run_suite.
+    for base in (san_miguel, exterior, suzanne, vokselia):
+        scenes.append(dataclasses.replace(base,
+                                          backend_type="wgpu-faithful"))
     # Structurally-real file row (VERDICT r2 #7): a synthesized ~1M-tri
     # multi-submesh OBJ loaded from DISK through Model.load -> native C++
     # parser -> renderer, so the suite exercises parse + dedup + concat +
@@ -239,9 +251,11 @@ def measure_dispatch_overhead_ms(samples: int = 12) -> float:
 
 def run_suite(width: int = 1024, height: int = 768, offset: int = 0,
               duration_secs: float = 30.0, json_path: Optional[str] = None,
-              max_frames: Optional[int] = None, batch: int = 1) -> list:
+              max_frames: Optional[int] = None, batch: int = 1,
+              limit: Optional[int] = None) -> list:
     """Run the full suite starting at scene ``offset`` (reference
-    `benchmarks --offset N`)."""
+    `benchmarks --offset N`); ``limit`` caps the number of scenes run
+    (extension — the reference always runs to the end)."""
     scenes = benchmark_scene_configs(duration_secs)
     if not 0 <= offset < len(scenes):
         raise ValueError(
@@ -249,7 +263,8 @@ def run_suite(width: int = 1024, height: int = 768, offset: int = 0,
         )
     overhead_ms = measure_dispatch_overhead_ms()
     results = []
-    for i in range(offset, len(scenes)):
+    end = len(scenes) if limit is None else min(offset + limit, len(scenes))
+    for i in range(offset, end):
         # Batched dispatch amortizes the fixed link overhead — it matters
         # when engine frames are sub-millisecond (tpu backend). The xla
         # brute-force baseline's frames run 0.1-20 s, where per-dispatch

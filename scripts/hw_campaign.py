@@ -122,6 +122,35 @@ STEPS = [
                       str(OUT / "suite_round4b.json"),
                       str(OUT / "suite_round4c.json")], 300.0),
     ("bench_r4b", [sys.executable, "bench.py"], 3900.0),
+    # --- Round-5 battery (VERDICT round-4 "next round" items) -------------
+    # #3: reconcile the textured-mega 28.8-vs-51.4 ms discrepancy — every
+    # formulation (direct / engine step / batch-8 / batch-64) in ONE
+    # quiesced process, plus the untextured scene for the same split.
+    ("reconcile_tex", [sys.executable, "scripts/reconcile_tex_mega.py",
+                       "--iters", "8", "--plain"], 3600.0),
+    # #5: expand (4.0 ms) + pair_coeffs (4.5 ms) reformulation A/B —
+    # blocked two-level cumsum vs jnp.cumsum inside the expansion, and the
+    # column-major coefficient gather (no 128x32 lane transpose) vs the
+    # row-gather+transpose build. Bitwise-checked before timing.
+    ("expand_coeffs", [sys.executable, "scripts/ab_expand_coeffs.py",
+                       "--iters", "12"], 3600.0),
+    # #4: micro-raster walk levers — tree-merged unroll (independent
+    # chains) and work-list cross-tile chunk-0 prefetch. Bitwise-checked.
+    ("raster2", [sys.executable, "scripts/ab_raster2.py",
+                 "--iters", "8"], 3600.0),
+    # Round-final (after the winning levers land as defaults): suite,
+    # regression diff, BASELINE regeneration, headline bench.
+    ("suite_r5", [sys.executable, "-m", "compute_renderer_tpu.cli",
+                  "benchmarks", "--batch", "64", "--max-frames", "512",
+                  "--duration", "5",
+                  "--json", str(OUT / "suite_round5.a{attempt}.json")],
+     4 * 3600.0),
+    ("suite_diff_r5", [sys.executable, "scripts/suite_diff.py",
+                       str(OUT / "suite_round4c.json"),
+                       str(OUT / "suite_round5.json")], 300.0),
+    ("gen_baseline_r5", [sys.executable, "scripts/gen_baseline_table.py"],
+     300.0),
+    ("bench_r5", [sys.executable, "bench.py"], 3900.0),
 ]
 
 

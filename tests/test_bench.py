@@ -89,8 +89,10 @@ def test_suite_configs_match_reference():
     # textured small structured scene (map_Kd atlas end-to-end) + the
     # textured MEGA row (same ~1M-tri scene, micro-path deferred
     # texturing) + the quality-stack row (bilinear + 2x SSAA on the
-    # textured small scene).
-    assert len(scenes) == 17
+    # textured small scene) + 4 hardware-pipeline rows (wgpu-faithful on
+    # the reference scenes — the reference's custom-vs-hardware A/B,
+    # main.rs:150-232, VERDICT r4 #6).
+    assert len(scenes) == 21
     # Order: San Miguel, Exterior, Suzanne, Vokselia x (tpu, xla)
     assert "San_Miguel" in scenes[0].model_path
     assert scenes[0].normalized_backend() == "tpu"
@@ -98,25 +100,33 @@ def test_suite_configs_match_reference():
     assert scenes[4].model_path == "suzanne.obj"
     assert scenes[4].camera_config.position == (0.0, 0.0, 3.0)
     assert scenes[6].camera_config.position[1] == 0.86896104
-    assert scenes[12].model_path == "structured_scene.obj"
-    assert scenes[12].normalized_backend() == "tpu"
-    assert scenes[13].model_path == "structured_scene.obj"
-    assert scenes[13].enable_materials and not scenes[12].enable_materials
-    assert scenes[12].scene_name() != scenes[13].scene_name()
-    assert scenes[14].model_path == "structured_scene_tex.obj"
-    assert scenes[14].enable_textures
-    assert "+textures" in scenes[14].scene_name()
-    assert scenes[15].model_path == "structured_scene.obj"
-    assert scenes[15].enable_textures
-    assert scenes[15].scene_name() not in (
-        scenes[12].scene_name(), scenes[13].scene_name(),
-        scenes[14].scene_name(),
+    # wgpu-faithful rows: one per reference scene, same camera spawns.
+    faithful = scenes[12:16]
+    assert [s.normalized_backend() for s in faithful] == \
+        ["wgpu-faithful"] * 4
+    assert "San_Miguel" in faithful[0].model_path
+    assert faithful[2].model_path == "suzanne.obj"
+    assert faithful[0].camera_config.position == \
+        scenes[0].camera_config.position
+    assert scenes[16].model_path == "structured_scene.obj"
+    assert scenes[16].normalized_backend() == "tpu"
+    assert scenes[17].model_path == "structured_scene.obj"
+    assert scenes[17].enable_materials and not scenes[16].enable_materials
+    assert scenes[16].scene_name() != scenes[17].scene_name()
+    assert scenes[18].model_path == "structured_scene_tex.obj"
+    assert scenes[18].enable_textures
+    assert "+textures" in scenes[18].scene_name()
+    assert scenes[19].model_path == "structured_scene.obj"
+    assert scenes[19].enable_textures
+    assert scenes[19].scene_name() not in (
+        scenes[16].scene_name(), scenes[17].scene_name(),
+        scenes[18].scene_name(),
     )
-    assert scenes[16].model_path == "structured_scene_tex.obj"
-    assert scenes[16].texture_filter == "bilinear" and scenes[16].ssaa == 2
-    assert "+bilinear" in scenes[16].scene_name()
-    assert "+ssaa2" in scenes[16].scene_name()
-    assert scenes[16].scene_name() != scenes[14].scene_name()
+    assert scenes[20].model_path == "structured_scene_tex.obj"
+    assert scenes[20].texture_filter == "bilinear" and scenes[20].ssaa == 2
+    assert "+bilinear" in scenes[20].scene_name()
+    assert "+ssaa2" in scenes[20].scene_name()
+    assert scenes[20].scene_name() != scenes[18].scene_name()
     # Enumerating configs is side-effect-free: the 80 MB structured asset
     # is synthesized lazily by run_scene, not here (tests/test_objgen.py
     # covers the synthesis + caching contract).
@@ -221,9 +231,26 @@ def test_suite_batches_tpu_rows_only():
     from compute_renderer_tpu.bench.suite import run_suite
 
     rows = run_suite(width=64, height=48, offset=4, duration_secs=0.05,
-                     max_frames=2, batch=4)
+                     max_frames=2, batch=4, limit=2)
     by_backend = {r["backend"]: r for r in rows[:2]}
     assert by_backend["tpu"]["batch"] == 4
     assert by_backend["xla"]["batch"] == 1
     for r in rows[:2]:
         assert "dispatch_overhead_ms" in r
+
+
+def test_run_scene_faithful_smoke():
+    # The hardware-pipeline suite rows (reference custom-vs-wgpu A/B,
+    # main.rs:150-232): wgpu-faithful renders through run_scene at batch 1
+    # (the reference's wgpu path fences per frame, renderer.rs:383-393).
+    from compute_renderer_tpu.bench.suite import (
+        benchmark_scene_configs, run_scene,
+    )
+
+    cfg = benchmark_scene_configs(0.0)[14]  # Suzanne, wgpu-faithful
+    assert cfg.normalized_backend() == "wgpu-faithful"
+    result = run_scene(cfg, 64, 48, scene_index=14, warmup_secs=0.0,
+                       max_frames=2)
+    assert result["frames"] >= 1
+    assert result["ms_per_frame"] > 0
+    assert result["backend"] == "wgpu-faithful"

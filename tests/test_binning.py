@@ -212,3 +212,17 @@ def test_tile_needed_exact_under_pair_overflow():
                                     pair_cap=64, tile_cap=32)
     assert not bool(ok["overflow"])
     assert int(ok["pair_needed"]) == 0 and int(ok["tile_needed"]) == 0
+
+
+def test_blocked_cumsum_matches_jnp(rng):
+    # The two-level blocked cumsum replacing jnp.cumsum inside the pair
+    # expansion (round 5: the serialized whole-array scan was the bulk of
+    # the 4.0 ms "expand" stage at 1M tris). Integer addition is exact, so
+    # the results are bit-identical at every size class, including the
+    # non-multiple-of-1024 tails and the small-N passthrough.
+    from compute_renderer_tpu.backends.pallas_expand import blocked_cumsum_i32
+
+    for n in (1, 7, 1024, 1025, 4096, 10000, 1 << 17):
+        c = jnp.asarray(rng.integers(0, 9, size=(n,)).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(blocked_cumsum_i32(c)), np.asarray(jnp.cumsum(c)))

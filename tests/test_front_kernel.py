@@ -299,3 +299,68 @@ def test_full_frame_fused_front_texf():
     diff = np.abs(a.astype(int) - b.astype(int))
     bad = (diff > 2).any(axis=-1)
     assert bad.mean() <= 0.002, f"{bad.sum()} px differ by >2"
+
+
+def test_tile_path_fused_front_vs_xla_chain():
+    """render_frame (TILE path) with the fused front at a non-8x8 tile
+    shape (round 5): front meta at tile granularity feeds bin_triangles
+    via setup_from_meta and coeff.T replaces build_tri_table. Same CPU
+    contract as the micro test above (FMA contraction can flip exact-edge
+    samples between two different jit programs; on TPU the pair is
+    bit-identical)."""
+    from compute_renderer_tpu.backends import tpu
+
+    mesh = procedural.icosphere(3)
+    cam = Camera.first_person([0.0, 0.0, 3.0], aspect=W / H)
+    u = cam.uniform()
+    args = (
+        jnp.asarray(mesh.positions),
+        jnp.asarray(mesh.normals),
+        jnp.asarray(mesh.uvs),
+        jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3),
+        jnp.asarray(u.view_proj),
+        jnp.asarray(u.view_position),
+        jnp.asarray(np.array([[0.0, 0.0, 5.0]], np.float32)),
+        jnp.asarray(np.array([[1.0, 0.9, 0.8]], np.float32)),
+        jnp.asarray(np.array([1.0], np.float32)),
+        jnp.asarray(EffectUniform().as_array()),
+    )
+    for th, tw in ((16, 256), (8, 128)):
+        rgba_f, key_f, ovf_f = tpu.render_frame(
+            *args, width=W, height=H, path="tile", tile_h=th, tile_w=tw,
+            interpret=True, use_pallas_front=True)
+        rgba_x, key_x, ovf_x = tpu.render_frame(
+            *args, width=W, height=H, path="tile", tile_h=th, tile_w=tw,
+            interpret=True, use_pallas_front=False)
+        assert not np.asarray(ovf_f).any() and not np.asarray(ovf_x).any()
+        a = np.asarray(rgba_f).astype(int)
+        b = np.asarray(rgba_x).astype(int)
+        ndiff = int((a != b).any(axis=-1).sum())
+        assert ndiff <= max(2, a.shape[0] * a.shape[1] // 500), (th, tw,
+                                                                ndiff)
+
+
+def test_setup_from_meta_matches_triangle_setup():
+    # The reconstruction consumed by the tile path's front binning: rects
+    # and alive must match common.triangle_setup bit-for-bit for alive
+    # triangles (dead rows are masked by every consumer).
+    from compute_renderer_tpu.backends import binning, common
+
+    mesh = procedural.icosphere(2)
+    pos_soa, nrm_soa, vp, eff = _inputs(mesh)
+    th, tw = 16, 256
+    coeff, meta = pallas_front.front_end(
+        pos_soa, nrm_soa, vp, eff, width=W, height=H, tile_h=th,
+        tile_w=tw, interpret=True)
+    rec = binning.setup_from_meta(meta)
+
+    pos = jnp.asarray(mesh.positions)
+    tri = jnp.asarray(mesh.indices.astype(np.int32)).reshape(-1, 3)
+    world, screen = common.vertex_stage(pos, vp, eff, W, H)
+    ref = common.triangle_setup(screen, tri, eff, W, H, th, tw)
+    alive = np.asarray(ref["alive"])
+    np.testing.assert_array_equal(np.asarray(rec["alive"]), alive)
+    for k in ("tile_x0", "tile_y0", "tile_x1", "tile_y1"):
+        np.testing.assert_array_equal(
+            np.asarray(rec[k])[alive], np.asarray(ref[k]).astype(np.int32)[alive],
+            err_msg=k)
