@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 I32 = jnp.int32
 
-B = 1024  # triangles per grid step
+B = 1024  # triangles per grid step (default; see expand_cells bsz/ch)
 CH = 512  # pairs per emission chunk (bounds the (CH, B) VMEM temporaries)
 PAD = 3072  # output slack so aligned RMW windows never go out of bounds
 
@@ -75,7 +75,7 @@ def blocked_cumsum_i32(c):
 def _expand_kernel(
     # SMEM scalars
     dims_ref,  # (4,) i32: [T, ntx_t, num_cells, pair_cap]
-    # blocked inputs (1, B) i32 per grid step
+    # blocked inputs (1, bsz) i32 per grid step
     starts_ref,
     c_ref,
     rx_ref,
@@ -87,6 +87,8 @@ def _expand_kernel(
     total_ref,  # (1,) i32 SMEM
     *,
     form: str = "dim1",
+    bsz: int = B,
+    ch: int = CH,
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -115,21 +117,21 @@ def _expand_kernel(
     last_end = jnp.max(starts_ref[0:1, :] + c_ref[0:1, :])
 
     # f32-exact per-triangle fields (all < 2^24), lane-major (F, B).
-    lane_t = jax.lax.broadcasted_iota(I32, (1, B), 1)
+    lane_t = jax.lax.broadcasted_iota(I32, (1, bsz), 1)
     F = jnp.concatenate(
         [
             starts_ref[0:1, :].astype(F32),
             jnp.maximum(rx_ref[0:1, :], 1).astype(F32),
             x0_ref[0:1, :].astype(F32),
             y0_ref[0:1, :].astype(F32),
-            (i * B + lane_t).astype(F32),
+            (i * bsz + lane_t).astype(F32),
         ],
         axis=0,
     )  # (5, B)
 
-    starts_b = jnp.broadcast_to(starts_ref[0:1, :].astype(F32), (CH, B))
-    ends_b = starts_b + jnp.broadcast_to(c_ref[0:1, :].astype(F32), (CH, B))
-    sub_j = jax.lax.broadcasted_iota(I32, (CH, B), 0).astype(F32)
+    starts_b = jnp.broadcast_to(starts_ref[0:1, :].astype(F32), (ch, bsz))
+    ends_b = starts_b + jnp.broadcast_to(c_ref[0:1, :].astype(F32), (ch, bsz))
+    sub_j = jax.lax.broadcasted_iota(I32, (ch, bsz), 0).astype(F32)
 
     # The chunk walk is CH-aligned in GLOBAL pair space, so every output
     # window is an aligned direct load/store (no lane rolls, no unaligned
@@ -138,22 +140,22 @@ def _expand_kernel(
     # their owner is outside this block's window, the membership matrix
     # row is all-zero, and the store mask excludes them; the sequential
     # grid makes the boundary read-modify-writes race-free.
-    qbase = (first // CH) * CH
-    nchunks = (last_end - qbase + CH - 1) // CH
+    qbase = (first // ch) * ch
+    nchunks = (last_end - qbase + ch - 1) // ch
     # Skip chunks wholly past capacity (their pairs are dropped anyway).
     max_chunks = jnp.maximum(
-        jnp.minimum(nchunks, (pair_cap - qbase + CH - 1) // CH), 0
+        jnp.minimum(nchunks, (pair_cap - qbase + ch - 1) // ch), 0
     )
 
     def chunk(k, _):
-        qg = qbase + k * CH  # global pair index of this chunk's row 0
-        qj = sub_j + qg.astype(F32)  # (CH, B): pair id per row
+        qg = qbase + k * ch  # global pair index of this chunk's row 0
+        qj = sub_j + qg.astype(F32)  # (ch, bsz): pair id per row
 
         # Interval membership: exactly one nonzero per valid column of the
         # contraction, so the dot is a bit-exact broadcast of each field to
         # its pairs. Contracting both dim-1 (the triangle lanes) lands the
         # result directly in lane-major (5, CH) — no transpose needed.
-        Gt = ((starts_b <= qj) & (qj < ends_b)).astype(F32)  # (CH, B)
+        Gt = ((starts_b <= qj) & (qj < ends_b)).astype(F32)  # (ch, bsz)
         if form == "mxu":
             # MXU-natural contraction (5, B) @ (B, CH) via an explicit
             # in-kernel transpose — the alternative the hardware bisect
@@ -171,8 +173,8 @@ def _expand_kernel(
                 precision=jax.lax.Precision.HIGHEST,
             )  # (5, CH): start, rx, x0, y0, tri per pair
 
-        lane_q = jax.lax.broadcasted_iota(I32, (1, CH), 1).astype(F32)
-        qrow = lane_q + qg.astype(F32)  # (1, CH) global pair ids
+        lane_q = jax.lax.broadcasted_iota(I32, (1, ch), 1).astype(F32)
+        qrow = lane_q + qg.astype(F32)  # (1, ch) global pair ids
         owner_start = vals[0:1, :]
         rxv = jnp.maximum(vals[1:2, :], F32(1.0))
         local = qrow - owner_start
@@ -190,18 +192,18 @@ def _expand_kernel(
         cell16 = jnp.floor(cx / F32(16.0))
         cxm = cx - cell16 * F32(16.0)
         cellv = (cy * ntx_t.astype(F32) + cell16) * F32(16.0) + cxm
-        cell_i = cellv.astype(I32)  # (1, CH)
+        cell_i = cellv.astype(I32)  # (1, ch)
         tri_i = vals[4:5, :].astype(I32)
 
         # Aligned RMW merge into the (1, cap_pad) outputs.
-        w0 = pl.multiple_of(qg, CH)
-        gidx = qg + jax.lax.broadcasted_iota(I32, (1, CH), 1)
+        w0 = pl.multiple_of(qg, ch)
+        gidx = qg + jax.lax.broadcasted_iota(I32, (1, ch), 1)
         mask = (gidx >= first) & (gidx < last_end) & (gidx < pair_cap)
 
-        cw = cell_ref[0:1, pl.ds(w0, CH)]
-        cell_ref[0:1, pl.ds(w0, CH)] = jnp.where(mask, cell_i, cw)
-        tw = tri_ref[0:1, pl.ds(w0, CH)]
-        tri_ref[0:1, pl.ds(w0, CH)] = jnp.where(mask, tri_i, tw)
+        cw = cell_ref[0:1, pl.ds(w0, ch)]
+        cell_ref[0:1, pl.ds(w0, ch)] = jnp.where(mask, cell_i, cw)
+        tw = tri_ref[0:1, pl.ds(w0, ch)]
+        tri_ref[0:1, pl.ds(w0, ch)] = jnp.where(mask, tri_i, tw)
         return 0
 
     jax.lax.fori_loop(0, max_chunks, chunk, 0)
@@ -212,10 +214,11 @@ def _expand_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("pair_cap", "ntx_t", "num_cells",
-                                             "interpret", "form"))
+                                             "interpret", "form",
+                                             "bsz", "ch"))
 def expand_cells(c, rx, x0, y0, *, pair_cap: int, ntx_t: int,
                  num_cells: int, interpret: bool = False,
-                 form: str = "dim1"):
+                 form: str = "dim1", bsz: int = B, ch: int = CH):
     """Pair expansion + cell computation (see module docstring).
 
     Args: per-triangle (T,) i32 arrays — covered-cell count ``c`` (0 for
@@ -230,7 +233,7 @@ def expand_cells(c, rx, x0, y0, *, pair_cap: int, ntx_t: int,
     total_pairs ()) matching ``bin_cells_sort``'s pre-sort arrays."""
     T = c.shape[0]
     starts = blocked_cumsum_i32(c) - c.astype(I32)
-    Tpad = (T + B - 1) // B * B
+    Tpad = (T + bsz - 1) // bsz * bsz
     if Tpad != T:
         z = jnp.zeros((Tpad - T,), I32)
         total = starts[-1] + c[-1]
@@ -239,21 +242,21 @@ def expand_cells(c, rx, x0, y0, *, pair_cap: int, ntx_t: int,
         rx = jnp.concatenate([rx.astype(I32), z])
         x0 = jnp.concatenate([x0.astype(I32), z])
         y0 = jnp.concatenate([y0.astype(I32), z])
-    cap_pad = (pair_cap + PAD + 1023) // 1024 * 1024
+    cap_pad = (pair_cap + max(PAD, 6 * ch) + 1023) // 1024 * 1024
 
     dims = jnp.array([T, ntx_t, num_cells, pair_cap], I32)
     as_row = lambda a: a.astype(I32).reshape(1, -1)
-    grid = (Tpad // B,)
+    grid = (Tpad // bsz,)
     cell, tri, total = pl.pallas_call(
-        functools.partial(_expand_kernel, form=form),
+        functools.partial(_expand_kernel, form=form, bsz=bsz, ch=ch),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # dims
-            pl.BlockSpec((1, B), lambda i: (0, i)),
-            pl.BlockSpec((1, B), lambda i: (0, i)),
-            pl.BlockSpec((1, B), lambda i: (0, i)),
-            pl.BlockSpec((1, B), lambda i: (0, i)),
-            pl.BlockSpec((1, B), lambda i: (0, i)),
+            pl.BlockSpec((1, bsz), lambda i: (0, i)),
+            pl.BlockSpec((1, bsz), lambda i: (0, i)),
+            pl.BlockSpec((1, bsz), lambda i: (0, i)),
+            pl.BlockSpec((1, bsz), lambda i: (0, i)),
+            pl.BlockSpec((1, bsz), lambda i: (0, i)),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

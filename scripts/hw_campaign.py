@@ -138,6 +138,26 @@ STEPS = [
     # chains) and work-list cross-tile chunk-0 prefetch. Bitwise-checked.
     ("raster2", [sys.executable, "scripts/ab_raster2.py",
                  "--iters", "8"], 3600.0),
+    # #3 decided: reconcile_tex_followup proved the direct profile calls
+    # silently overflowed the default 3T/8 pair cap (structured scene needs
+    # 699,377 pairs vs cap 383,790) — at the engine's settled cap the
+    # direct call reproduces the suite row exactly (51.7 vs 51.4 ms). Ran
+    # by hand 2026-08-20 (reconcile_followup.out.txt); the suite
+    # methodology stands, every structured-scene stage profile at the
+    # heuristic cap is withdrawn.
+    ("reconcile_followup", [sys.executable,
+                            "scripts/reconcile_tex_followup.py",
+                            "--iters", "8"], 3600.0),
+    # VALID stage decomposition of the structured mega frames (the
+    # tex_mega_profile step above ran at the overflowing heuristic cap;
+    # profile_tex_mega.py now settles the cap to the measured need first).
+    ("tex_mega_profile2", [sys.executable, "scripts/profile_tex_mega.py",
+                           "--iters", "8"], 3600.0),
+    # Expansion-kernel geometry sweep: per-chunk work ~ P*bsz + T*ch, the
+    # (1024, 512) default was never swept; at the structured scene's true
+    # 700k pairs the expand stage is the frame's #3 cost.
+    ("expand_bc", [sys.executable, "scripts/ab_expand_bc.py",
+                   "--iters", "8"], 3600.0),
     # Round-final (after the winning levers land as defaults): suite,
     # regression diff, BASELINE regeneration, headline bench.
     ("suite_r5", [sys.executable, "-m", "compute_renderer_tpu.cli",

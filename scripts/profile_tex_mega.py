@@ -85,14 +85,26 @@ def main() -> int:
     ntx = (W + 127) // 128
     nty = (H + 7) // 8
     num_cells = ntx * nty * 16
-    pair_cap = binning.default_pair_cap_micro(T, num_cells)
     interpret = jax.default_backend() != "tpu"
     pos_soa = pos[tri].transpose(1, 2, 0)
     nrm_soa = nrm[tri].transpose(1, 2, 0)
     uv_soa = uvs.astype(F32)[tri].transpose(1, 2, 0)
     tex_rows = common.tex_rows_f32(face_tex, tex_table)
 
+    # Settle the pair capacity to the scene's MEASURED need, exactly like
+    # the engine (Renderer._maybe_calibrate). The first run of this script
+    # used the 3T/8 heuristic — the structured scene needs 699,377 pairs
+    # vs its 383,790 cap, so every number it printed timed a frame that
+    # silently dropped ~45% of its pairs and rendered a different image
+    # (reconcile_tex_followup.out.txt). The reference has exactly this
+    # unchecked-overflow class at gpu_buffers.rs:53-63.
+    _, screen_soa = common.vertex_stage_soa(pos_soa, vp, eff, W, H)
+    setup0 = common.triangle_setup_soa(screen_soa, eff, W, H, 8, 8)
+    total0 = int(np.asarray(jnp.sum(binning.cover_counts(setup0)[2])))
+    pair_cap = tpu.grow_pair_cap(0, max(total0, num_cells, 1024))
+
     results = {"tris": T, "pair_cap": int(pair_cap),
+               "pairs_measured": total0,
                "texels": int(texels.shape[0])}
     print(json.dumps(results), flush=True)
 
@@ -162,19 +174,19 @@ def main() -> int:
             width=W, height=H, pos_soa=pos_soa, nrm_soa=nrm_soa,
             effect_kind=0, face_kd=face_kd, face_tex=face_tex,
             texels=texels, tex_table=tex_table,
-            uv_soa=uv_soa, tex_rows=tex_rows)
+            uv_soa=uv_soa, tex_rows=tex_rows, pair_cap=pair_cap)
 
     def f_frame_mat():
         return tpu.render_frame_micro(
             pos, nrm, uvs, tri, vp, vpos, lwp, lc, li, eff,
             width=W, height=H, pos_soa=pos_soa, nrm_soa=nrm_soa,
-            effect_kind=0, face_kd=face_kd)
+            effect_kind=0, face_kd=face_kd, pair_cap=pair_cap)
 
     def f_frame_plain():
         return tpu.render_frame_micro(
             pos, nrm, uvs, tri, vp, vpos, lwp, lc, li, eff,
             width=W, height=H, pos_soa=pos_soa, nrm_soa=nrm_soa,
-            effect_kind=0)
+            effect_kind=0, pair_cap=pair_cap)
 
     # ---- materials-only intermediates (35-col table, 40-row stream) -----
     def f_front_mat(pos_soa, nrm_soa, vp, eff, face_kd):
