@@ -158,6 +158,19 @@ STEPS = [
     # 700k pairs the expand stage is the frame's #3 cost.
     ("expand_bc", [sys.executable, "scripts/ab_expand_bc.py",
                    "--iters", "8"], 3600.0),
+    # Fused vs deferred texturing at the TRUE structured-scene cap: the
+    # round-4 default was set off a 36k-tri A/B and an overflowing mega
+    # profile; the per-pair (44-row stream) vs per-pixel (deferred tail)
+    # economics at 700k pairs were never validly measured.
+    ("ab_texmode", [sys.executable, "scripts/ab_texmode_mega.py",
+                    "--iters", "8"], 3600.0),
+    # Pair-coeff superblock packing: the P-sized gather is 2.49 ms of the
+    # 4.19 ms pc_full stage; the residual ~1.7 ms is the 128-pair
+    # superblock transpose. A/B the MXU identity-matmul relayout against
+    # it, with a bitwise gate (the depth key is a bitcast of f32 z, and
+    # the matmul flushes -0.0 — verified on CPU that the gate trips).
+    ("ab_pc_pack", [sys.executable, "scripts/ab_pc_pack.py",
+                    "--iters", "8"], 3600.0),
     # Round-final (after the winning levers land as defaults): suite,
     # regression diff, BASELINE regeneration, headline bench.
     ("suite_r5", [sys.executable, "-m", "compute_renderer_tpu.cli",
