@@ -87,6 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "animated GIF instead (extension)")
     p.add_argument("--interactive", action="store_true",
                    help="Open an interactive viewer window (requires display)")
+    p.add_argument("--web", nargs="?", const=8700, type=int, default=None,
+                   metavar="PORT",
+                   help="Serve the interactive viewer over HTTP on PORT "
+                   "(default 8700) — the headless-box window: open the "
+                   "printed URL in any browser for live frames + "
+                   "keyboard/mouse control (extension)")
     p.add_argument("--materials", action="store_true",
                    help="Resolve MTL diffuse colors into per-triangle "
                    "shading (extension; the reference discards materials)")
@@ -222,6 +228,11 @@ def main(argv=None) -> int:
         return 0
 
     config = scene_config_from_args(args)
+    if args.web is not None:
+        from compute_renderer_tpu.app.webview import run_web
+
+        run_web(config, args.width, args.height, port=args.web)
+        return 0
     if args.interactive:
         from compute_renderer_tpu.app.window import run_interactive
 

@@ -70,7 +70,14 @@ def test_fuzz_backends_agree_exactly(seed):
     lights = random_lights(rng, int(rng.integers(1, 4)))
     effect = random_effect(rng)
 
-    ref = xla.render(mesh, u, lights, effect, W, H, tile_h=8, tile_w=128)
+    # The comparator must share the tpu default's covered-tile rectangle:
+    # voxelize inflates coverage via a negative barycentric threshold and
+    # mirage warps sample positions, so for those effects the tile rect is
+    # part of the per-pixel SEMANTICS (rasteriser.wgsl:112-134) and the
+    # image legitimately differs across tile shapes (which is also why the
+    # engine's per-scene tile auto-tune skips them).
+    th, tw = tpu.choose_tile(mesh.num_triangles, W, H)
+    ref = xla.render(mesh, u, lights, effect, W, H, tile_h=th, tile_w=tw)
     ours = tpu.render(mesh, u, lights, effect, W, H)
     np.testing.assert_array_equal(ours, ref)
 
@@ -110,7 +117,14 @@ def test_fuzz_degenerate_soup():
     u = cam.uniform()
     lights = random_lights(rng, 1)
     eff = EffectUniform().as_array()
-    ref = xla.render(mesh, u, lights, eff, W, H, tile_h=8, tile_w=128)
+    # Comparator at the tpu default tile: degenerate (zero-area) triangles
+    # put pixels exactly ON an edge function's zero line, where the
+    # anchored-affine evaluation's 1-ULP placement — anchored at the TILE
+    # origin — decides coverage; the image is bitwise tile-shape-dependent
+    # for them, and parity holds per shape (verified: 0 px at matching
+    # shapes, 9 edge px across shapes).
+    th, tw = tpu.choose_tile(mesh.num_triangles, W, H)
+    ref = xla.render(mesh, u, lights, eff, W, H, tile_h=th, tile_w=tw)
     ours = tpu.render(mesh, u, lights, eff, W, H)
     np.testing.assert_array_equal(ours, ref)
 
@@ -192,7 +206,8 @@ def test_fuzz_textured_filters_backends_agree(seed):
     eff = EffectUniform().as_array()
     filt = ("nearest", "bilinear")[int(rng.integers(0, 2))]
 
-    ref_tile = xla.render(mesh, u, lights, eff, W, H, tile_h=8, tile_w=128,
+    th, tw = tpu.choose_tile(mesh.num_triangles, W, H)
+    ref_tile = xla.render(mesh, u, lights, eff, W, H, tile_h=th, tile_w=tw,
                           tex_filter=filt)
     tile = tpu.render(mesh, u, lights, eff, W, H, tex_filter=filt)
     np.testing.assert_array_equal(tile, ref_tile)
