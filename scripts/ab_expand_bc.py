@@ -71,7 +71,7 @@ def main() -> int:
         eff = jnp.asarray(u.effect)
         _, screen_soa = common.vertex_stage_soa(pos_soa, vp, eff, W, H)
         setup = common.triangle_setup_soa(screen_soa, eff, W, H, 8, 8)
-        rx, _, c = common.cover_counts(setup)
+        rx, _, c = binning.cover_counts(setup)
         total = int(np.asarray(jnp.sum(c)))
         from compute_renderer_tpu.backends.tpu import grow_pair_cap
         cap = grow_pair_cap(0, max(total, num_cells, 1024))
@@ -107,10 +107,15 @@ def main() -> int:
                 pair_cap=case["cap"], ntx_t=ntx_t, num_cells=num_cells,
                 interpret=interpret, bsz=bsz, ch=ch)
 
+        # Compare only the ``total`` valid pairs: the output shape (cap_pad)
+        # depends on ch, and indices >= total are never written (the masked
+        # RMW covers exactly [0, total) across the contiguous block windows).
+        tot = min(case["pairs"], case["cap"])
         ref = None
         for bsz, ch in COMBOS:
             out = jax.block_until_ready(run(bsz, ch))
-            arr = (np.asarray(out[0]), np.asarray(out[1]), int(out[2]))
+            arr = (np.asarray(out[0]).reshape(-1)[:tot],
+                   np.asarray(out[1]).reshape(-1)[:tot], int(out[2]))
             if ref is None:
                 ref = arr
             else:

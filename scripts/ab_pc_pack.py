@@ -103,7 +103,7 @@ def main() -> int:
         eff = jnp.asarray(u.effect)
         _, screen_soa = common.vertex_stage_soa(pos_soa, vp, eff, W, H)
         setup = common.triangle_setup_soa(screen_soa, eff, W, H, 8, 8)
-        rx, _, c = common.cover_counts(setup)
+        rx, _, c = binning.cover_counts(setup)
         total = int(np.asarray(jnp.sum(c)))
         cap = tpu.grow_pair_cap(0, max(total, num_cells, 1024))
         bins = binning.bin_cells_sort_meta(
