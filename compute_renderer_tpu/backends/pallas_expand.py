@@ -45,8 +45,16 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 I32 = jnp.int32
 
-B = 1024  # triangles per grid step (default; see expand_cells bsz/ch)
-CH = 512  # pairs per emission chunk (bounds the (CH, B) VMEM temporaries)
+# Kernel geometry defaults. Per-chunk work scales ~ P*bsz + T*ch (the
+# membership matrix is (ch, bsz) and every chunk touches the whole block),
+# so smaller blocks/chunks do strictly less arithmetic until grid-step
+# overheads dominate. Hardware sweep (scripts/ab_expand_bc.py, v5e
+# 2026-08-21, 8 combos x 2 scenes, bitwise-checked): (512, 256) wins at
+# both scales — structured 700k pairs 5.81 -> 3.05 ms, San Miguel 327k
+# 4.18 -> 1.69 ms vs the former (1024, 512); (256, 256) regresses (grid
+# overhead), (2048, 1024) is 3x worse.
+B = 512  # triangles per grid step (default; see expand_cells bsz/ch)
+CH = 256  # pairs per emission chunk (bounds the (CH, B) VMEM temporaries)
 PAD = 3072  # output slack so aligned RMW windows never go out of bounds
 
 
