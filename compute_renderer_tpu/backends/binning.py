@@ -324,7 +324,8 @@ PALLAS_EXPAND_MAX_CAP = 1_500_000
 def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
                    interpret: bool | None = None,
                    use_pallas_expand: bool | None = None,
-                   segments: str = "boundaries"):
+                   segments: str = "boundaries",
+                   expand_geom: tuple | None = None):
     """Cell-granularity binning for the micro-raster (mega-scene) path.
 
     Cells are 8x8 px; a framebuffer tile (8, 128) holds 16 cells side by
@@ -359,13 +360,15 @@ def bin_cells_sort(setup, ntx_t: int, nty_t: int, pair_cap: int,
         c, rx, setup["tile_x0"].astype(i32), setup["tile_y0"].astype(i32),
         ntx_t, nty_t, pair_cap, interpret=interpret,
         use_pallas_expand=use_pallas_expand, segments=segments,
+        expand_geom=expand_geom,
     )
 
 
 def bin_cells_sort_meta(c, rx, x0, y0, ntx_t: int, nty_t: int,
                         pair_cap: int, interpret: bool | None = None,
                         use_pallas_expand: bool | None = None,
-                        segments: str = "boundaries"):
+                        segments: str = "boundaries",
+                        expand_geom: tuple | None = None):
     """``bin_cells_sort`` from per-triangle cover meta (see
     ``expand_cells_meta``) — the entry the fused Pallas front end uses,
     skipping the ``triangle_setup`` dict entirely."""
@@ -375,6 +378,7 @@ def bin_cells_sort_meta(c, rx, x0, y0, ntx_t: int, nty_t: int,
     cell_of_pair, tri_of_pair, total = expand_cells_meta(
         c, rx, x0, y0, ntx_t, num_cells, pair_cap,
         interpret=interpret, use_pallas_expand=use_pallas_expand,
+        expand_geom=expand_geom,
     )
 
     # Stable sort by cell id carrying the triangle payload (measured faster
@@ -434,7 +438,8 @@ def expand_cells_xla(setup, ntx_t: int, num_cells: int, pair_cap: int,
 
 def expand_cells_meta(c, rx, x0, y0, ntx_t: int, num_cells: int,
                       pair_cap: int, interpret: bool | None = None,
-                      use_pallas_expand: bool | None = None):
+                      use_pallas_expand: bool | None = None,
+                      expand_geom: tuple | None = None):
     """(cell_of_pair, tri_of_pair, total_pairs) for the 8x8-cell layout —
     the pre-sort arrays of ``bin_cells_sort`` (invalid tail: cell =
     num_cells sentinel) — from per-triangle cover meta (cover count ``c``,
@@ -463,10 +468,16 @@ def expand_cells_meta(c, rx, x0, y0, ntx_t: int, num_cells: int,
         # slower" Mosaic lowering did NOT reproduce on the current stack
         # (bisect L4 = 0.49 ms at 1M tris, dim1-dim1 contraction fine).
         from compute_renderer_tpu.backends import pallas_expand
+        # expand_geom: optional (bsz, ch) kernel-geometry override for
+        # same-process in-frame A/Bs (scripts/ab_frame_expand.py); None =
+        # the swept module defaults.
+        geom = {}
+        if expand_geom is not None:
+            geom = {"bsz": expand_geom[0], "ch": expand_geom[1]}
         cell_of_pair, tri_of_pair, total = pallas_expand.expand_cells(
             c, rx, x0.astype(i32), y0.astype(i32),
             pair_cap=pair_cap, ntx_t=ntx_t, num_cells=num_cells,
-            interpret=interpret,
+            interpret=interpret, **geom,
         )
     else:
         from compute_renderer_tpu.backends.pallas_expand import (

@@ -82,7 +82,7 @@ TILE_CANDIDATES = ((16, 256), (8, 128))
     static_argnames=("width", "height", "pair_cap", "interpret",
                      "effect_kind", "tex_filter", "use_pallas_front",
                      "tex_mode", "micro_unroll", "micro_tree",
-                     "micro_prefetch", "micro_colmajor"),
+                     "micro_prefetch", "micro_colmajor", "expand_geom"),
 )
 def render_frame_micro(
     positions,
@@ -151,6 +151,10 @@ def render_frame_micro(
     # pair stream is bit-identical, the 128x32 lane transpose disappears.
     # Ignored when ``tri_table`` is injected (tests pass row-major).
     micro_colmajor: bool = False,
+    # (bsz, ch) expansion-kernel geometry override for same-process
+    # in-frame A/Bs (scripts/ab_frame_expand.py); None = the swept
+    # pallas_expand defaults. Bit-identical output for any legal value.
+    expand_geom: tuple | None = None,
 ):
     """Mega-scene path: 8x8-cell binning (ONE global sort) + the lane-packed
     micro kernel (pallas_micro). Coefficients stream from HBM, so there is
@@ -264,7 +268,7 @@ def render_frame_micro(
         )
         bins = binning.bin_cells_sort_meta(
             meta[3], meta[2], meta[0], meta[1], ntx, nty, pair_cap,
-            interpret=interpret,
+            interpret=interpret, expand_geom=expand_geom,
         )
         tri_table = (pallas_front.pack_table_c64_cm(coeff)
                      if micro_colmajor else
@@ -295,7 +299,8 @@ def render_frame_micro(
         setup = common.triangle_setup_soa(screen_soa, effect, width,
                                           height, 8, 8)
         bins = binning.bin_cells_sort(setup, ntx, nty, pair_cap,
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      expand_geom=expand_geom)
     nrm_tuples = None
     if tri_table is None:
         if nrm_soa is None:

@@ -510,11 +510,25 @@ def _stripe_render_sortmiddle(
             for a in (scr_l, wld_l, nrm_l, uv_l)
         ]
         tri_v = jnp.arange(3 * n_shards * Tl, dtype=i32).reshape(-1, 3)
+        # The mip filters evaluate face_tex at TRIANGLE rank alongside the
+        # uv-gradient table (common.mip_tri_rows), and here that table is
+        # built from the PADDED-GLOBAL corner arrays (n_shards*Tl rows).
+        # Slices are contiguous, so padded-global id == global id; pad the
+        # global (T,) table to rank with the no-texture sentinel (pad rows
+        # never win, they only need to exist). Winner-gathered uses
+        # (face_kd, nearest/bilinear face_tex) are rank-independent.
+        face_tex_v = face_tex
+        if face_tex is not None and tex_filter in ("trilinear",
+                                                   "anisotropic"):
+            pad = n_shards * Tl - face_tex.shape[0]
+            if pad > 0:
+                face_tex_v = jnp.concatenate(
+                    [face_tex.astype(i32), jnp.full((pad,), -1, i32)])
         rgba = micro_vis_tail(
             rgba_packed, best_key, s_tri,
             None, None, None, None, effect,
             ntx * 128, nty_local * 8,
-            face_kd, face_tex, texels, tex_table,
+            face_kd, face_tex_v, texels, tex_table,
             view_position, light_world_pos, light_color, light_intensity,
             y_offset=y_offset, corners=tuple(gathered) + (tri_v,),
             tex_filter=tex_filter, tex_mips=tex_mips,

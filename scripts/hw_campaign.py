@@ -184,6 +184,12 @@ STEPS = [
     ("gen_baseline_r5", [sys.executable, "scripts/gen_baseline_table.py"],
      300.0),
     ("bench_r5", [sys.executable, "bench.py"], 3900.0),
+    # Same-session interleaved in-frame A/B of the expansion geometry:
+    # the (512,256) default came from an isolated-stage sweep and a
+    # cross-session suite delta, but session noise is up to ~40%
+    # (ab_engine_gap) — prove (or revert) the lever with paired rounds.
+    ("ab_frame_expand", [sys.executable, "scripts/ab_frame_expand.py",
+                         "--rounds", "6", "--iters", "6"], 3600.0),
 ]
 
 
